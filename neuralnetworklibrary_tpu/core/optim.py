@@ -1,0 +1,223 @@
+"""From-scratch pytree optimizer with the reference's exact update semantics.
+
+Reproduces General/Optimizer.py as pure functions over param pytrees:
+
+- decoupled (AdamW-style) weight decay applied multiplicatively to the params
+  *before* the gradient step: ``p *= 1 - wd*lr`` (Optimizer.py:60-67), with
+  batchnorm params exempt unless ``bn_wd=True``,
+- global gradient-norm clipping over all trainable params combined
+  (Optimizer.py:54-56, torch ``clip_grad_norm_`` semantics: scale by
+  ``clip / (norm + 1e-6)`` when that is < 1),
+- per-layer-group learning rates: each leaf's lr is looked up from a length-NL
+  vector by its static group index (the analogue of the per-param-group python
+  loop in Optimizer.py:50-52 — but resolved inside the jitted step, so
+  schedules are just scalar inputs),
+- optimizer families matching the reference registry (Learner.py:16-19):
+  SGD, SGD_Mom (momentum 0.9), Adam (betas 0.9/0.999), Adam2 (betas 0.9/0.99),
+  with torch's exact update rules (momentum buffer ``buf = m*buf + g``;
+  Adam bias correction with the *current* beta values, as torch does when
+  betas are rescheduled per batch).
+
+Frozen leaves are skipped entirely — their params, momentum buffers, and Adam
+step counts are untouched, matching torch behaviour where frozen params are
+simply absent from the optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neuralnetworklibrary_tpu.core.partition import Partition
+from neuralnetworklibrary_tpu.core.pytree import (
+    broadcast_to_groups,
+    flatten_params,
+    global_norm,
+    unflatten_params,
+)
+
+
+class Optimizer:
+    """Optimizer with per-layer-group hyperparameters, decoupled weight decay,
+    and global grad clipping.
+
+    Mirrors the reference ``Optimizer`` constructor surface
+    (Optimizer.py:36-39): ``Optimizer(opt_func, wd=None, bn_wd=True,
+    clip=None)`` where ``opt_func`` is a name from :data:`opt_dict` —
+    'SGD' | 'SGD_Mom' | 'Adam' | 'Adam2' | 'default'.  Unlike the reference it
+    holds no model: state lives in an explicit opt_state pytree and
+    :meth:`apply` is a pure function suitable for use inside ``jax.jit``.
+    """
+
+    def __init__(self, opt_func: str = "default", wd=None, bn_wd: bool = True, clip=None):
+        if opt_func not in opt_dict:
+            raise ValueError(f"unknown optimizer {opt_func!r}; choose from {list(opt_dict)}")
+        cfg = opt_dict[opt_func]
+        self.name = opt_func
+        self.kind: str = cfg["kind"]  # 'sgd' | 'adam'
+        self.momentum: float = cfg.get("momentum", 0.0)
+        self.betas: tuple[float, float] = cfg.get("betas", (0.9, 0.999))
+        self.eps: float = 1e-8
+        # Mutable bookkeeping mirroring reference attributes (set_params :41-52).
+        self.wd = wd
+        self.bn_wd = bn_wd
+        self.clip = clip
+
+    # -- hyperparameter bookkeeping (host side) -----------------------------
+
+    def set_params(self, wd=None, bn_wd=None, clip=None):
+        """Update the training-period hyperparameters (Learner.init_optimizer
+        semantics, Learner.py:680-688: unspecified values keep their last
+        setting)."""
+        if wd is not None:
+            self.wd = wd
+        if bn_wd is not None:
+            self.bn_wd = bn_wd
+        if clip is not None:
+            self.clip = clip
+
+    @property
+    def uses_momentum(self) -> bool:
+        return self.kind == "sgd" and self.momentum != 0.0
+
+    @property
+    def uses_betas(self) -> bool:
+        return self.kind == "adam"
+
+    # -- functional state ---------------------------------------------------
+
+    def init(self, params: Mapping) -> dict:
+        """Create a fresh opt_state pytree for ``params``.
+
+        Note the reference *re-creates* its optimizer (losing all state) on
+        every freeze/unfreeze/bn_freeze (Learner.py:241,246,263,271); Learner
+        mirrors that by calling this again at those points.
+        """
+        flat = flatten_params(params)
+        state: dict = {}
+        for path, leaf in flat.items():
+            zeros = jnp.zeros_like(leaf)
+            if self.kind == "sgd":
+                state[path] = {"buf": zeros}
+            elif self.kind == "adam":
+                state[path] = {
+                    "m": zeros,
+                    "v": zeros,
+                    "t": jnp.zeros((), jnp.int32),
+                }
+            else:
+                raise AssertionError(self.kind)
+        return unflatten_params(state)
+
+    # -- the pure update ----------------------------------------------------
+
+    def apply(
+        self,
+        params: Mapping,
+        grads: Mapping,
+        opt_state: Mapping,
+        partition: Partition,
+        trainable: Sequence[bool],
+        lr_groups: jax.Array,
+        mom=None,
+        beta1=None,
+        beta2=None,
+        wd_groups=None,
+        bn_wd: bool | None = None,
+        clip=None,
+    ):
+        """One optimizer step.  Pure; call inside jit.
+
+        lr_groups: (NL,) learning rate per layer group (already including any
+            last-batch rescaling).  mom / beta1 / beta2: traced scalars
+            overriding the constructor defaults (for per-batch schedules).
+        wd_groups: (NL,) decoupled weight decay per group, or None.
+        clip: global grad-norm clip value (traced scalar or python float), or
+            None.  bn_wd / trainable / partition must be Python constants.
+        """
+        if bn_wd is None:
+            bn_wd = self.bn_wd
+        pf = flatten_params(params)
+        gf = flatten_params(grads)
+        sf = flatten_params(opt_state)
+
+        paths = partition.paths
+        idx_of = {p: i for i, p in enumerate(paths)}
+        lr_groups = jnp.asarray(lr_groups, jnp.float32)
+        if wd_groups is not None:
+            wd_groups = jnp.asarray(wd_groups, jnp.float32)
+
+        mom = self.momentum if mom is None else mom
+        b1 = self.betas[0] if beta1 is None else beta1
+        b2 = self.betas[1] if beta2 is None else beta2
+
+        # 1) decoupled weight decay: p *= 1 - wd*lr (Optimizer.py:60-67),
+        #    applied to trainable non-bn params, and to bn params iff bn_wd.
+        if wd_groups is not None:
+            for path in paths:
+                i = idx_of[path]
+                if not trainable[i]:
+                    continue
+                if partition.is_bn[i] and not bn_wd:
+                    continue
+                g = partition.group_idx[i]
+                pf[path] = pf[path] * (1.0 - wd_groups[g] * lr_groups[g])
+
+        # 2) global grad-norm clipping over trainable leaves (Optimizer.py:54-56).
+        if clip is not None:
+            tleaves = [gf[p] for p in paths if trainable[idx_of[p]]]
+            norm = global_norm(tleaves)
+            scale = jnp.minimum(1.0, clip / (norm + 1e-6))
+            for path in paths:
+                if trainable[idx_of[path]]:
+                    gf[path] = gf[path] * scale
+
+        # 3) the gradient step, per leaf.
+        new_p, new_s = dict(pf), {}
+        sf_by_leaf = {}
+        for path in paths:
+            # opt_state was flattened one level deeper (slot names).
+            sf_by_leaf[path] = {
+                key[-1]: val for key, val in sf.items() if key[:-1] == path
+            }
+        for path in paths:
+            i = idx_of[path]
+            slots = sf_by_leaf[path]
+            if not trainable[i]:
+                new_s[path] = slots
+                continue
+            lr = lr_groups[partition.group_idx[i]]
+            g = gf[path]
+            p = pf[path]
+            if self.kind == "sgd":
+                buf = slots["buf"] * mom + g if mom is not None else g
+                new_p[path] = p - lr * buf
+                new_s[path] = {"buf": buf}
+            else:  # adam
+                t = slots["t"] + 1
+                m = b1 * slots["m"] + (1.0 - b1) * g
+                v = b2 * slots["v"] + (1.0 - b2) * jnp.square(g)
+                tf = t.astype(jnp.float32)
+                m_hat = m / (1.0 - jnp.power(b1, tf))
+                v_hat = v / (1.0 - jnp.power(b2, tf))
+                new_p[path] = p - lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
+                new_s[path] = {"m": m, "v": v, "t": t}
+
+        out_state = {path + (slot,): val for path, slots in new_s.items() for slot, val in slots.items()}
+        return unflatten_params(new_p), unflatten_params(out_state)
+
+    def lr_vector(self, lr, n_groups: int):
+        """Broadcast an lr spec (scalar or per-group list) to an (NL,) array."""
+        return jnp.asarray(broadcast_to_groups(lr, n_groups), jnp.float32)
+
+
+# Optimizer registry — mirrors opt_dict (Learner.py:16-19).
+opt_dict: dict[str, dict] = {
+    "SGD": {"kind": "sgd", "momentum": 0.0},
+    "SGD_Mom": {"kind": "sgd", "momentum": 0.9},
+    "Adam": {"kind": "adam", "betas": (0.9, 0.999)},
+    "Adam2": {"kind": "adam", "betas": (0.9, 0.99)},
+}
+opt_dict["default"] = opt_dict["SGD_Mom"]

@@ -1,0 +1,100 @@
+"""Loss/metric parity vs torch built-ins + masking semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from neuralnetworklibrary_tpu.core import metrics as M
+
+
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_mse_matches_torch():
+    r = rng()
+    a, b = r.normal(size=12).astype(np.float32), r.normal(size=12).astype(np.float32)
+    ours = float(M.mse_loss(jnp.asarray(a), jnp.asarray(b)))
+    theirs = float(F.mse_loss(torch.tensor(a), torch.tensor(b)))
+    assert np.isclose(ours, theirs, rtol=1e-5)
+
+
+def test_cross_entropy_matches_torch():
+    r = rng()
+    logits = r.normal(size=(8, 5)).astype(np.float32)
+    y = r.integers(0, 5, size=8)
+    ours = float(M.cross_entropy_loss(jnp.asarray(logits), jnp.asarray(y)))
+    theirs = float(F.cross_entropy(torch.tensor(logits), torch.tensor(y)))
+    assert np.isclose(ours, theirs, rtol=1e-5)
+
+
+def test_bce_matches_torch():
+    r = rng()
+    logits = r.normal(size=(8, 4)).astype(np.float32)
+    y = (r.random(size=(8, 4)) > 0.5).astype(np.float32)
+    ours = float(M.bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(y)))
+    theirs = float(F.binary_cross_entropy_with_logits(torch.tensor(logits), torch.tensor(y)))
+    assert np.isclose(ours, theirs, rtol=1e-4)
+
+
+def test_masked_loss_equals_unpadded():
+    """Padding + mask must reproduce the loss of the unpadded batch exactly."""
+    r = rng()
+    logits = r.normal(size=(8, 5)).astype(np.float32)
+    y = r.integers(0, 5, size=8)
+    full = float(M.cross_entropy_loss(jnp.asarray(logits[:5]), jnp.asarray(y[:5])))
+    mask = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    masked = float(M.cross_entropy_loss(jnp.asarray(logits), jnp.asarray(y), mask))
+    assert np.isclose(full, masked, rtol=1e-5)
+
+    a, b = r.normal(size=(8, 3)).astype(np.float32), r.normal(size=(8, 3)).astype(np.float32)
+    full = float(M.mse_loss(jnp.asarray(a[:5]), jnp.asarray(b[:5])))
+    masked = float(M.mse_loss(jnp.asarray(a), jnp.asarray(b), mask))
+    assert np.isclose(full, masked, rtol=1e-5)
+
+
+def test_regression_losses():
+    preds = jnp.asarray([1.1, 2.2, 2.9])
+    target = jnp.asarray([1.0, 2.0, 3.0])
+    mspe = float(M.MSPE_loss(preds, target))
+    expected = np.mean(((np.array([1.1, 2.2, 2.9]) - np.array([1.0, 2.0, 3.0])) / np.array([1.0, 2.0, 3.0])) ** 2)
+    assert np.isclose(mspe, expected, rtol=1e-5)
+    # expMSPE(log x) == MSPE(x)
+    e = float(M.expMSPE_loss(jnp.log(preds), jnp.log(target)))
+    assert np.isclose(e, expected, rtol=1e-4)
+    lm = float(M.logMSE_loss(preds, target))
+    assert np.isclose(lm, np.mean((np.log([1.1, 2.2, 2.9]) - np.log([1.0, 2.0, 3.0])) ** 2), rtol=1e-4)
+
+
+def test_accuracy():
+    logits = jnp.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0]])
+    y = jnp.asarray([0, 1, 1])
+    assert np.isclose(float(M.accuracy(logits, y)), 2 / 3)
+
+
+def test_fbeta_perfect_predictions():
+    y = jnp.asarray([[1, 0, 1], [0, 1, 0]], jnp.float32)
+    logits = jnp.where(y > 0, 10.0, -10.0)
+    f2 = M.fbeta_loss(beta=2)
+    assert float(f2(logits, y)) > 0.999
+
+
+def test_kprecision():
+    # sample 0: true label ranked 1st -> 1; sample 1: ranked 2nd -> 1/2; sample 2: outside top2 -> 0
+    preds = jnp.asarray([[5.0, 1.0, 0.0], [4.0, 3.0, 0.0], [4.0, 3.0, 0.0]])
+    y = jnp.asarray([0, 1, 2])
+    kp = M.kPrecision(k=2)
+    assert np.isclose(float(kp(preds, y)), (1.0 + 0.5 + 0.0) / 3)
+
+
+def test_auc_end_metric():
+    r = rng()
+    logits = r.normal(size=(64, 2)).astype(np.float32)
+    y = r.integers(0, 2, size=64)
+    auc = M.AUC()(logits, y)
+    from sklearn.metrics import roc_auc_score
+
+    probs = torch.softmax(torch.tensor(logits), dim=1).numpy()[:, 1]
+    assert np.isclose(auc, roc_auc_score(y, probs), rtol=1e-5)
+    assert M.AUC.is_end_metric
