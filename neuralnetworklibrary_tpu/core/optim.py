@@ -95,21 +95,27 @@ class Optimizer:
         every freeze/unfreeze/bn_freeze (Learner.py:241,246,263,271); Learner
         mirrors that by calling this again at those points.
         """
-        flat = flatten_params(params)
-        state: dict = {}
-        for path, leaf in flat.items():
-            zeros = jnp.zeros_like(leaf)
-            if self.kind == "sgd":
-                state[path] = {"buf": zeros}
-            elif self.kind == "adam":
-                state[path] = {
-                    "m": zeros,
-                    "v": zeros,
-                    "t": jnp.zeros((), jnp.int32),
-                }
-            else:
-                raise AssertionError(self.kind)
-        return unflatten_params(state)
+        def mk(params):
+            flat = flatten_params(params)
+            state: dict = {}
+            for path, leaf in flat.items():
+                zeros = jnp.zeros_like(leaf)
+                if self.kind == "sgd":
+                    state[path] = {"buf": zeros}
+                elif self.kind == "adam":
+                    state[path] = {
+                        "m": zeros,
+                        "v": zeros,
+                        "t": jnp.zeros((), jnp.int32),
+                    }
+                else:
+                    raise AssertionError(self.kind)
+            return unflatten_params(state)
+
+        # Materialize through jit so every leaf gets its own device buffer —
+        # bare jnp.zeros constants can alias, which breaks donation in the
+        # train step ("attempt to donate the same buffer twice").
+        return jax.jit(mk)(params)
 
     # -- the pure update ----------------------------------------------------
 

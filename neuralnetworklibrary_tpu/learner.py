@@ -1,0 +1,675 @@
+"""The Learner: training/eval engine binding {data, model, optimizer, loss}.
+
+Functional rebuild of General/Learner.py (the center of the reference library,
+Learner.py:64-887) for TPU:
+
+- model params / batchnorm stats / optimizer state are explicit pytrees held by
+  the Learner; the hot path is ONE jit-compiled train step (forward, loss,
+  backward, optimizer update, loss-EMA) with donated buffers,
+- per-minibatch lr/momentum/betas schedules are fed to that step as scalar
+  arguments (the reference mutates ``param_group['lr']`` per batch in python,
+  Optimizer.py:50-52; here a changing schedule never recompiles),
+- data parallelism is native: batches are sharded over the mesh's 'data' axis,
+  params replicated, and XLA inserts the gradient psum over ICI,
+- freezing (freeze/unfreeze/bn_freeze, Learner.py:237-272) is a static
+  trainability mask: frozen leaves get ``stop_gradient`` so XLA prunes their
+  backward graph, and the optimizer skips them,
+- the last short batch of an epoch is padded to the static batch shape with a
+  mask, and the learning rate is rescaled by ``n_valid/bs`` — together exactly
+  the reference's short-batch semantics (Learner.py:503-505),
+- the train-loss EMA (0.98 decay, debiased; Learner.py:610-611) is updated
+  on-device inside the step, so the host never blocks on per-batch losses and
+  dispatch stays ahead of the device.
+
+Training-method surface matches the reference: fit (:730), fit_cycles (:746),
+fit_one_cycle (:776), find_lr (:804), train_gen_sched (:528) with best/all
+checkpointing, SWA merging (:667-670), early abort on
+``val_loss > 20*min_loss`` (:673-675), evaluate (:395), predict (:286),
+save/load (:119-153).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralnetworklibrary_tpu.core import checkpoint as ckpt
+from neuralnetworklibrary_tpu.core import metrics as M
+from neuralnetworklibrary_tpu.core.optim import Optimizer
+from neuralnetworklibrary_tpu.core.partition import Partition, build_partition
+from neuralnetworklibrary_tpu.core.pytree import (
+    broadcast_to_groups,
+    combine_pytrees,
+    flatten_params,
+    unflatten_params,
+)
+from neuralnetworklibrary_tpu.core.schedules import cycles_sched, get_sched, one_cycle_scheds
+from neuralnetworklibrary_tpu.data.loader import Batch
+from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+_EMA_DECAY = 0.98  # moving_avg_loss decay (Learner.py:610)
+
+
+def _correct_foldername(p: str) -> str:
+    return p if p.endswith("/") else p + "/"
+
+
+class Learner:
+    """Binds a data object, model, optimizer, and loss; provides the training API.
+
+    Arguments:
+    PATH: working directory; checkpoints go to ``PATH/models/``.
+    data: object with ``.target_type``, ``.bs``, ``.train_dl/.val_dl`` (and
+        optionally ``.test_dl``) whose loaders yield
+        :class:`~neuralnetworklibrary_tpu.data.loader.Batch`.
+    model: a linen module following the framework contract:
+        ``__call__(*xs, train=False[, bn_frozen=None])``, plus
+        ``layer_group_prefixes`` (list of prefix lists) and ``head_prefixes``.
+    optimizer: an :class:`Optimizer` or a name from ``opt_dict``
+        ('default'|'SGD'|'SGD_Mom'|'Adam'|'Adam2').
+    loss_func: callable ``loss(y_pred, y, mask=None)`` or 'default' (resolved
+        from the target type like loss_func_dict, Learner.py:20-21).
+    mesh: a jax Mesh for data parallelism (default: 1D mesh over all devices).
+    """
+
+    def __init__(
+        self,
+        PATH: str,
+        data,
+        model,
+        optimizer="default",
+        loss_func="default",
+        use_moving_avg: bool = True,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.PATH = _correct_foldername(PATH)
+        os.makedirs(self.PATH + "models", exist_ok=True)
+        self.data, self.model = data, model
+        self.target_type = data.target_type
+        self.use_moving_avg = use_moving_avg
+        self.loss_func = (
+            M.loss_func_dict[self.target_type] if loss_func == "default" else loss_func
+        )
+        self.optimizer = Optimizer(optimizer) if isinstance(optimizer, str) else optimizer
+        self.mesh = mesh if mesh is not None else pmesh.get_mesh()
+        if data.bs % self.mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch size {data.bs} must be divisible by the data-parallel "
+                f"mesh size {self.mesh.shape['data']}"
+            )
+
+        self.rng = jax.random.PRNGKey(seed)
+        self._init_variables()
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.frozen = False
+        self.bn_frozen: Optional[str] = None
+        self.loss_sched: list = []
+        self.lr_sched: list = []
+        self.mom_sched: list = []
+        self.betas_sched: list = []
+        self.moving_avg_loss = 0.0
+        self._ema = jnp.zeros(())
+        self._step_cache: dict = {}
+        self._eval_cache: dict = {}
+        self._global_step = 0
+        self._accepts_bn_frozen = "bn_frozen" in inspect.signature(model.__call__).parameters
+        try:
+            self._loss_accepts_mask = "mask" in inspect.signature(self.loss_func).parameters or (
+                len(inspect.signature(self.loss_func).parameters) >= 3
+            )
+        except (TypeError, ValueError):
+            self._loss_accepts_mask = True
+
+    # ------------------------------------------------------------------ init
+
+    def _init_variables(self):
+        batch = self.data.train_dl.peek()
+        self.rng, key = jax.random.split(self.rng)
+        xs = tuple(jnp.asarray(x) for x in batch.xs)
+        variables = self.model.init({"params": key, "dropout": key}, *xs, train=False)
+        self.params = variables["params"]
+        self.state = variables.get("batch_stats", {})
+        lg = getattr(self.model, "layer_group_prefixes", None)
+        heads = getattr(self.model, "head_prefixes", ("head",))
+        self.partition = build_partition(
+            self.params, self.state or None, layer_groups=lg, head_prefixes=heads
+        )
+        self.params = pmesh.replicate_tree(self.params, self.mesh)
+        if self.state:
+            self.state = pmesh.replicate_tree(self.state, self.mesh)
+
+    @property
+    def n_groups(self) -> int:
+        return self.partition.n_groups
+
+    # -------------------------------------------------------- save / load
+
+    def save(self, filename: str, save_optimizer: bool = False):
+        """Checkpoint params (+ bn stats, + optionally optimizer state) to
+        ``PATH/models/<filename>.npz`` (Learner.py:119-133)."""
+        trees = {"params": self.params, "state": self.state or None}
+        if save_optimizer:
+            trees["opt_state"] = self.opt_state
+        ckpt.save_pytrees(self.PATH + "models/" + filename + ".npz", trees)
+
+    def load(self, filename: str, saved_optimizer: bool = False):
+        """Restore a checkpoint saved by :meth:`save` (Learner.py:135-153)."""
+        path = self.PATH + "models/" + filename + ".npz"
+        if not os.path.isfile(path):
+            print(f"no file found at '{path}'")
+            return
+        trees = ckpt.load_pytrees(path)
+        self.params = pmesh.replicate_tree(trees["params"], self.mesh)
+        if "state" in trees:
+            self.state = pmesh.replicate_tree(trees["state"], self.mesh)
+        if saved_optimizer and "opt_state" in trees:
+            self.opt_state = pmesh.replicate_tree(trees["opt_state"], self.mesh)
+
+    # ---------------------------------------------------- freeze / unfreeze
+
+    def _reset_opt_state(self):
+        # The reference re-creates its Optimizer (losing all state) on every
+        # freeze/unfreeze/bn_freeze (Learner.py:241,246,263,271).
+        self.opt_state = self.optimizer.init(self.params)
+
+    def freeze(self):
+        """Train only the head submodule (Learner.py:237-241)."""
+        if not any(self.partition.in_head):
+            import warnings
+
+            warnings.warn(
+                "freeze(): no param leaf lies under the model's head_prefixes "
+                f"{getattr(self.model, 'head_prefixes', ('head',))!r} — ALL "
+                "params are now frozen and training will be a no-op"
+            )
+        self.frozen = True
+        self._reset_opt_state()
+
+    def unfreeze(self):
+        """Train all layer groups (Learner.py:243-246)."""
+        self.frozen = False
+        self._reset_opt_state()
+
+    def bn_freeze(self, freeze_type: str = "non_head"):
+        """Freeze batchnorm layers: params stop training AND running stats stop
+        updating ('all' everywhere, 'non_head' exempts the head;
+        Learner.py:248-264, stats-stop at :589-594)."""
+        if freeze_type not in ("all", "non_head"):
+            raise ValueError("freeze_type must be 'all' or 'non_head'")
+        self.bn_frozen = freeze_type
+        self._reset_opt_state()
+
+    def bn_unfreeze(self):
+        self.bn_frozen = None
+        self._reset_opt_state()
+
+    def _trainable(self) -> tuple:
+        return self.partition.trainable_mask(self.frozen, self.bn_frozen)
+
+    # ------------------------------------------------------------ the step
+
+    def _model_kwargs(self, train: bool) -> dict:
+        kw = {"train": train}
+        if self._accepts_bn_frozen:
+            kw["bn_frozen"] = self.bn_frozen
+        return kw
+
+    def _apply_loss(self, y_pred, y, mask):
+        if self._loss_accepts_mask:
+            return self.loss_func(y_pred, y, mask)
+        return self.loss_func(y_pred, y)
+
+    def _make_train_step(self, trainable: tuple, bn_frozen):
+        model, opt, part = self.model, self.optimizer, self.partition
+        has_state = bool(self.state)
+        kwargs = self._model_kwargs(train=True)
+
+        def step(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
+            def loss_fn(p):
+                flat = flatten_params(p)
+                for path, t in zip(part.paths, trainable):
+                    if not t:
+                        flat[path] = jax.lax.stop_gradient(flat[path])
+                p = unflatten_params(flat)
+                variables = {"params": p}
+                if has_state:
+                    variables["batch_stats"] = state
+                    y_pred, mut = model.apply(
+                        variables, *xs, rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs
+                    )
+                    new_state = mut["batch_stats"]
+                else:
+                    y_pred = model.apply(variables, *xs, rngs={"dropout": rng}, **kwargs)
+                    new_state = state
+                return self._apply_loss(y_pred, y, mask), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params, opt_state = opt.apply(
+                params, grads, opt_state, part, trainable,
+                lr_groups=lr_g, wd_groups=wd_g, mom=mom, beta1=b1, beta2=b2, clip=clip,
+            )
+            ema = ema * _EMA_DECAY + loss * (1.0 - _EMA_DECAY)
+            return params, new_state, opt_state, ema, loss
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+    def _get_train_step(self):
+        key = (self._trainable(), self.bn_frozen)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_train_step(*key)
+        return self._step_cache[key]
+
+    def _hyper_row(self, lr_row, n_valid, mom=None, betas=None):
+        """Build the per-batch dynamic hyperparameters, with the reference's
+        short-batch lr rescale (Learner.py:503-505) and neutral defaults for
+        absent wd/clip (wd=0 and clip=inf are exact no-ops)."""
+        NL = self.n_groups
+        lr = np.asarray(broadcast_to_groups(lr_row, NL), np.float32)
+        lr = lr * (n_valid / self.data.bs)
+        wd = self.optimizer.wd
+        wd = np.asarray(broadcast_to_groups(0.0 if wd is None else wd, NL), np.float32)
+        clip = np.float32(np.inf if self.optimizer.clip is None else self.optimizer.clip)
+        mom_v = np.float32(self.optimizer.momentum if mom is None else mom)
+        if betas is None:
+            b1, b2 = self.optimizer.betas
+        else:
+            b1, b2 = betas
+        return lr, wd, mom_v, np.float32(b1), np.float32(b2), clip
+
+    def train1minibatch(self, batch: Batch, lr_batch, mom_batch=None, betas_batch=None):
+        """One optimizer update (Learner.py:490-516). Returns the loss as a
+        device scalar (convert with float() only when you need to sync)."""
+        step = self._get_train_step()
+        lr, wd, mom, b1, b2, clip = self._hyper_row(lr_batch, batch.n_valid, mom_batch, betas_batch)
+        xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
+        self._global_step += 1
+        rng = jax.random.fold_in(self.rng, self._global_step)
+        self.params, self.state, self.opt_state, self._ema, loss = step(
+            self.params, self.state, self.opt_state, self._ema,
+            xs, y, mask, lr, wd, mom, b1, b2, clip, rng,
+        )
+        return loss
+
+    # ------------------------------------------------------------- evaluate
+
+    def _make_eval_step(self, metrics_key, metrics):
+        model = self.model
+        has_state = bool(self.state)
+        kwargs = self._model_kwargs(train=False)
+        target_type = self.target_type
+
+        def estep(params, state, xs, y, mask):
+            variables = {"params": params}
+            if has_state:
+                variables["batch_stats"] = state
+            y_pred = model.apply(variables, *xs, **kwargs)
+            if isinstance(y_pred, tuple):
+                y_pred = y_pred[0]
+            n = jnp.sum(mask)
+            loss_sum = self._apply_loss(y_pred, y, mask) * n
+            if target_type in ("cat", "single_label", "text_classify"):
+                correct = jnp.sum((jnp.argmax(y_pred, axis=1) == y) * mask)
+            elif target_type == "multi_label":
+                pred = jnp.round(jax.nn.sigmoid(y_pred))
+                correct = jnp.sum((pred == y).astype(jnp.float32) * mask[:, None])
+            else:
+                correct = jnp.zeros(())
+            mvals = jnp.asarray([m(y_pred, y, mask) * n for m in metrics]) if metrics else jnp.zeros((0,))
+            return loss_sum, n, correct, mvals, y_pred
+
+        return jax.jit(estep)
+
+    def _get_eval_step(self, metrics=()):
+        key = (tuple(id(m) for m in metrics), self.bn_frozen)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = self._make_eval_step(key, tuple(metrics))
+        return self._eval_cache[key]
+
+    def evaluate(self, dataset_type: str, metrics: Sequence = ()):  # Learner.py:395
+        """Average loss over 'train' or 'val'; for 'val' also accuracy (when
+        applicable) and any extra metrics.  Returns the reference's shapes:
+        'train' → float; 'val' → [loss(, accuracy)(, metric_values)]."""
+        dl = self.data.train_dl if dataset_type == "train" else self.data.val_dl
+        batch_metrics = [m for m in metrics if not _is_end_metric(m)]
+        end_ms = [m for m in metrics if _is_end_metric(m)]
+        estep = self._get_eval_step(tuple(batch_metrics))
+
+        total, count, correct = 0.0, 0.0, 0.0
+        mvals = np.zeros(len(batch_metrics))
+        preds, ys = [], []
+        for batch in dl:
+            xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
+            loss_sum, n, corr, mv, y_pred = estep(self.params, self.state, xs, y, mask)
+            total += float(loss_sum)
+            count += float(n)
+            correct += float(corr)
+            if len(batch_metrics):
+                mvals += np.asarray(mv)
+            if end_ms:
+                preds.append(np.asarray(y_pred)[: batch.n_valid])
+                ys.append(np.asarray(batch.y)[: batch.n_valid])
+
+        avg_loss = total / count
+        if dataset_type == "train":
+            return avg_loss
+
+        results: list = [avg_loss]
+        if self.target_type in ("cat", "single_label"):
+            results.append(correct / count)
+        elif self.target_type == "multi_label":
+            cats = getattr(self.data, "categories", None)
+            C = len(cats) if cats is not None else np.asarray(self.data.val_dl.peek().y).shape[-1]
+            results.append(correct / (count * C))
+        if len(metrics):
+            all_vals = []
+            YP = np.concatenate(preds) if preds else None
+            Y = np.concatenate(ys) if ys else None
+            bi = 0
+            for m in metrics:
+                if _is_end_metric(m):
+                    fn = M.end_metrics[m]() if isinstance(m, str) else m
+                    all_vals.append(fn(YP, Y))
+                else:
+                    all_vals.append(mvals[bi] / count)
+                    bi += 1
+            results.append(np.asarray(all_vals))
+        return results
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
+        """Predictions for a whole dataset (Learner.py:286-393).
+
+        'cont' → (N,) array; classification → [pred_probs, pred_labels];
+        detection models override via their own predictor (see applications).
+        """
+        if isinstance(dl, str):
+            dl = {"val": self.data.val_dl, "test": getattr(self.data, "test_dl", None), "train": self.data.train_dl}[dl]
+        estep = self._get_eval_step(())
+        probs_list, labels_list, cont = [], [], []
+        for batch in dl:
+            xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
+            _, _, _, _, y_pred = estep(self.params, self.state, xs, y, mask)
+            y_pred = np.asarray(y_pred)[: batch.n_valid]
+            if self.target_type == "cont":
+                cont.append(y_pred)
+            elif self.target_type in ("cat", "single_label", "text_classify"):
+                p = _softmax_np(y_pred) if correct_probs else y_pred
+                probs_list.append(p)
+                labels_list.append(p.argmax(axis=1))
+            elif self.target_type == "multi_label":
+                true_p = _sigmoid_np(y_pred)
+                p = true_p if correct_probs else y_pred
+                probs_list.append(p)
+                labels_list.append(np.around(true_p).astype(int))
+        if self.target_type == "cont":
+            return np.concatenate(cont)
+        return [np.concatenate(probs_list), np.concatenate(labels_list)]
+
+    # ------------------------------------------------------------- training
+
+    def init_optimizer(self, wd=None, bn_wd=None, clip=None):
+        """Set the training-period hyperparameters (Learner.py:680-688)."""
+        self.optimizer.set_params(wd=wd, bn_wd=bn_wd, clip=clip)
+
+    get_sched = staticmethod(get_sched)
+
+    @staticmethod
+    def display_training_results(col_names, values, run_times, first_epoch=0, header=True):
+        """Epoch results table (Learner.py:518-526)."""
+        if header:
+            print("epoch".ljust(8) + "".join(c.ljust(12) for c in col_names))
+        for n, row in enumerate(values):
+            vals = ["{:.5f}".format(v) for v in row]
+            print(str(first_epoch + n).ljust(8) + "".join(v.ljust(12) for v in vals) + run_times[n])
+
+    def train_gen_sched(
+        self,
+        lr_sched,
+        mom_sched=None,
+        betas_sched=None,
+        metrics: Sequence = (),
+        print_batch=False,
+        save_name: Optional[str] = None,
+        save_method: Optional[str] = "best",
+        swa_freq: Optional[int] = None,
+    ):
+        """Train with arbitrary per-minibatch schedules (Learner.py:528-678)."""
+        if save_name is None:
+            save_method = None
+        spe = len(self.data.train_dl)  # steps per epoch
+        if len(lr_sched) % spe != 0:
+            raise ValueError("len(lr_sched) must be an integer multiple of len(train_dl)")
+        num_epochs = len(lr_sched) // spe
+
+        self.loss_sched, self.lr_sched, self.mom_sched, self.betas_sched = [], [], [], []
+        self.moving_avg_loss = 0.0
+        self._ema = jnp.zeros(())
+
+        min_loss = _first(self.evaluate("val"))
+        if save_name:
+            self.save(save_name)
+
+        values, run_times = [], []
+        col_names = ["train_loss", "val_loss"]
+        if self.target_type in ("cat", "single_label", "multi_label"):
+            col_names.append("accuracy")
+        if len(metrics):
+            col_names.append("metrics")
+
+        if swa_freq:
+            # deep-copy: self.params' buffers get donated by the train step
+            swa_params = jax.tree_util.tree_map(jnp.copy, self.params)
+            swa_state = jax.tree_util.tree_map(jnp.copy, self.state)
+            swa_count = 1
+
+        i = 0
+        for n in range(num_epochs):
+            start = time.time()
+            for j, batch in enumerate(self.data.train_dl):
+                self.lr_sched.append(lr_sched[i])
+                mom_i = mom_sched[i] if mom_sched is not None else None
+                betas_i = betas_sched[i] if betas_sched is not None else None
+                if mom_i is not None:
+                    self.mom_sched.append(mom_i)
+                if betas_i is not None:
+                    self.betas_sched.append(betas_i)
+                loss = self.train1minibatch(batch, lr_sched[i], mom_i, betas_i)
+                self.loss_sched.append(loss)
+                i += 1
+                if print_batch is True or (isinstance(print_batch, int) and print_batch and j % print_batch == 0):
+                    debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
+                    print(f"batch {j}: avg_loss {debiased:.5f}  batch_loss {float(loss):.5f}")
+
+            debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
+            self.moving_avg_loss = debiased
+            train_loss = debiased if self.use_moving_avg else self.evaluate("train")
+
+            res = self.evaluate("val", metrics)
+            val_loss = res[0]
+            values.append([train_loss] + _flatten_results(res))
+            mins, secs = divmod(time.time() - start, 60)
+            run_times.append("  epoch run time: %d min, %.2f sec" % (mins, secs))
+            self.display_training_results(col_names, values[-1:], run_times[-1:],
+                                          first_epoch=n, header=(n == 0))
+
+            if val_loss < min_loss:
+                min_loss = val_loss
+                if save_method == "best":
+                    self.save(save_name)
+            if save_method == "all":
+                self.save(save_name + "_" + str(n))
+
+            if swa_freq and (n + 1) % swa_freq == 0:
+                w = [swa_count / (swa_count + 1), 1 / (swa_count + 1)]
+                swa_params = combine_pytrees([swa_params, self.params], w)
+                if self.state:
+                    swa_state = combine_pytrees([swa_state, self.state], w)
+                swa_count += 1
+
+            if val_loss > 20 * min_loss:  # Learner.py:673-675
+                print("val_loss increased too much, stopping training early")
+                break
+
+        if swa_freq:
+            self.params, self.state = swa_params, swa_state
+        self.values, self.run_times = values, run_times
+
+    def fit(self, lr, num_epochs, wd=None, bn_wd=None, clip=None, momentum=None,
+            betas=None, metrics=(), print_batch=False, save_name=None,
+            save_method="best", swa_freq=None):
+        """Constant-lr training (Learner.py:730-744)."""
+        self._check_lr_len(lr)
+        self.init_optimizer(wd, bn_wd, clip)
+        N = num_epochs * len(self.data.train_dl)
+        self.train_gen_sched(
+            [lr] * N,
+            [momentum] * N if momentum else None,
+            [betas] * N if betas else None,
+            metrics, print_batch, save_name, save_method, swa_freq,
+        )
+
+    def fit_cycles(self, lr_start, lr_end, num_cycles, cycle_type="cos",
+                   base_length=1, cycle_mult=1, wd=None, bn_wd=None, clip=None,
+                   momentum=None, betas=None, metrics=(), print_batch=False,
+                   save_name=None, save_method="best", swa_freq=None):
+        """SGDR annealing with restarts (Learner.py:746-774)."""
+        self._check_lr_len(lr_start)
+        self._check_lr_len(lr_end)
+        self.init_optimizer(wd, bn_wd, clip)
+        lr_sched = cycles_sched(len(self.data.train_dl), lr_start, lr_end,
+                                num_cycles, cycle_type, base_length, cycle_mult)
+        N = len(lr_sched)
+        self.train_gen_sched(
+            lr_sched,
+            [momentum] * N if momentum else None,
+            [betas] * N if betas else None,
+            metrics, print_batch, save_name, save_method, swa_freq,
+        )
+
+    def fit_one_cycle(self, lr_max, num_epochs, div_fac=25, start_pct=0.3,
+                      wd=None, bn_wd=None, clip=None, mom_min=0.85, mom_max=0.95,
+                      beta_min=0.85, beta_max=0.95, metrics=(), print_batch=False,
+                      save_name=None, save_method="best"):
+        """1cycle training (Learner.py:776-802)."""
+        self._check_lr_len(lr_max)
+        self.init_optimizer(wd, bn_wd, clip)
+        N = num_epochs * len(self.data.train_dl)
+        s = one_cycle_scheds(N, lr_max, div_fac, start_pct, mom_min, mom_max, beta_min, beta_max)
+        mom_sched = list(s["mom"]) if self.optimizer.uses_momentum else None
+        betas_sched = (
+            [(float(b), self.optimizer.betas[1]) for b in s["beta1"]]
+            if self.optimizer.uses_betas else None
+        )
+        self.train_gen_sched(list(s["lr"]), mom_sched, betas_sched, metrics,
+                             print_batch, save_name, save_method)
+
+    def find_lr(self, lr_min=1e-5, lr_max=1.0, wd=None, bn_wd=None, clip=None,
+                momentum=None, betas=None, length="1epoch", break_fac=3,
+                sched_type="exp", plot=True):
+        """LR range test (Learner.py:804-887): train with increasing lr, track
+        the loss, restore the starting checkpoint at the end."""
+        self._check_lr_len(lr_min)
+        self._check_lr_len(lr_max)
+        self.save("temp", save_optimizer=True)
+        self.moving_avg_loss = 0.0
+        self._ema = jnp.zeros(())
+        self.loss_sched, self.lr_sched, self.mom_sched, self.betas_sched = [], [], [], []
+        self.init_optimizer(wd, bn_wd, clip)
+
+        spe = len(self.data.train_dl)
+        N = spe if length == "1epoch" else int(length)
+        num_epochs = int(np.ceil(N / spe))
+        lr_sched = get_sched(sched_type, N, lr_min, lr_max)
+        initial_loss, done = None, False
+        i = 0
+        for n in range(num_epochs):
+            for batch in self.data.train_dl:
+                loss = self.train1minibatch(batch, lr_sched[i], momentum, betas)
+                self.loss_sched.append(float(loss))
+                self.lr_sched.append(lr_sched[i])
+                i += 1
+                debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
+                if initial_loss is None:
+                    initial_loss = debiased
+                if break_fac and debiased > break_fac * initial_loss:
+                    done = True
+                    break
+                if i == N:
+                    done = True
+                    break
+            if done:
+                break
+
+        if plot:
+            self.plot_find_lr(sched_type)
+        self.load("temp", saved_optimizer=True)
+
+    def plot_find_lr(self, sched_type="exp"):
+        try:
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 6))
+        a1.plot(self.lr_sched)
+        a1.set(xlabel="minibatch", ylabel="learning rate")
+        sm = self.smooth_timeseries(self.loss_sched, max(5, len(self.loss_sched) // 50))
+        a2.plot(np.asarray(self.lr_sched, dtype=float) if np.ndim(self.lr_sched[0]) == 0 else [np.mean(l) for l in self.lr_sched], sm)
+        if sched_type == "exp":
+            a2.set_xscale("log")
+        a2.set(xlabel="learning rate", ylabel="train loss")
+        return fig
+
+    @staticmethod
+    def smooth_timeseries(s, r: int):
+        """Centered moving average with boundary correction (Learner.py:158-184)."""
+        s = [float(x) for x in s]
+        N = len(s)
+        out = np.zeros(N)
+        for i in range(min(r, N)):
+            out[i] = sum(s[0: 2 * i + 1]) / (2 * i + 1)
+            out[N - 1 - i] = sum(s[N - 1 - 2 * i: N]) / (2 * i + 1)
+        for i in range(r, N - r):
+            out[i] = sum(s[i - r: i + r + 1]) / (2 * r + 1)
+        return list(out)
+
+    def _check_lr_len(self, lr):
+        if isinstance(lr, (list, tuple)) and len(lr) != self.n_groups:
+            raise ValueError(
+                f"per-group lr list has length {len(lr)}, expected {self.n_groups} layer groups"
+            )
+
+
+def _first(x):
+    return x[0] if isinstance(x, (list, tuple)) else x
+
+
+def _flatten_results(res) -> list:
+    out = []
+    for v in res:
+        out.extend(float(x) for x in np.atleast_1d(v))
+    return out
+
+
+def _is_end_metric(m) -> bool:
+    if isinstance(m, str):
+        return m in M.end_metrics
+    return getattr(m, "is_end_metric", False) or getattr(type(m), "is_end_metric", False)
+
+
+def _softmax_np(x):
+    e = np.exp(x - x.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _sigmoid_np(x):
+    return 1.0 / (1.0 + np.exp(-x))

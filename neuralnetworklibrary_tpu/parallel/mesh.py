@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers — the framework's distributed layer.
+
+The reference is single-GPU (`README.md:11-12`, ``to_cuda`` per batch,
+Core.py:140-144).  The TPU-native replacement: a ``jax.sharding.Mesh`` over all
+local devices with a 'data' axis; batches are device_put with their leading
+axis sharded over 'data', params replicated.  Under ``jax.jit`` XLA's GSPMD
+partitioner then runs the train step SPMD and inserts the gradient all-reduce
+(psum) over ICI automatically — no NCCL-style explicit communication code.
+
+Scaling beyond pure DP is a matter of widening the mesh (e.g. ('data',
+'model')) and giving params non-trivial PartitionSpecs; the helpers here keep
+that door open by taking arbitrary axis names.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """A 1D mesh over the first ``n_devices`` local devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch_arrays, mesh: Mesh, axis: str = "data"):
+    """device_put a pytree of host arrays with leading-axis sharding.
+
+    The leading dim of every array must divide the mesh axis size (the
+    DataLoader's fixed ``bs`` guarantees this when bs % n_devices == 0).
+    """
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        if x.shape[0] % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by mesh axis "
+                f"'{axis}' of size {mesh.shape[axis]}"
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch_arrays)
+
+
+def replicate_tree(tree: Any, mesh: Mesh):
+    """device_put a pytree fully replicated over the mesh (params/opt state)."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,246 @@
+"""Learner engine tests on tiny synthetic datasets (8-device CPU mesh)."""
+
+import types
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from neuralnetworklibrary_tpu.applications.collab import (
+    CollabFilterDataObj,
+    CollabFilterEnsembleNet,
+    CollabFilterNet,
+    ensemble_params,
+)
+from neuralnetworklibrary_tpu.core.pytree import flatten_params
+from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+from neuralnetworklibrary_tpu.learner import Learner
+from neuralnetworklibrary_tpu.nn.layers import LinearBlock
+from neuralnetworklibrary_tpu.parallel.mesh import get_mesh
+
+
+def collab_data(N=1024, bs=64, seed=0):
+    rng = np.random.default_rng(seed)
+    n_u, n_i = 40, 30
+    tu, ti = rng.normal(size=(n_u, 4)), rng.normal(size=(n_i, 4))
+    u, it = rng.integers(0, n_u, N), rng.integers(0, n_i, N)
+    r = np.clip((tu[u] * ti[it]).sum(1) * 0.3 + 2.5, 0.5, 5.0)
+    df = pd.DataFrame({"u": u, "i": it, "r": r.astype(np.float32)})
+    return CollabFilterDataObj.from_dataframes(df, "u", "i", "r", bs=bs, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    data = collab_data()
+    model = CollabFilterNet.from_dataobj(data, emb_dim=8)
+    learner = Learner(str(tmp_path_factory.mktemp("collab")), data, model, optimizer="Adam2")
+    initial = learner.evaluate("val")[0]
+    learner.fit_one_cycle(lr_max=0.05, num_epochs=3, wd=1e-4)
+    return learner, initial
+
+
+def test_fit_one_cycle_learns(trained):
+    learner, initial = trained
+    final = learner.evaluate("val")[0]
+    assert final < 0.5 * initial
+    # schedules recorded per minibatch
+    spe = len(learner.data.train_dl)
+    assert len(learner.lr_sched) == 3 * spe
+    assert len(learner.loss_sched) == 3 * spe
+    assert len(learner.betas_sched) == 3 * spe  # Adam2 → betas schedule
+    assert len(learner.mom_sched) == 0
+    # 1cycle shape: lr peaks at 30%
+    lrs = np.asarray(learner.lr_sched, dtype=float)
+    assert abs(np.argmax(lrs) - int(0.3 * len(lrs))) <= 1
+
+
+def test_save_load_roundtrip(trained):
+    learner, _ = trained
+    val1 = learner.evaluate("val")[0]
+    learner.save("rt", save_optimizer=True)
+    # perturb, then restore
+    learner.params = jax.tree_util.tree_map(lambda x: x * 0, learner.params)
+    assert learner.evaluate("val")[0] > val1
+    learner.load("rt", saved_optimizer=True)
+    assert np.isclose(learner.evaluate("val")[0], val1, rtol=1e-6)
+
+
+def test_predict_shapes_and_range(trained):
+    learner, _ = trained
+    preds = learner.predict("val")
+    assert preds.shape == (len(learner.data.val_ds),)
+    lo, hi = learner.model.output_range
+    assert preds.min() >= lo and preds.max() <= hi
+
+
+def test_find_lr_restores_state(trained):
+    learner, _ = trained
+    before = flatten_params(jax.device_get(learner.params))
+    learner.find_lr(lr_min=1e-4, lr_max=1.0, length=8, plot=False)
+    after = flatten_params(jax.device_get(learner.params))
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=str(k))
+    assert len(learner.loss_sched) >= 1
+
+
+def test_fit_cycles_runs(tmp_path):
+    data = collab_data(N=256, bs=64)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=4)
+    learner = Learner(str(tmp_path), data, model, optimizer="SGD_Mom")
+    learner.fit_cycles(lr_start=0.1, lr_end=0.01, num_cycles=2, momentum=0.9)
+    assert len(learner.lr_sched) == 2 * len(data.train_dl)
+    assert len(learner.mom_sched) == 2 * len(data.train_dl)
+
+
+def test_dp_invariance_1_vs_8_devices(tmp_path):
+    """Same data+seed on a 1-device and an 8-device mesh must produce the same
+    loss trajectory (the DP psum must be semantically invisible)."""
+    results = {}
+    for n in (1, 8):
+        data = collab_data(N=512, bs=64, seed=3)
+        model = CollabFilterNet.from_dataobj(data, emb_dim=4)
+        learner = Learner(str(tmp_path / f"m{n}"), data, model,
+                          optimizer="Adam2", mesh=get_mesh(n), seed=11)
+        learner.fit(lr=0.01, num_epochs=2)
+        results[n] = (
+            [float(l) for l in learner.loss_sched],
+            jax.device_get(flatten_params(learner.params)),
+        )
+    np.testing.assert_allclose(results[1][0], results[8][0], rtol=2e-4)
+    for k in results[1][1]:
+        np.testing.assert_allclose(results[1][1][k], results[8][1][k], rtol=2e-3, atol=2e-5)
+
+
+def test_ensemble_net(trained):
+    learner, _ = trained
+    m1 = learner.model
+    p1 = jax.device_get(learner.params)
+    ens = CollabFilterEnsembleNet(models=(m1, m1), weights=(0.5, 0.5))
+    ep = ensemble_params([p1, p1])
+    x = jnp.asarray(learner.data.val_ds.x[:16])
+    single = m1.apply({"params": p1}, x, train=False)
+    combo = ens.apply({"params": ep}, x, train=False)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(combo), rtol=1e-6)
+
+
+# ---------------------------------------------------------------- freeze/bn
+
+class _Body(nn.Module):
+    @nn.compact
+    def __call__(self, x, train, bn_train):
+        return LinearBlock(8, name="l1")(x, train=train, bn_train=bn_train)
+
+
+class _Head(nn.Module):
+    @nn.compact
+    def __call__(self, x, train, bn_train):
+        x = LinearBlock(8, name="l1")(x, train=train, bn_train=bn_train)
+        return nn.Dense(1, name="out")(x)[:, 0]
+
+
+class TinyNet(nn.Module):
+    layer_group_prefixes = (("body",), ("head",))
+    head_prefixes = ("head",)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_frozen=None):
+        bt_body = train and bn_frozen is None
+        bt_head = train and bn_frozen != "all"
+        x = _Body(name="body")(x, train, bt_body)
+        return _Head(name="head")(x, train, bt_head)
+
+
+def reg_data(N=256, bs=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(N, 5)).astype(np.float32)
+    w = rng.normal(size=5).astype(np.float32)
+    y = (x @ w).astype(np.float32)
+    ds = ArrayDataset(x, y)
+    data = types.SimpleNamespace(
+        target_type="cont", bs=bs,
+        train_dl=DataLoader(ds, bs, shuffle=True, seed=seed),
+        val_dl=DataLoader(ds, bs),
+        train_ds=ds, val_ds=ds,
+    )
+    return data
+
+
+def test_freeze_and_bn_freeze(tmp_path):
+    data = reg_data()
+    learner = Learner(str(tmp_path), data, TinyNet(), optimizer="Adam")
+    p0 = jax.device_get(flatten_params(learner.params))
+    s0 = jax.device_get(flatten_params(learner.state))
+
+    learner.freeze()
+    learner.fit(lr=0.05, num_epochs=1)
+    p1 = jax.device_get(flatten_params(learner.params))
+    s1 = jax.device_get(flatten_params(learner.state))
+    for k in p0:
+        if k[0] == "body":
+            np.testing.assert_array_equal(p0[k], p1[k], err_msg=str(k))
+        else:
+            assert not np.allclose(p0[k], p1[k]), k
+    # body bn stats DID update (freeze() does not stop stats — matches
+    # reference semantics where only bn_freeze stops the stats updates)
+    assert any(not np.allclose(s0[k], s1[k]) for k in s0 if k[0] == "body")
+
+    learner.bn_freeze("all")
+    learner.fit(lr=0.05, num_epochs=1)
+    s2 = jax.device_get(flatten_params(learner.state))
+    p2 = jax.device_get(flatten_params(learner.params))
+    for k in s1:
+        np.testing.assert_array_equal(s1[k], s2[k], err_msg=str(k))  # stats frozen
+    for k in p1:  # bn params frozen everywhere, even in head
+        if "bn" in k:
+            np.testing.assert_array_equal(p1[k], p2[k], err_msg=str(k))
+
+    learner.unfreeze()
+    learner.bn_freeze("non_head")
+    learner.fit(lr=0.05, num_epochs=1)
+    s3 = jax.device_get(flatten_params(learner.state))
+    assert all(np.array_equal(s2[k], s3[k]) for k in s2 if k[0] == "body")
+    assert any(not np.allclose(s2[k], s3[k]) for k in s2 if k[0] == "head")
+
+
+def test_swa_averages(tmp_path):
+    data = reg_data()
+    learner = Learner(str(tmp_path), data, TinyNet(), optimizer="SGD_Mom")
+    learner.fit(lr=0.01, num_epochs=2, swa_freq=1)
+    # with swa the final params are an average of per-epoch snapshots: just
+    # check training ran and produced finite params
+    flat = jax.device_get(flatten_params(learner.params))
+    assert all(np.isfinite(v).all() for v in flat.values())
+
+
+def test_train_gen_sched_validates_length(tmp_path):
+    data = reg_data()
+    learner = Learner(str(tmp_path), data, TinyNet())
+    with pytest.raises(ValueError, match="integer multiple"):
+        learner.train_gen_sched(np.ones(3))
+
+
+def test_per_group_lr_validation(tmp_path):
+    data = reg_data()
+    learner = Learner(str(tmp_path), data, TinyNet())
+    with pytest.raises(ValueError, match="layer groups"):
+        learner.fit(lr=[0.1, 0.1, 0.1], num_epochs=1)
+    # correct length works
+    learner.fit(lr=[0.01, 0.02], num_epochs=1)
+
+
+def test_eval_masked_last_batch_exact(tmp_path):
+    """Dataset size not divisible by bs: eval loss must equal the manually
+    computed full-dataset loss (padding must not leak)."""
+    data = reg_data(N=100, bs=64)  # 2 batches, second has 36 valid
+    learner = Learner(str(tmp_path), data, TinyNet())
+    loss = learner.evaluate("val")[0]
+    x = jnp.asarray(data.val_ds.arrays[0])
+    y = jnp.asarray(data.val_ds.arrays[1])
+    y_pred = learner.model.apply(
+        {"params": learner.params, "batch_stats": learner.state}, x, train=False
+    )
+    manual = float(jnp.mean(jnp.square(y_pred - y)))
+    assert np.isclose(loss, manual, rtol=1e-5)
