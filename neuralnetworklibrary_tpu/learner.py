@@ -89,6 +89,7 @@ class Learner:
         use_moving_avg: bool = True,
         mesh=None,
         seed: int = 0,
+        input_pipeline=None,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -99,6 +100,10 @@ class Learner:
             M.loss_func_dict[self.target_type] if loss_func == "default" else loss_func
         )
         self.optimizer = Optimizer(optimizer) if isinstance(optimizer, str) else optimizer
+        # Optional on-device input pipeline ``(key_or_None, xs, train) -> xs``
+        # run INSIDE the jitted steps (e.g. batched image augmentation); XLA
+        # fuses it with the model forward.  Change via set_input_pipeline.
+        self.input_pipeline = input_pipeline
         self.mesh = mesh if mesh is not None else pmesh.get_mesh()
         if data.bs % self.mesh.shape["data"] != 0:
             raise ValueError(
@@ -135,6 +140,8 @@ class Learner:
         batch = self.data.train_dl.peek()
         self.rng, key = jax.random.split(self.rng)
         xs = tuple(jnp.asarray(x) for x in batch.xs)
+        if self.input_pipeline is not None:
+            xs = self.input_pipeline(None, xs, False)
         variables = self.model.init({"params": key, "dropout": key}, *xs, train=False)
         self.params = variables["params"]
         self.state = variables.get("batch_stats", {})
@@ -228,12 +235,23 @@ class Learner:
             return self.loss_func(y_pred, y, mask)
         return self.loss_func(y_pred, y)
 
+    def set_input_pipeline(self, pipeline):
+        """Replace the on-device input pipeline and invalidate compiled steps."""
+        self.input_pipeline = pipeline
+        self._step_cache.clear()
+        self._eval_cache.clear()
+
     def _make_train_step(self, trainable: tuple, bn_frozen):
         model, opt, part = self.model, self.optimizer, self.partition
         has_state = bool(self.state)
         kwargs = self._model_kwargs(train=True)
+        pipeline = self.input_pipeline
 
         def step(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
+            if pipeline is not None:
+                rng, aug_key = jax.random.split(rng)
+                xs = pipeline(aug_key, xs, True)
+
             def loss_fn(p):
                 flat = flatten_params(p)
                 for path, t in zip(part.paths, trainable):
@@ -306,8 +324,11 @@ class Learner:
         has_state = bool(self.state)
         kwargs = self._model_kwargs(train=False)
         target_type = self.target_type
+        pipeline = self.input_pipeline
 
         def estep(params, state, xs, y, mask):
+            if pipeline is not None:
+                xs = pipeline(None, xs, False)
             variables = {"params": params}
             if has_state:
                 variables["batch_stats"] = state

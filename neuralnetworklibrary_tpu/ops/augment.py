@@ -1,0 +1,251 @@
+"""Batched on-device image augmentation.
+
+The reference augments per-sample on the host with cv2 (Vision.py:399-507:
+pad → crop → resize → warpAffine rotate-zoom → flip/dihedral →
+brightness/contrast → blurred noise → normalize).  The TPU-native split:
+
+- host (per sample, cheap): decode + pad + crop + resize to a static
+  (sz, sz) uint8 array — see applications.vision.Transform,
+- device (per batch, inside the jitted train step): everything random and
+  bandwidth-heavy, vectorized over the batch:
+    * rotate-zoom + LR-flip + dihedral composed into ONE inverse affine per
+      image → a single bilinear gather (the reference does a cv2.warpAffine
+      plus separate flips per image on the CPU),
+    * brightness/contrast, gaussian-blurred noise (separable depthwise conv),
+      and normalization fused by XLA into the same program as the model.
+
+Batches cross host→device as uint8 (4x less transfer than float32); the
+uint8→float conversion happens on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Normalization stats (Vision.py:46-47).
+imagenet_stats = [np.array([0.485, 0.456, 0.406]), np.array([0.229, 0.224, 0.225])]
+alternate_stats = [np.array([0.5, 0.5, 0.5]), np.array([0.5, 0.5, 0.5])]
+
+
+def _reflect_index(idx, size):
+    """cv2 BORDER_REFLECT: -1 → 0, -2 → 1, size → size-1 (edge repeated)."""
+    idx = jnp.where(idx < 0, -idx - 1, idx)
+    idx = jnp.where(idx >= size, 2 * size - 1 - idx, idx)
+    return jnp.clip(idx, 0, size - 1)
+
+
+def warp_affine_batch(imgs: jax.Array, A: jax.Array, b: jax.Array) -> jax.Array:
+    """Inverse-warp a batch of NHWC images by per-image affine maps.
+
+    For each output pixel p=(x, y), samples the input at q = A @ p + b with
+    bilinear interpolation and reflect borders (cv2.warpAffine semantics,
+    Vision.py:493-495; cv2 matrices are in (x, y) = (col, row) order).
+
+    imgs: (B, H, W, C) float.  A: (B, 2, 2).  b: (B, 2).
+    """
+    B, H, W, C = imgs.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, ys)  # (H, W) output pixel coords
+
+    # source coords, per image: (B, H, W)
+    sx = A[:, 0, 0, None, None] * X + A[:, 0, 1, None, None] * Y + b[:, 0, None, None]
+    sy = A[:, 1, 0, None, None] * X + A[:, 1, 1, None, None] * Y + b[:, 1, None, None]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0, x1 = x0.astype(jnp.int32), x0.astype(jnp.int32) + 1
+    y0, y1 = y0.astype(jnp.int32), y0.astype(jnp.int32) + 1
+    x0r, x1r = _reflect_index(x0, W), _reflect_index(x1, W)
+    y0r, y1r = _reflect_index(y0, H), _reflect_index(y1, H)
+
+    flat = imgs.reshape(B, H * W, C)
+
+    def gather(yy, xx):
+        idx = (yy * W + xx).reshape(B, H * W, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
+
+    v00 = gather(y0r, x0r)
+    v01 = gather(y0r, x1r)
+    v10 = gather(y1r, x0r)
+    v11 = gather(y1r, x1r)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _compose(A1, b1, A2, b2):
+    """Compose affine maps: returns the map q = A1 @ (A2 @ p + b2) + b1."""
+    return jnp.einsum("bij,bjk->bik", A1, A2), jnp.einsum("bij,bj->bi", A1, b2) + b1
+
+
+def _identity_affine(B):
+    A = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (B, 2, 2))
+    b = jnp.zeros((B, 2), jnp.float32)
+    return A, b
+
+
+def _rot_zoom_inverse(deg, zoom, cx, cy):
+    """Inverse of cv2.getRotationMatrix2D(center, deg, zoom) as (A, b):
+    rotate by -deg, scale 1/zoom, about (cx, cy)."""
+    th = -deg * (np.pi / 180.0)
+    s = 1.0 / zoom
+    cos, sin = jnp.cos(th) * s, jnp.sin(th) * s
+    A = jnp.stack([jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2)
+    c = jnp.stack([jnp.full_like(deg, cx), jnp.full_like(deg, cy)], -1)
+    b = c - jnp.einsum("bij,bj->bi", A, c)
+    return A, b
+
+
+def _dihedral_inverse(flip, rot, size):
+    """Inverse affine of (LR-flip if flip) then np.rot90 applied ``rot`` times
+    on a (size, size) image, in (x, y) coordinates.
+
+    np.rot90 (counter-clockwise): out[r, c] = in[c, N-1-r] — i.e. the source of
+    output pixel (x, y) is (x_src, y_src) = (N-1-y, x).
+    """
+    N = size - 1
+    B = flip.shape[0]
+    rotA = jnp.asarray(
+        [
+            [[1.0, 0.0], [0.0, 1.0]],    # rot 0: (x, y)
+            [[0.0, -1.0], [1.0, 0.0]],   # rot90^1 inverse: src=(N-y, x)
+            [[-1.0, 0.0], [0.0, -1.0]],  # rot90^2: src=(N-x, N-y)
+            [[0.0, 1.0], [-1.0, 0.0]],   # rot90^3: src=(y, N-x)
+        ],
+        jnp.float32,
+    )
+    rotb = jnp.asarray([[0, 0], [N, 0], [N, N], [0, N]], jnp.float32)
+    A1 = rotA[rot]
+    b1 = rotb[rot]
+    # flip inverse: x → N - x (self-inverse), applied AFTER undoing rot90
+    flipA = jnp.where(
+        flip[:, None, None].astype(bool),
+        jnp.asarray([[-1.0, 0.0], [0.0, 1.0]]),
+        jnp.eye(2, dtype=jnp.float32),
+    )
+    flipb = jnp.where(flip[:, None].astype(bool), jnp.asarray([float(N), 0.0]), jnp.zeros(2))
+    return _compose(flipA.astype(jnp.float32), flipb.astype(jnp.float32), A1, b1)
+
+
+def _gaussian_kernel1d(ksize: int = 11, sigma: Optional[float] = None):
+    """cv2.getGaussianKernel semantics: sigma<=0 → 0.3*((ksize-1)*0.5-1)+0.8."""
+    if sigma is None or sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize) - (ksize - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur_separable(x: jax.Array, k1d: np.ndarray) -> jax.Array:
+    """Depthwise separable gaussian blur over NHWC."""
+    C = x.shape[-1]
+    K = len(k1d)
+    kh = jnp.asarray(k1d).reshape(K, 1, 1, 1)
+    kv = jnp.asarray(k1d).reshape(1, K, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (K, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    pad = (K - 1) // 2
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kh, (1, 1, 1, C)), (1, 1), [(pad, pad), (0, 0)],
+        dimension_numbers=dn, feature_group_count=C)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kv.reshape(1, K, 1, 1), (1, 1, 1, C)), (1, 1),
+        [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=C)
+    return x
+
+
+def normalize_batch(imgs: jax.Array, stats) -> jax.Array:
+    """uint8/float NHWC → float32 in [0,1] → (x - mean) / std (Vision.py:505)."""
+    x = imgs.astype(jnp.float32)
+    if imgs.dtype == jnp.uint8:
+        x = x / 255.0
+    if stats is not None:
+        mean = jnp.asarray(np.asarray(stats[0], np.float32))
+        std = jnp.asarray(np.asarray(stats[1], np.float32))
+        x = (x - mean) / std
+    return x
+
+
+@partial(jax.jit, static_argnames=("tfm_type", "max_deg", "max_zoom", "bal_lo",
+                                   "bal_hi", "cont_lo", "cont_hi", "max_noise",
+                                   "stats_key"), inline=True)
+def _augment_impl(key, imgs, tfm_type, max_deg, max_zoom, bal_lo, bal_hi,
+                  cont_lo, cont_hi, max_noise, stats_key):
+    # stats_key is a hashable ((mean...), (std...)) tuple or None
+    B, H, W, C = imgs.shape
+    x = imgs.astype(jnp.float32)
+    if imgs.dtype == jnp.uint8:
+        x = x / 255.0
+
+    k_rz, k_flip, k_rot, k_bal, k_cont, k_noise = jax.random.split(key, 6)
+
+    # one composed inverse affine per image: rot-zoom ∘ flip ∘ rot90
+    A, b = _identity_affine(B)
+    need_warp = False
+    if max_deg is not None:
+        kd, kz = jax.random.split(k_rz)
+        deg = jax.random.uniform(kd, (B,), minval=-max_deg, maxval=max_deg)
+        zoom = jax.random.uniform(kz, (B,), minval=1.0, maxval=max_zoom if max_zoom else 1.0)
+        A, b = _rot_zoom_inverse(deg, zoom, W // 2, H // 2)
+        need_warp = True
+    if tfm_type in ("SideOn", "TopDown"):
+        flip = jax.random.randint(k_flip, (B,), 0, 2)
+        rot = (jax.random.randint(k_rot, (B,), 0, 4)
+               if tfm_type == "TopDown" else jnp.zeros((B,), jnp.int32))
+        dA, db = _dihedral_inverse(flip, rot, H)
+        # dst→src: first undo dihedral, then undo rotate-zoom
+        A, b = _compose(A, b, dA, db)
+        need_warp = True
+    if need_warp:
+        x = warp_affine_batch(x, A, b)
+
+    # brightness / contrast about the per-image channel mean (Vision.py:500-502)
+    if bal_lo is not None:
+        bal = jax.random.uniform(k_bal, (B, 1, 1, 1), minval=bal_lo, maxval=bal_hi)
+        cont = jax.random.uniform(k_cont, (B, 1, 1, 1), minval=cont_lo, maxval=cont_hi)
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x = jnp.clip((x - mu) * cont + bal + mu, 0.0, 1.0)
+
+    # gaussian-blurred uniform noise (Vision.py:461-463, 504)
+    if max_noise:
+        noise = jax.random.uniform(k_noise, (B, H, W, C), minval=-max_noise, maxval=max_noise)
+        x = jnp.clip(x + _blur_separable(noise, _gaussian_kernel1d(11)), 0.0, 1.0)
+
+    if stats_key is not None:
+        mean = jnp.asarray(stats_key[0], jnp.float32)
+        std = jnp.asarray(stats_key[1], jnp.float32)
+        x = (x - mean) / std
+    return x
+
+
+def augment_batch(key, imgs, *, tfm_type="Basic", max_deg=10, max_zoom=1.05,
+                  bal_range=(-0.05, 0.05), cont_range=(0.95, 1.05),
+                  max_noise=None, stats=imagenet_stats):
+    """Random train-time augmentation of a uint8/float NHWC batch on device.
+
+    Mirrors the random stages of the reference Transform (Vision.py:449-507)
+    with identical parameter semantics; rotation+zoom+flip+dihedral collapse
+    into one bilinear resample."""
+    stats_key = None
+    if stats is not None:
+        stats_key = (tuple(float(v) for v in np.asarray(stats[0]).ravel()),
+                     tuple(float(v) for v in np.asarray(stats[1]).ravel()))
+    bal_lo, bal_hi = (None, None) if bal_range is None else (float(bal_range[0]), float(bal_range[1]))
+    cont_lo, cont_hi = (1.0, 1.0) if cont_range is None else (float(cont_range[0]), float(cont_range[1]))
+    return _augment_impl(
+        key, imgs, tfm_type,
+        None if max_deg is None else float(max_deg),
+        None if max_zoom is None else float(max_zoom),
+        bal_lo, bal_hi, cont_lo, cont_hi,
+        None if not max_noise else float(max_noise),
+        stats_key,
+    )

@@ -1,0 +1,109 @@
+"""Tests for the on-device batched augmentation pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralnetworklibrary_tpu.ops.augment import (
+    _dihedral_inverse,
+    _gaussian_kernel1d,
+    _rot_zoom_inverse,
+    augment_batch,
+    imagenet_stats,
+    normalize_batch,
+    warp_affine_batch,
+)
+
+
+def _img_batch(B=2, H=16, W=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((B, H, W, 3)).astype(np.float32)
+
+
+class TestWarpAffine:
+    def test_identity(self):
+        x = _img_batch()
+        B = x.shape[0]
+        A = np.tile(np.eye(2, dtype=np.float32), (B, 1, 1))
+        b = np.zeros((B, 2), np.float32)
+        out = warp_affine_batch(jnp.asarray(x), jnp.asarray(A), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+    def test_flip_matches_numpy(self):
+        x = _img_batch(B=1)
+        flip = jnp.asarray([1])
+        rot = jnp.asarray([0])
+        A, b = _dihedral_inverse(flip, rot, x.shape[1])
+        out = warp_affine_batch(jnp.asarray(x), A, b)
+        np.testing.assert_allclose(np.asarray(out)[0], np.fliplr(x[0]), atol=1e-5)
+
+    @pytest.mark.parametrize("k", [0, 1, 2, 3])
+    def test_rot90_matches_numpy(self, k):
+        x = _img_batch(B=1)
+        A, b = _dihedral_inverse(jnp.asarray([0]), jnp.asarray([k]), x.shape[1])
+        out = warp_affine_batch(jnp.asarray(x), A, b)
+        np.testing.assert_allclose(np.asarray(out)[0], np.rot90(x[0], k), atol=1e-5)
+
+    def test_flip_then_rot(self):
+        x = _img_batch(B=1)
+        A, b = _dihedral_inverse(jnp.asarray([1]), jnp.asarray([1]), x.shape[1])
+        out = warp_affine_batch(jnp.asarray(x), A, b)
+        expected = np.rot90(np.fliplr(x[0]), 1)
+        np.testing.assert_allclose(np.asarray(out)[0], expected, atol=1e-5)
+
+    def test_rot_zoom_inverse_fixes_center(self):
+        deg = jnp.asarray([30.0])
+        zoom = jnp.asarray([1.1])
+        A, b = _rot_zoom_inverse(deg, zoom, 8.0, 8.0)
+        c = jnp.asarray([8.0, 8.0])
+        mapped = A[0] @ c + b[0]
+        np.testing.assert_allclose(np.asarray(mapped), [8.0, 8.0], atol=1e-5)
+
+    def test_rotation_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        x = _img_batch(B=1, H=32, W=32)
+        deg, zoom = 17.0, 1.08
+        M = cv2.getRotationMatrix2D((16, 16), deg, zoom)
+        ref = cv2.warpAffine(x[0], M, (32, 32), borderMode=cv2.BORDER_REFLECT)
+        A, b = _rot_zoom_inverse(jnp.asarray([deg]), jnp.asarray([zoom]), 16, 16)
+        out = np.asarray(warp_affine_batch(jnp.asarray(x), A, b))[0]
+        # interiors match to interpolation tolerance; borders may differ a pixel
+        np.testing.assert_allclose(out[4:-4, 4:-4], ref[4:-4, 4:-4], atol=2e-2)
+
+
+class TestAugmentBatch:
+    def test_eval_normalize_only(self):
+        x_u8 = (np.clip(_img_batch(), 0, 1) * 255).astype(np.uint8)
+        out = normalize_batch(jnp.asarray(x_u8), imagenet_stats)
+        expected = (x_u8.astype(np.float32) / 255.0 - imagenet_stats[0]) / imagenet_stats[1]
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+    def test_augment_shapes_and_range(self):
+        x_u8 = (np.clip(_img_batch(B=4, H=32, W=32), 0, 1) * 255).astype(np.uint8)
+        out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(x_u8),
+                            tfm_type="SideOn", max_noise=0.05, stats=None)
+        out = np.asarray(out)
+        assert out.shape == x_u8.shape
+        assert out.dtype == np.float32
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_no_aug_passthrough(self):
+        x = _img_batch()
+        out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(x), tfm_type="Basic",
+                            max_deg=None, max_zoom=None, bal_range=None,
+                            cont_range=None, max_noise=None, stats=None)
+        np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+    def test_deterministic_per_key(self):
+        x = _img_batch(B=2, H=32, W=32)
+        k = jax.random.PRNGKey(7)
+        o1 = augment_batch(k, jnp.asarray(x), tfm_type="TopDown", stats=None)
+        o2 = augment_batch(k, jnp.asarray(x), tfm_type="TopDown", stats=None)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_gaussian_kernel_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        k = _gaussian_kernel1d(11)
+        ref = cv2.getGaussianKernel(11, 0).ravel()
+        np.testing.assert_allclose(k, ref, atol=1e-6)
