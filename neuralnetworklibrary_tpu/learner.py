@@ -326,9 +326,9 @@ class Learner:
         target_type = self.target_type
         pipeline = self.input_pipeline
 
-        def estep(params, state, xs, y, mask):
+        def estep(params, state, xs, y, mask, rng):
             if pipeline is not None:
-                xs = pipeline(None, xs, False)
+                xs = pipeline(rng, xs, False)
             variables = {"params": params}
             if has_state:
                 variables["batch_stats"] = state
@@ -367,9 +367,10 @@ class Learner:
         total, count, correct = 0.0, 0.0, 0.0
         mvals = np.zeros(len(batch_metrics))
         preds, ys = [], []
-        for batch in dl:
+        for bi, batch in enumerate(dl):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
-            loss_sum, n, corr, mv, y_pred = estep(self.params, self.state, xs, y, mask)
+            loss_sum, n, corr, mv, y_pred = estep(
+                self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
             total += float(loss_sum)
             count += float(n)
             correct += float(corr)
@@ -417,9 +418,10 @@ class Learner:
             dl = {"val": self.data.val_dl, "test": getattr(self.data, "test_dl", None), "train": self.data.train_dl}[dl]
         estep = self._get_eval_step(())
         probs_list, labels_list, cont = [], [], []
-        for batch in dl:
+        for bi, batch in enumerate(dl):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
-            _, _, _, _, y_pred = estep(self.params, self.state, xs, y, mask)
+            _, _, _, _, y_pred = estep(
+                self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
             y_pred = np.asarray(y_pred)[: batch.n_valid]
             if self.target_type == "cont":
                 cont.append(y_pred)
