@@ -644,8 +644,9 @@ def load_pretrained_body(learner, torch_state_dict, arch: str):
     params, stats = load_torch_resnet(torch_state_dict, layers, bottleneck)
     new_params = dict(learner.params)
     new_params["body"] = jax.tree_util.tree_map(jnp.asarray, params)
-    new_state = dict(learner.state)
-    new_state["body"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    new_state = {k: dict(v) for k, v in learner.state.items()}
+    new_state.setdefault("batch_stats", {})["body"] = jax.tree_util.tree_map(
+        jnp.asarray, stats)
     learner.params = pmesh.replicate_tree(new_params, learner.mesh)
     learner.state = pmesh.replicate_tree(new_state, learner.mesh)
     learner.opt_state = learner.optimizer.init(learner.params)

@@ -48,7 +48,20 @@ def mse_loss(y_pred, y, mask=None):
 
 
 def cross_entropy_loss(y_pred, y, mask=None):
-    """nn.CrossEntropyLoss(): softmax CE over logits (N, C) w/ int labels (N,)."""
+    """nn.CrossEntropyLoss(): softmax CE over logits (N, C) w/ int labels (N,).
+    Tuple model outputs (logits, aux...) are unwrapped to their first element."""
+    if isinstance(y_pred, tuple):
+        y_pred = y_pred[0]
+    logp = jax.nn.log_softmax(y_pred, axis=-1)
+    nll = -jnp.take_along_axis(logp, y[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return masked_mean(nll, mask)
+
+
+def seq_cross_entropy_loss(y_pred, y, mask=None):
+    """Token-level CE over (B, T, V) logits vs (B, T) targets — the default
+    language-model loss (the unregularized part of Text.py:756-777)."""
+    if isinstance(y_pred, tuple):
+        y_pred = y_pred[0]
     logp = jax.nn.log_softmax(y_pred, axis=-1)
     nll = -jnp.take_along_axis(logp, y[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return masked_mean(nll, mask)
@@ -69,6 +82,7 @@ loss_func_dict = {
     "single_label": cross_entropy_loss,
     "multi_label": bce_with_logits_loss,
     "text_classify": cross_entropy_loss,
+    "lang_model": seq_cross_entropy_loss,
 }
 
 

@@ -144,11 +144,15 @@ class Learner:
             xs = self.input_pipeline(None, xs, False)
         variables = self.model.init({"params": key, "dropout": key}, *xs, train=False)
         self.params = variables["params"]
-        self.state = variables.get("batch_stats", {})
+        # All non-param collections (batch_stats, lstm 'carry', ...) live in
+        # one state dict keyed by collection name and are threaded through the
+        # jitted steps as mutable collections.
+        self.state = {k: dict(variables[k]) for k in variables if k != "params"}
         lg = getattr(self.model, "layer_group_prefixes", None)
         heads = getattr(self.model, "head_prefixes", ("head",))
         self.partition = build_partition(
-            self.params, self.state or None, layer_groups=lg, head_prefixes=heads
+            self.params, self.state.get("batch_stats") or None,
+            layer_groups=lg, head_prefixes=heads,
         )
         self.params = pmesh.replicate_tree(self.params, self.mesh)
         if self.state:
@@ -243,7 +247,7 @@ class Learner:
 
     def _make_train_step(self, trainable: tuple, bn_frozen):
         model, opt, part = self.model, self.optimizer, self.partition
-        has_state = bool(self.state)
+        state_keys = tuple(self.state.keys())
         kwargs = self._model_kwargs(train=True)
         pipeline = self.input_pipeline
 
@@ -258,13 +262,13 @@ class Learner:
                     if not t:
                         flat[path] = jax.lax.stop_gradient(flat[path])
                 p = unflatten_params(flat)
-                variables = {"params": p}
-                if has_state:
-                    variables["batch_stats"] = state
+                variables = {"params": p, **state}
+                if state_keys:
                     y_pred, mut = model.apply(
-                        variables, *xs, rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs
+                        variables, *xs, rngs={"dropout": rng},
+                        mutable=list(state_keys), **kwargs
                     )
-                    new_state = mut["batch_stats"]
+                    new_state = {**state, **dict(mut)}
                 else:
                     y_pred = model.apply(variables, *xs, rngs={"dropout": rng}, **kwargs)
                     new_state = state
@@ -321,7 +325,11 @@ class Learner:
 
     def _make_eval_step(self, metrics_key, metrics):
         model = self.model
-        has_state = bool(self.state)
+        state_keys = tuple(self.state.keys())
+        # stateful (carried) collections keep updating during eval — the LM
+        # encoder's (h, c) runs on through the val corpus (Text.py:535-551);
+        # batch_stats do NOT update in eval.
+        carry_keys = tuple(k for k in state_keys if k != "batch_stats")
         kwargs = self._model_kwargs(train=False)
         target_type = self.target_type
         pipeline = self.input_pipeline
@@ -329,14 +337,17 @@ class Learner:
         def estep(params, state, xs, y, mask, rng):
             if pipeline is not None:
                 xs = pipeline(rng, xs, False)
-            variables = {"params": params}
-            if has_state:
-                variables["batch_stats"] = state
-            y_pred = model.apply(variables, *xs, **kwargs)
-            if isinstance(y_pred, tuple):
-                y_pred = y_pred[0]
+            variables = {"params": params, **state}
+            if carry_keys:
+                y_pred, mut = model.apply(variables, *xs, mutable=list(carry_keys), **kwargs)
+                mut = dict(mut)
+            else:
+                y_pred = model.apply(variables, *xs, **kwargs)
+                mut = {}
             n = jnp.sum(mask)
             loss_sum = self._apply_loss(y_pred, y, mask) * n
+            if isinstance(y_pred, tuple):
+                y_pred = y_pred[0]
             if target_type in ("cat", "single_label", "text_classify"):
                 correct = jnp.sum((jnp.argmax(y_pred, axis=1) == y) * mask)
             elif target_type == "multi_label":
@@ -345,7 +356,7 @@ class Learner:
             else:
                 correct = jnp.zeros(())
             mvals = jnp.asarray([m(y_pred, y, mask) * n for m in metrics]) if metrics else jnp.zeros((0,))
-            return loss_sum, n, correct, mvals, y_pred
+            return loss_sum, n, correct, mvals, y_pred, mut
 
         return jax.jit(estep)
 
@@ -369,8 +380,10 @@ class Learner:
         preds, ys = [], []
         for bi, batch in enumerate(dl):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
-            loss_sum, n, corr, mv, y_pred = estep(
+            loss_sum, n, corr, mv, y_pred, mut = estep(
                 self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
+            if mut:
+                self.state = {**self.state, **mut}
             total += float(loss_sum)
             count += float(n)
             correct += float(corr)
@@ -420,8 +433,10 @@ class Learner:
         probs_list, labels_list, cont = [], [], []
         for bi, batch in enumerate(dl):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
-            _, _, _, _, y_pred = estep(
+            _, _, _, _, y_pred, mut = estep(
                 self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
+            if mut:
+                self.state = {**self.state, **mut}
             y_pred = np.asarray(y_pred)[: batch.n_valid]
             if self.target_type == "cont":
                 cont.append(y_pred)

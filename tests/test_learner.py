@@ -172,12 +172,12 @@ def test_freeze_and_bn_freeze(tmp_path):
     data = reg_data()
     learner = Learner(str(tmp_path), data, TinyNet(), optimizer="Adam")
     p0 = jax.device_get(flatten_params(learner.params))
-    s0 = jax.device_get(flatten_params(learner.state))
+    s0 = jax.device_get(flatten_params(learner.state["batch_stats"]))
 
     learner.freeze()
     learner.fit(lr=0.05, num_epochs=1)
     p1 = jax.device_get(flatten_params(learner.params))
-    s1 = jax.device_get(flatten_params(learner.state))
+    s1 = jax.device_get(flatten_params(learner.state["batch_stats"]))
     for k in p0:
         if k[0] == "body":
             np.testing.assert_array_equal(p0[k], p1[k], err_msg=str(k))
@@ -189,7 +189,7 @@ def test_freeze_and_bn_freeze(tmp_path):
 
     learner.bn_freeze("all")
     learner.fit(lr=0.05, num_epochs=1)
-    s2 = jax.device_get(flatten_params(learner.state))
+    s2 = jax.device_get(flatten_params(learner.state["batch_stats"]))
     p2 = jax.device_get(flatten_params(learner.params))
     for k in s1:
         np.testing.assert_array_equal(s1[k], s2[k], err_msg=str(k))  # stats frozen
@@ -200,7 +200,7 @@ def test_freeze_and_bn_freeze(tmp_path):
     learner.unfreeze()
     learner.bn_freeze("non_head")
     learner.fit(lr=0.05, num_epochs=1)
-    s3 = jax.device_get(flatten_params(learner.state))
+    s3 = jax.device_get(flatten_params(learner.state["batch_stats"]))
     assert all(np.array_equal(s2[k], s3[k]) for k in s2 if k[0] == "body")
     assert any(not np.allclose(s2[k], s3[k]) for k in s2 if k[0] == "head")
 
@@ -240,7 +240,7 @@ def test_eval_masked_last_batch_exact(tmp_path):
     x = jnp.asarray(data.val_ds.arrays[0])
     y = jnp.asarray(data.val_ds.arrays[1])
     y_pred = learner.model.apply(
-        {"params": learner.params, "batch_stats": learner.state}, x, train=False
+        {"params": learner.params, **learner.state}, x, train=False
     )
     manual = float(jnp.mean(jnp.square(y_pred - y)))
     assert np.isclose(loss, manual, rtol=1e-5)
