@@ -346,6 +346,9 @@ class Learner:
                 mut = {}
             n = jnp.sum(mask)
             loss_sum = self._apply_loss(y_pred, y, mask) * n
+            # metrics see the FULL model output (tuple outputs included — e.g.
+            # detection's (anchors, reg, clas)); they unwrap what they need
+            mvals = jnp.asarray([m(y_pred, y, mask) * n for m in metrics]) if metrics else jnp.zeros((0,))
             if isinstance(y_pred, tuple):
                 y_pred = y_pred[0]
             if target_type in ("cat", "single_label", "text_classify"):
@@ -355,7 +358,6 @@ class Learner:
                 correct = jnp.sum((pred == y).astype(jnp.float32) * mask[:, None])
             else:
                 correct = jnp.zeros(())
-            mvals = jnp.asarray([m(y_pred, y, mask) * n for m in metrics]) if metrics else jnp.zeros((0,))
             return loss_sum, n, correct, mvals, y_pred, mut
 
         return jax.jit(estep)
@@ -651,6 +653,38 @@ class Learner:
         if plot:
             self.plot_find_lr(sched_type)
         self.load("temp", saved_optimizer=True)
+
+    # ---------------------------------------------------- schedule plotting
+
+    def _plot_series(self, series, ylabel, smooth_r=0):
+        try:
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig, ax = plt.subplots(figsize=(8, 5))
+        vals = [np.mean(v) if np.ndim(v) else float(v) for v in series]
+        if smooth_r:
+            vals = self.smooth_timeseries(vals, smooth_r)
+        ax.plot(vals)
+        ax.set(xlabel="minibatch", ylabel=ylabel)
+        return fig
+
+    def plot_loss_sched(self, smooth_r=None):
+        """Smoothed per-batch training loss history (Learner.py:186-196)."""
+        r = smooth_r if smooth_r is not None else max(5, len(self.loss_sched) // 50)
+        return self._plot_series([float(v) for v in self.loss_sched], "train loss", r)
+
+    def plot_lr_sched(self):
+        """Learning-rate schedule actually used (Learner.py:198-207)."""
+        return self._plot_series(self.lr_sched, "learning rate")
+
+    def plot_mom_sched(self):
+        """Momentum schedule (Learner.py:209-218)."""
+        return self._plot_series(self.mom_sched, "momentum")
+
+    def plot_betas_sched(self):
+        """beta1 schedule (Learner.py:220-228)."""
+        return self._plot_series([b[0] for b in self.betas_sched], "beta1")
 
     def plot_find_lr(self, sched_type="exp"):
         try:

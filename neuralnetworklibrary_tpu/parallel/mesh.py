@@ -42,20 +42,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch_arrays, mesh: Mesh, axis: str = "data"):
     """device_put a pytree of host arrays with leading-axis sharding.
 
-    The leading dim of every array must divide the mesh axis size (the
-    DataLoader's fixed ``bs`` guarantees this when bs % n_devices == 0).
+    The training loader's fixed ``bs`` is checked divisible at Learner
+    construction; an array whose leading dim does NOT divide the mesh axis
+    (e.g. a bs=1 detection eval batch on a multi-device mesh) is replicated
+    instead — numerically identical, just without the DP split.
     """
     sh = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, replicated(mesh))
-        if x.shape[0] % mesh.shape[axis] != 0:
-            raise ValueError(
-                f"batch dim {x.shape[0]} not divisible by mesh axis "
-                f"'{axis}' of size {mesh.shape[axis]}"
-            )
+        if x.ndim == 0 or x.shape[0] % mesh.shape[axis] != 0:
+            return jax.device_put(x, rep)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch_arrays)

@@ -1,0 +1,308 @@
+"""From-scratch COCO-style bbox evaluator (numpy, no C extension).
+
+The reference vendors pycocotools with two relevant properties (SURVEY §2.3):
+only the **bbox** IoU path is exercised (`Vision.py:2173`, iouType='bbox'),
+and COCOeval is modified to honor Pascal-style ``ignore`` flags
+(`pycocotools/cocoeval.py:106-119`: a gt with ignore==1 OR iscrowd==1 is
+excluded from matching penalties).  This module reimplements exactly that
+surface — COCO annotation container, detection loading, greedy IoU matching
+with crowd/ignore semantics, PR accumulation over the standard threshold
+grids, and the 12-line summary — in pure numpy, replacing the upstream
+``pycocotools._mask`` Cython dependency (mask/RLE ops are not needed: the
+reference has no segmentation support, Vision.py:19-20).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from collections import defaultdict
+
+import numpy as np
+
+
+def bbox_iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd) -> np.ndarray:
+    """IoU between (D,4) and (G,4) xywh boxes → (D, G).  For crowd gts the
+    denominator is the detection area only (pycocotools 'iou' semantics)."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)))
+    dx, dy, dw, dh = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    gx, gy, gw, gh = gts[:, 0], gts[:, 1], gts[:, 2], gts[:, 3]
+    x1 = np.maximum(dx[:, None], gx[None, :])
+    y1 = np.maximum(dy[:, None], gy[None, :])
+    x2 = np.minimum((dx + dw)[:, None], (gx + gw)[None, :])
+    y2 = np.minimum((dy + dh)[:, None], (gy + gh)[None, :])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    da = (dw * dh)[:, None]
+    ga = (gw * gh)[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    union = np.where(crowd, da, da + ga - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+class COCO:
+    """Minimal COCO annotation API (the slice pycocotools/coco.py the
+    reference uses): init from a json file/dict, index anns by image and
+    category, and loadRes for detection results."""
+
+    def __init__(self, annotation_file=None):
+        self.dataset: dict = {}
+        self.anns: dict = {}
+        self.imgs: dict = {}
+        self.cats: dict = {}
+        self.imgToAnns = defaultdict(list)
+        if annotation_file is not None:
+            if isinstance(annotation_file, str):
+                with open(annotation_file) as f:
+                    self.dataset = json.load(f)
+            else:
+                self.dataset = annotation_file
+            self.createIndex()
+
+    def createIndex(self):
+        self.imgToAnns = defaultdict(list)
+        for ann in self.dataset.get("annotations", []):
+            self.anns[ann["id"]] = ann
+            self.imgToAnns[ann["image_id"]].append(ann)
+        for img in self.dataset.get("images", []):
+            self.imgs[img["id"]] = img
+        for cat in self.dataset.get("categories", []):
+            self.cats[cat["id"]] = cat
+
+    def getImgIds(self):
+        return list(self.imgs.keys())
+
+    def getCatIds(self):
+        return list(self.cats.keys())
+
+    def loadRes(self, resFile) -> "COCO":
+        """Detection results (json path or list of dicts with image_id,
+        category_id, bbox xywh, score) → a result COCO object."""
+        res = COCO()
+        res.dataset["images"] = list(self.dataset.get("images", []))
+        res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
+        if isinstance(resFile, str):
+            with open(resFile) as f:
+                anns = json.load(f)
+        else:
+            anns = copy.deepcopy(list(resFile))
+        for i, ann in enumerate(anns):
+            bb = ann["bbox"]
+            ann.setdefault("area", bb[2] * bb[3])
+            ann["id"] = i + 1
+            ann.setdefault("iscrowd", 0)
+        res.dataset["annotations"] = anns
+        res.createIndex()
+        return res
+
+
+class Params:
+    """Default bbox evaluation parameters (pycocotools/cocoeval.py:506-533)."""
+
+    def __init__(self):
+        self.imgIds: list = []
+        self.catIds: list = []
+        self.iouThrs = np.linspace(0.5, 0.95, 10)
+        self.recThrs = np.linspace(0.0, 1.00, 101)
+        self.maxDets = [1, 10, 100]
+        self.areaRng = [[0, 1e10], [0, 32 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e10]]
+        self.areaRngLbl = ["all", "small", "medium", "large"]
+        self.useCats = 1
+
+
+class COCOeval:
+    """bbox COCOeval with the reference's Pascal-'ignore' modification
+    (pycocotools/cocoeval.py:10-533; ignore handling :106-119)."""
+
+    def __init__(self, cocoGt: COCO, cocoDt: COCO, iouType: str = "bbox"):
+        if iouType != "bbox":
+            raise NotImplementedError("only iouType='bbox' is supported")
+        self.cocoGt, self.cocoDt = cocoGt, cocoDt
+        self.params = Params()
+        self.params.imgIds = sorted(cocoGt.getImgIds())
+        self.params.catIds = sorted(cocoGt.getCatIds())
+        self.evalImgs: dict = {}
+        self.eval: dict = {}
+        self.stats = np.zeros(12)
+
+    # ------------------------------------------------------------- evaluate
+
+    def _gather(self, coco: COCO, imgId, catId):
+        return [a for a in coco.imgToAnns[imgId] if a["category_id"] == catId]
+
+    def evaluate(self):
+        p = self.params
+        maxDet = p.maxDets[-1]
+        for imgId in p.imgIds:
+            for catId in p.catIds:
+                self.evalImgs[imgId, catId] = self._evaluate_img(imgId, catId, maxDet)
+
+    def _evaluate_img(self, imgId, catId, maxDet):
+        p = self.params
+        gts = self._gather(self.cocoGt, imgId, catId)
+        dts = self._gather(self.cocoDt, imgId, catId)
+        if len(gts) == 0 and len(dts) == 0:
+            return None
+
+        # the reference's modification: an explicit 'ignore' flag wins; else
+        # iscrowd implies ignore (cocoeval.py:106-119)
+        for g in gts:
+            if "ignore" in g:
+                g["_ignore"] = int(g["ignore"])
+            else:
+                g["_ignore"] = int(g.get("iscrowd", 0))
+
+        dts = sorted(dts, key=lambda d: -d["score"])[:maxDet]
+        gt_order = np.argsort([g["_ignore"] for g in gts], kind="stable")
+        gts = [gts[i] for i in gt_order]
+
+        D, G, T = len(dts), len(gts), len(p.iouThrs)
+        dt_boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(D, 4)
+        gt_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(G, 4)
+        iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
+        ious = bbox_iou_xywh(dt_boxes, gt_boxes, iscrowd)
+
+        gt_ig = np.asarray([g["_ignore"] for g in gts])
+        gt_areas = np.asarray(
+            [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts]
+        ) if G else np.zeros(0)
+        dt_areas = dt_boxes[:, 2] * dt_boxes[:, 3]
+
+        # greedy matching per threshold (cocoeval.py:129-228 semantics)
+        dtm = np.zeros((T, D), np.int64)   # matched gt id (0 = unmatched)
+        gtm = np.zeros((T, G), np.int64)
+        dt_ig = np.zeros((T, D), bool)
+        for ti, t in enumerate(p.iouThrs):
+            for di in range(D):
+                best, m = min(t, 1 - 1e-10), -1
+                for gi in range(G):
+                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                        continue
+                    # gts are ignore-last: once we have a real match, stop at
+                    # the first ignore gt
+                    if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best, m = ious[di, gi], gi
+                if m == -1:
+                    continue
+                dtm[ti, di] = gts[m]["id"]
+                gtm[ti, m] = dts[di]["id"]
+                dt_ig[ti, di] = bool(gt_ig[m])
+
+        return {
+            "dtScores": np.asarray([d["score"] for d in dts]),
+            "dtm": dtm,
+            "dtIgnore": dt_ig,
+            "dtAreas": dt_areas,
+            "gtIgnore": gt_ig,
+            "gtAreas": gt_areas,
+            "num_gt": G,
+        }
+
+    # ----------------------------------------------------------- accumulate
+
+    def accumulate(self):
+        p = self.params
+        T, R = len(p.iouThrs), len(p.recThrs)
+        K, A, M = len(p.catIds), len(p.areaRng), len(p.maxDets)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        for k, catId in enumerate(p.catIds):
+            for a, aRng in enumerate(p.areaRng):
+                Es = [self.evalImgs.get((imgId, catId)) for imgId in p.imgIds]
+                Es = [e for e in Es if e is not None]
+                if not Es:
+                    continue
+                for m, maxDet in enumerate(p.maxDets):
+                    scores, matched, ignored = [], [], []
+                    npig = 0
+                    for e in Es:
+                        # per-area gt count: non-ignored gts inside the range
+                        g_in = (e["gtAreas"] >= aRng[0]) & (e["gtAreas"] < aRng[1])
+                        g_ig = e["gtIgnore"].astype(bool) | ~g_in
+                        npig += int((~g_ig).sum())
+                        d = min(maxDet, len(e["dtScores"]))
+                        scores.append(e["dtScores"][:d])
+                        matched.append(e["dtm"][:, :d])
+                        d_out = (e["dtAreas"][:d] < aRng[0]) | (e["dtAreas"][:d] >= aRng[1])
+                        # unmatched dets outside the range are ignored, and
+                        # dets matched to (area-)ignored gts are ignored
+                        dig = e["dtIgnore"][:, :d] | ((e["dtm"][:, :d] == 0) & d_out[None, :])
+                        ignored.append(dig)
+                    if npig == 0:
+                        continue
+                    scores = np.concatenate(scores)
+                    matched = np.concatenate(matched, axis=1)
+                    ignored = np.concatenate(ignored, axis=1)
+                    order = np.argsort(-scores, kind="mergesort")
+                    matched, ignored = matched[:, order], ignored[:, order]
+
+                    tps = (matched > 0) & ~ignored
+                    fps = (matched == 0) & ~ignored
+                    tp_sum = np.cumsum(tps, axis=1).astype(float)
+                    fp_sum = np.cumsum(fps, axis=1).astype(float)
+                    for ti in range(T):
+                        tp, fp = tp_sum[ti], fp_sum[ti]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / np.maximum(tp + fp, np.finfo(float).eps)
+                        recall[ti, k, a, m] = rc[-1] if nd else 0
+                        # precision envelope (monotone decreasing)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, p.recThrs, side="left")
+                        q = np.zeros(R)
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[ti, :, k, a, m] = q
+
+        self.eval = {"precision": precision, "recall": recall,
+                     "counts": [T, R, K, A, M], "params": p}
+
+    # ------------------------------------------------------------ summarize
+
+    def _summarize(self, ap=1, iouThr=None, areaRng="all", maxDets=100):
+        p = self.params
+        aind = p.areaRngLbl.index(areaRng)
+        mind = p.maxDets.index(maxDets)
+        if ap:
+            s = self.eval["precision"]
+            if iouThr is not None:
+                s = s[np.where(np.isclose(p.iouThrs, iouThr))[0]]
+            s = s[:, :, :, aind, mind]
+        else:
+            s = self.eval["recall"]
+            if iouThr is not None:
+                s = s[np.where(np.isclose(p.iouThrs, iouThr))[0]]
+            s = s[:, :, aind, mind]
+        valid = s[s > -1]
+        mean = float(np.mean(valid)) if valid.size else -1.0
+        kind = "Average Precision" if ap else "Average Recall"
+        t = (f"{p.iouThrs[0]:0.2f}:{p.iouThrs[-1]:0.2f}"
+             if iouThr is None else f"{iouThr:0.2f}")
+        print(f" {kind:<18} (AP) @[ IoU={t:<9} | area={areaRng:>6s} | "
+              f"maxDets={maxDets:>3d} ] = {mean:0.3f}")
+        return mean
+
+    def summarize(self):
+        """The standard 12-metric summary (cocoeval.py:430-504)."""
+        s = self.stats = np.zeros(12)
+        s[0] = self._summarize(1)
+        s[1] = self._summarize(1, iouThr=0.5, maxDets=self.params.maxDets[2])
+        s[2] = self._summarize(1, iouThr=0.75, maxDets=self.params.maxDets[2])
+        s[3] = self._summarize(1, areaRng="small", maxDets=self.params.maxDets[2])
+        s[4] = self._summarize(1, areaRng="medium", maxDets=self.params.maxDets[2])
+        s[5] = self._summarize(1, areaRng="large", maxDets=self.params.maxDets[2])
+        s[6] = self._summarize(0, maxDets=self.params.maxDets[0])
+        s[7] = self._summarize(0, maxDets=self.params.maxDets[1])
+        s[8] = self._summarize(0, maxDets=self.params.maxDets[2])
+        s[9] = self._summarize(0, areaRng="small", maxDets=self.params.maxDets[2])
+        s[10] = self._summarize(0, areaRng="medium", maxDets=self.params.maxDets[2])
+        s[11] = self._summarize(0, areaRng="large", maxDets=self.params.maxDets[2])
+        return s
