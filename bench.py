@@ -1,75 +1,91 @@
 """Benchmark entry point — prints ONE JSON line.
 
-Current benchmark: MovieLens-scale collaborative-filtering training throughput
-(CollabFilterNet emb=30 at bs=8192 — the reference's MovieLens configuration,
-Examples/MovieLens.ipynb) in full train steps (forward+backward+optimizer)
-on synthetic ratings.
+North-star benchmark (BASELINE.json): DogsCats-style fine-tune images/sec —
+an ImageClassificationNet (resnet34 body + concat-pool head, 2 classes) doing
+full train steps at 224px/bs64 through the real path: host jpeg decode +
+resize (threaded loader) → uint8 host→device → device-side fused augmentation
+(rotate-zoom warp, flip, lighting, normalize) → forward/backward/optimizer
+under one jit.
 
-Baseline: the reference's recorded MovieLens epoch is ~87 s for ~80k train
-ratings + a 20k-row eval pass on a P6000 (BASELINE.md) ≈ 920 train rows/sec.
-vs_baseline is measured rows/sec over that proxy.
+The reference's DogsCats notebook is missing from the snapshot
+(.MISSING_LARGE_BLOBS), so vs_baseline uses the closest recorded proxy:
+Dogbreed senet154 @224 bs64 ≈ 95 img/s on the P6000 *including* the eval pass
+(BASELINE.md).  The target is ≥2×.
 
-This will switch to the north-star DogsCats fine-tune images/sec benchmark
-once the vision stack lands.
+Synthetic DogsCats stand-in: 512 jpegs (300-500 px, 2 classes) generated once
+into /tmp — the host decode cost is real even if the pixels are noise.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+IMG_ROOT = "/tmp/nnl_bench_dogscats"
+N_IMAGES = 512
+BS = 64
+SZ = 224
+
+
+def make_dataset():
+    import cv2
+
+    if os.path.isdir(os.path.join(IMG_ROOT, "train")):
+        return
+    rng = np.random.default_rng(0)
+    for cls in ("cats", "dogs"):
+        os.makedirs(os.path.join(IMG_ROOT, "train", cls), exist_ok=True)
+    for i in range(N_IMAGES):
+        cls = "cats" if i % 2 == 0 else "dogs"
+        h = int(rng.integers(300, 500))
+        w = int(rng.integers(300, 500))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(IMG_ROOT, "train", cls, f"im{i}.jpg"),
+                    img, [cv2.IMWRITE_JPEG_QUALITY, 87])
+
 
 def main():
     import jax
-    import pandas as pd
 
-    from neuralnetworklibrary_tpu.applications.collab import (
-        CollabFilterDataObj,
-        CollabFilterNet,
+    from neuralnetworklibrary_tpu.applications.vision import (
+        ImageClassificationNet,
+        ImageDataObj,
+        ImageLearner,
+        get_transforms,
     )
-    from neuralnetworklibrary_tpu.learner import Learner
 
-    BS = 8192
-    N_USER, N_ITEM, N = 70_000, 10_000, 90_112  # ml-latest-small scale, 11 batches
-    rng = np.random.default_rng(0)
-    df = pd.DataFrame(
-        {
-            "user": rng.integers(0, N_USER, N),
-            "item": rng.integers(0, N_ITEM, N),
-            "rating": (rng.random(N) * 4.5 + 0.5).astype(np.float32),
-        }
-    )
-    data = CollabFilterDataObj.from_dataframes(df, "user", "item", "rating", bs=BS, val_frac=0.1)
-    model = CollabFilterNet.from_dataobj(data, emb_dim=30)
-    learner = Learner("/tmp/nnl_bench", data, model, optimizer="Adam2")
+    make_dataset()
+    tfms = get_transforms("SideOn", sz=SZ)
+    data = ImageDataObj.from_folders(IMG_ROOT, tfms, bs=BS, val_frac=0.125, seed=0)
+    model = ImageClassificationNet.create(data, arch="resnet34")
+    learner = ImageLearner("/tmp/nnl_bench", data, model, optimizer="Adam2")
     learner.init_optimizer(wd=1e-4)
 
-    batches = list(learner.data.train_dl)
-    # warmup / compile
-    for b in batches[:2]:
-        loss = learner.train1minibatch(b, lr_batch=0.01)
+    # warmup: compile the unfrozen train step
+    it = iter(learner.data.train_dl)
+    b0 = next(it)
+    loss = learner.train1minibatch(b0, lr_batch=1e-3)
+    loss = learner.train1minibatch(next(it), lr_batch=1e-3)
     jax.block_until_ready(loss)
 
-    n_steps, t0 = 0, time.perf_counter()
-    for _ in range(5):
-        for b in batches:
-            loss = learner.train1minibatch(b, lr_batch=0.01)
-            n_steps += 1
+    n_imgs, t0 = 0, time.perf_counter()
+    epochs = 4
+    for _ in range(epochs):
+        for b in learner.data.train_dl:
+            loss = learner.train1minibatch(b, lr_batch=1e-3)
+            n_imgs += b.n_valid
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    rows_per_sec = n_steps * BS / dt
-    baseline = 920.0  # P6000 proxy (BASELINE.md MovieLens epoch)
-    print(
-        json.dumps(
-            {
-                "metric": "movielens_train_rows_per_sec",
-                "value": round(rows_per_sec, 1),
-                "unit": "rows/s",
-                "vs_baseline": round(rows_per_sec / baseline, 2),
-            }
-        )
-    )
+    img_per_sec = n_imgs / dt
+    baseline = 95.0  # P6000 Dogbreed @224 proxy (BASELINE.md)
+    print(json.dumps({
+        "metric": "finetune_img_per_sec_224",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / baseline, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -319,13 +319,24 @@ class Transform:
         self.cont_range = tuple(cont_range) if cont_range is not None else None
         self.max_noise, self.stats = max_noise, stats
         self._rng = np.random.default_rng()
+        # host crop draws happen from the loader's fetch THREADS; Generator
+        # is not thread-safe, so serialize draws (decode/resize still overlap)
+        import threading
+
+        self._rng_lock = threading.Lock()
 
     @property
     def has_random_geometry(self):
         return bool(self.max_deg) or self.tfm_type in ("SideOn", "TopDown")
 
+    def _draw(self, rng, high):
+        if rng is not None:  # per-(epoch, sample) rng from the loader
+            return int(rng.integers(0, high))
+        with self._rng_lock:  # fallback: shared rng, serialized
+            return int(self._rng.integers(0, high))
+
     # ---- host part ----
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def __call__(self, img: np.ndarray, rng=None) -> np.ndarray:
         """img: (H, W, 3) uint8 or float[0,1] → (sz, sz, 3) uint8."""
         import cv2
 
@@ -342,7 +353,7 @@ class Transform:
             if self.crop_type == "center":
                 r = (rows - L) // 2
             elif self.crop_type == "random":
-                r = int(self._rng.integers(0, rows - L + 1))
+                r = self._draw(rng, rows - L + 1)
             else:
                 r = int((rows - L) * float(self.crop_type))
             img = img[r:r + L, :]
@@ -350,7 +361,7 @@ class Transform:
             if self.crop_type == "center":
                 c = (cols - L) // 2
             elif self.crop_type == "random":
-                c = int(self._rng.integers(0, cols - L + 1))
+                c = self._draw(rng, cols - L + 1)
             else:
                 c = int((cols - L) * float(self.crop_type))
             img = img[:, c:c + L]
@@ -402,8 +413,13 @@ class ImageDataset:
         return len(self.images)
 
     def __getitem__(self, idx):
+        return self.getitem_rng(idx, None)
+
+    def getitem_rng(self, idx, rng):
+        """Fetch with a loader-provided per-(epoch, sample) rng — makes host
+        augmentation deterministic under threaded fetching."""
         img = open_image_u8(self.IMG_PATH + self.images[idx]["img"])
-        img = self.transform(img)
+        img = self.transform(img, rng=rng)
         if self.ds_type == "test":
             target = 0
         else:
@@ -437,9 +453,12 @@ class ImageDataObj:
         self._make_loaders()
 
     def _make_loaders(self):
-        self.train_dl = DataLoader(self.train_ds, self.bs, shuffle=True, seed=self.seed)
-        self.val_dl = DataLoader(self.val_ds, self.bs, shuffle=False)
-        self.test_dl = DataLoader(self.test_ds, self.bs, shuffle=False) if self.test_ds else None
+        nw = min(8, os.cpu_count() or 1)  # threaded decode (cv2 drops the GIL)
+        self.train_dl = DataLoader(self.train_ds, self.bs, shuffle=True,
+                                   seed=self.seed, num_workers=nw)
+        self.val_dl = DataLoader(self.val_ds, self.bs, shuffle=False, num_workers=nw)
+        self.test_dl = (DataLoader(self.test_ds, self.bs, shuffle=False, num_workers=nw)
+                        if self.test_ds else None)
 
     @staticmethod
     def convert_labels_multi(df, categories_rev):
@@ -554,7 +573,45 @@ body_archs = {
     "resnet50": (_resnet_mod.resnet50, (3, 4, 6, 3), True),
     "resnet101": (_resnet_mod.resnet101, (3, 4, 23, 3), True),
     "resnet152": (_resnet_mod.resnet152, (3, 8, 36, 3), True),
+    "resnext101_32x4d": (_resnet_mod.resnext101_32x4d, (3, 4, 23, 3), True),
+    "resnext101_64x4d": (_resnet_mod.resnext101_64x4d, (3, 4, 23, 3), True),
+    "resnext50_32x4d": (_resnet_mod.resnext50_32x4d, (3, 4, 6, 3), True),
 }
+
+
+def build_body(arch: str):
+    """(features module, nfeats, layer-group split) for any model-zoo arch —
+    the analogue of the reference's per-arch cut/split tables
+    (Vision.py:1205-1242 default_cut/default_split)."""
+    if arch in body_archs:
+        ctor, layers, _ = body_archs[arch]
+        body = ctor()
+        return body, body.feature_channels, _resnet_mod.resnet_split_prefixes(layers)
+    if arch.startswith("se"):  # senet154, se_resnet*, se_resnext*
+        from neuralnetworklibrary_tpu.nn import senet as _senet
+
+        ctor = getattr(_senet, arch)
+        body = ctor()
+        return body, body.feature_channels, _senet.senet_split_prefixes(body.layers)
+    if arch == "inceptionv4":
+        from neuralnetworklibrary_tpu.nn.inception import INCEPTIONV4_SPLIT, inceptionv4
+
+        body = inceptionv4()
+        return body, body.feature_channels, INCEPTIONV4_SPLIT
+    if arch == "inceptionresnetv2":
+        from neuralnetworklibrary_tpu.nn.inception import (
+            INCEPTIONRESNETV2_SPLIT,
+            inceptionresnetv2,
+        )
+
+        body = inceptionresnetv2()
+        return body, body.feature_channels, INCEPTIONRESNETV2_SPLIT
+    if arch == "nasnetalarge":
+        from neuralnetworklibrary_tpu.nn.nasnet import NASNET_SPLIT, nasnetalarge
+
+        body = nasnetalarge()
+        return body, body.feature_channels, NASNET_SPLIT
+    raise KeyError(f"unknown arch '{arch}'")
 
 
 class ImageClassificationNet(nn.Module):
@@ -595,10 +652,7 @@ class ImageClassificationNet(nn.Module):
         """Build from a DataObj and an arch name or (module, nfeats, split)
         triple (the reference's __init__ surface, Vision.py:1297-1331)."""
         if isinstance(arch, str):
-            ctor, layers, _ = body_archs[arch]
-            body = ctor()
-            nfeats = body.feature_channels
-            split = _resnet_mod.resnet_split_prefixes(layers)
+            body, nfeats, split = build_body(arch)
         else:
             body, nfeats, split = arch
         if head == "default":

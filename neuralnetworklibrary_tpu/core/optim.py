@@ -218,6 +218,39 @@ class Optimizer:
         """Broadcast an lr spec (scalar or per-group list) to an (NL,) array."""
         return jnp.asarray(broadcast_to_groups(lr, n_groups), jnp.float32)
 
+    # ------------------------------------------------------------ diagnostics
+
+    def print_summary(self, partition, trainable=None):
+        """Per-layer-group parameter summary — the optimizer-state inspection
+        diagnostic (Optimizer.print_summary, Optimizer.py:72-84)."""
+        n_groups = partition.n_groups
+        counts = [0] * n_groups
+        for i, path in enumerate(partition.paths):
+            counts[partition.group_idx[i]] += 1
+        print(f"optimizer: {self.kind}  wd={self.wd}  bn_wd={self.bn_wd}  clip={self.clip}")
+        for g in range(n_groups):
+            t = ""
+            if trainable is not None:
+                n_train = sum(1 for i in range(len(partition.paths))
+                              if partition.group_idx[i] == g and trainable[i])
+                t = f"  trainable_leaves={n_train}"
+            print(f"  group {g}: {counts[g]} param leaves{t}")
+
+    def print_params_grads(self, params, grads, max_leaves: int = 20):
+        """Per-leaf |param| / |grad| norms — Optimizer.print_params_grads
+        (Optimizer.py:86-96)."""
+        import numpy as np
+
+        pf = flatten_params(params)
+        gf = flatten_params(grads)
+        for n, (path, p) in enumerate(pf.items()):
+            if n >= max_leaves:
+                print(f"... ({len(pf) - max_leaves} more)")
+                break
+            g = gf.get(path)
+            gn = float(jnp.linalg.norm(g.ravel())) if g is not None else float("nan")
+            print(f"{'/'.join(path):60s} |p|={float(jnp.linalg.norm(p.ravel())):.4e} |g|={gn:.4e}")
+
 
 # Optimizer registry — mirrors opt_dict (Learner.py:16-19).
 opt_dict: dict[str, dict] = {

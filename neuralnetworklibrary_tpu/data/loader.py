@@ -78,6 +78,7 @@ class DataLoader:
         collate: Callable = default_collate,
         prefetch: int = 2,
         transform: Optional[Callable] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.bs = bs
@@ -88,6 +89,18 @@ class DataLoader:
         self.prefetch = prefetch
         self.transform = transform  # applied to the collated batch tuple
         self.epoch = 0
+        # >0: fetch samples with a thread pool — cv2/numpy release the GIL,
+        # so image decode+resize parallelizes (the analogue of torch
+        # DataLoader worker processes without the IPC cost)
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
 
     def __len__(self):
         n = len(self.dataset)
@@ -111,7 +124,23 @@ class DataLoader:
         n_valid = len(idxs)
         if n_valid < self.bs:  # pad by repeating the last valid row
             idxs = np.concatenate([idxs, np.full(self.bs - n_valid, idxs[-1])])
-        fields = self.collate([self.dataset[int(i)] for i in idxs])
+        # Datasets exposing getitem_rng get a per-(seed, epoch, index) rng —
+        # deterministic regardless of fetch-thread scheduling (the property
+        # the reference's num_workers=1 workaround protected, SURVEY §5)
+        if hasattr(self.dataset, "getitem_rng"):
+            def fetch(i):
+                return self.dataset.getitem_rng(
+                    int(i), np.random.default_rng((self.seed, self.epoch, int(i))))
+        else:
+            def fetch(i):
+                return self.dataset[int(i)]
+
+        pool = self._get_pool()
+        if pool is not None:
+            samples = list(pool.map(fetch, idxs))
+        else:
+            samples = [fetch(i) for i in idxs]
+        fields = self.collate(samples)
         if self.transform is not None:
             fields = self.transform(fields, self.epoch)
         mask = np.zeros(self.bs, np.float32)

@@ -193,3 +193,18 @@ class FullyConnectedNet(nn.Module):
         elif self.final_activ == "sigmoidal":
             x = sigmoidal_range(x, self.output_range)
         return x
+
+
+def capture_features(model, variables, *xs, filter_fn=None, **kwargs):
+    """Forward pass that also returns intermediate module outputs — the
+    functional analogue of the reference's SaveFeatures forward hook
+    (Core.py:209-215).  ``filter_fn(module, method_name) -> bool`` selects
+    which modules to capture (default: all).  Returns (y, intermediates)
+    where intermediates mirrors the module tree with '__call__' leaf tuples.
+    """
+    y, mods = model.apply(
+        variables, *xs,
+        capture_intermediates=filter_fn if filter_fn is not None else True,
+        mutable=["intermediates"], **kwargs,
+    )
+    return y, dict(mods["intermediates"])

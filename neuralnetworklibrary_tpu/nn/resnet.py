@@ -34,12 +34,14 @@ class ConvBN(nn.Module):
     stride: int = 1
     padding: int = 0
     use_relu: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_train: Optional[bool] = None):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=[(self.padding, self.padding)] * 2,
+                    feature_group_count=self.groups,
                     use_bias=False, kernel_init=conv_init, name="conv")(x)
         use_ra = not (train if bn_train is None else bn_train)
         x = nn.BatchNorm(use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
@@ -70,19 +72,27 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 → 3x3 → 1x1(×4) residual block (retinanet.py:61-98 semantics)."""
+    """1x1 → 3x3 → 1x1(×4) residual block (retinanet.py:61-98 semantics).
+
+    ``groups``/``base_width`` give the ResNeXt variant (the reference's
+    resnext.py:70-137 32x4d/64x4d feature extractors): the inner width is
+    floor(features·base_width/64)·groups and the 3x3 is a grouped conv.
+    """
 
     features: int
     stride: int = 1
     downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_train: Optional[bool] = None):
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = ConvBN(self.features, 1, 1, 0, use_relu=True, name="b1")(x, train, bn_train)
-        out = ConvBN(self.features, 3, self.stride, 1, use_relu=True, name="b2")(
-            out, train, bn_train)
+        out = ConvBN(width, 1, 1, 0, use_relu=True, name="b1")(x, train, bn_train)
+        out = ConvBN(width, 3, self.stride, 1, use_relu=True,
+                     groups=self.groups, name="b2")(out, train, bn_train)
         out = ConvBN(self.features * 4, 1, 1, 0, name="b3")(out, train, bn_train)
         if self.downsample:
             identity = ConvBN(self.features * 4, 1, self.stride, 0, name="down")(
@@ -103,6 +113,8 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     num_classes: Optional[int] = None
     return_pyramid: bool = False
+    groups: int = 1        # >1 + base_width → ResNeXt (resnext.py:70-137)
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_train: Optional[bool] = None):
@@ -113,13 +125,15 @@ class ResNet(nn.Module):
         feats = []
         planes = 64
         in_ch = 64
+        kw = ({"groups": self.groups, "base_width": self.base_width}
+              if self.block is Bottleneck else {})
         for stage, n_blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
             for i in range(n_blocks):
                 s = stride if i == 0 else 1
                 need_down = (s != 1) or (in_ch != planes * self.block.expansion)
-                x = self.block(planes, s, need_down, name=f"layer{stage + 1}_{i}")(
-                    x, train, bn_train)
+                x = self.block(planes, s, need_down, name=f"layer{stage + 1}_{i}",
+                               **kw)(x, train, bn_train)
                 in_ch = planes * self.block.expansion
             feats.append(x)
             planes *= 2
@@ -150,6 +164,11 @@ resnet34 = partial(_resnet, BasicBlock, (3, 4, 6, 3))
 resnet50 = partial(_resnet, Bottleneck, (3, 4, 6, 3))
 resnet101 = partial(_resnet, Bottleneck, (3, 4, 23, 3))
 resnet152 = partial(_resnet, Bottleneck, (3, 8, 36, 3))
+
+# ResNeXt-101 feature extractors (the reference's resnext.py:70-137 variants)
+resnext101_32x4d = partial(_resnet, Bottleneck, (3, 4, 23, 3), groups=32, base_width=4)
+resnext101_64x4d = partial(_resnet, Bottleneck, (3, 4, 23, 3), groups=64, base_width=4)
+resnext50_32x4d = partial(_resnet, Bottleneck, (3, 4, 6, 3), groups=32, base_width=4)
 
 # body split for differential lr: ~half way, matching the reference's
 # children[:6] / children[6:] split of a cut torchvision ResNet

@@ -95,3 +95,161 @@ def load_torch_resnet(
             "bias": _np(state_dict["fc.bias"]),
         }
     return params, stats
+
+
+def _conv_with_bias(sd: Mapping, key: str) -> dict:
+    p = {"kernel": conv_kernel(sd[key + ".weight"])}
+    if key + ".bias" in sd:
+        p["bias"] = _np(sd[key + ".bias"])
+    return p
+
+
+def load_torch_retinanet(
+    state_dict: Mapping,
+    layers: Sequence[int] = (3, 4, 6, 3),
+    bottleneck: bool = True,
+    include_subnets: bool = False,
+):
+    """Reference RetinaNet checkpoint → (params, batch_stats) for
+    applications.detection.ObjectDetectionNet.
+
+    The torch model (retinanet.py:299-341) has attributes conv1/bn1/layerL
+    (the backbone), fpn.{P5_1,P5_2,P4_1,P4_2,P3_1,P3_2,P6,P7_2}, and
+    regressionModel/classificationModel.{conv1..4,output}.  The reference's
+    transfer model keeps backbone+fpn and re-initializes the subnets
+    (Vision.py:1412-1436); pass ``include_subnets=True`` to also convert the
+    COCO 80-class subnets (for running the pretrained detector as-is).
+    """
+    body_params, body_stats = load_torch_resnet(state_dict, layers, bottleneck)
+    params: dict = {"body": body_params}
+    stats: dict = {"body": body_stats}
+
+    fpn = {}
+    for k in ("P5_1", "P5_2", "P4_1", "P4_2", "P3_1", "P3_2", "P6", "P7_2"):
+        fpn[k] = _conv_with_bias(state_dict, f"fpn.{k}")
+    params["fpn"] = fpn
+
+    if include_subnets:
+        for torch_name, flax_name in (
+            ("regressionModel", "regressor"),
+            ("classificationModel", "classifier"),
+        ):
+            sub = {}
+            for c in ("conv1", "conv2", "conv3", "conv4", "output"):
+                sub[c] = _conv_with_bias(state_dict, f"{torch_name}.{c}")
+            params[flax_name] = sub
+    return params, stats
+
+
+def convert_state_dict(state_dict: Mapping, renames: Sequence = ()):
+    """Generic torch→flax conversion: (params, batch_stats) nested dicts.
+
+    Key mapping: split on '.', merge numeric Sequential indices into the
+    preceding segment with '_' (torch ``features.6.branch1.0`` → flax
+    ``features_6/branch1_0``), then apply the per-model regex ``renames`` to
+    the '/'-joined module path.  Leaf mapping: 4-D weight → conv ``kernel``
+    (O,I,kH,kW → kH,kW,I,O — also correct for grouped/depthwise convs),
+    2-D weight → dense ``kernel`` (transposed), bn weight/bias →
+    scale/bias with running_mean/var → stats mean/var,
+    num_batches_tracked dropped.
+
+    Works for any model whose flax module names mirror the torch attribute
+    paths (nn.inception, nn.nasnet; nn.senet/nn.resnet via their rename
+    tables or dedicated loaders).
+    """
+    import re
+
+    params: dict = {}
+    stats: dict = {}
+
+    def merged_path(prefix: str) -> list:
+        segs: list = []
+        for s in prefix.split("."):
+            if s.isdigit() and segs:
+                segs[-1] = f"{segs[-1]}_{s}"
+            else:
+                segs.append(s)
+        path = "/".join(segs)
+        for pat, repl in renames:
+            path = re.sub(pat, repl, path)
+        return path.split("/") if path else []
+
+    def put(tree: dict, path: list, leaf_name: str, value):
+        node = tree
+        for seg in path:
+            node = node.setdefault(seg, {})
+        node[leaf_name] = value
+
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        prefix, leaf = key.rsplit(".", 1)
+        path = merged_path(prefix)
+        v = _np(value)
+        is_bn = prefix + ".running_mean" in state_dict or leaf in ("running_mean", "running_var")
+        if leaf == "weight":
+            if v.ndim == 4:
+                put(params, path, "kernel", v.transpose(2, 3, 1, 0))
+            elif v.ndim == 2:
+                put(params, path, "kernel", v.transpose(1, 0))
+            elif is_bn:
+                put(params, path, "scale", v)
+            else:
+                put(params, path, "kernel", v)
+        elif leaf == "bias":
+            put(params, path, "bias", v)
+        elif leaf == "running_mean":
+            put(stats, path, "mean", v)
+        elif leaf == "running_var":
+            put(stats, path, "var", v)
+    return params, stats
+
+
+# per-model rename tables for convert_state_dict (torch path → flax path)
+SENET_RENAMES = (
+    (r"^layer0/conv1$", "stem1/conv"), (r"^layer0/bn1$", "stem1/bn"),
+    (r"^layer0/conv2$", "stem2/conv"), (r"^layer0/bn2$", "stem2/bn"),
+    (r"^layer0/conv3$", "stem3/conv"), (r"^layer0/bn3$", "stem3/bn"),
+    (r"^layer(\d)_(\d+)/conv(\d)$", r"layer\1_\2/b\3/conv"),
+    (r"^layer(\d)_(\d+)/bn(\d)$", r"layer\1_\2/b\3/bn"),
+    (r"^layer(\d)_(\d+)/se_module/", r"layer\1_\2/se/"),
+    (r"^layer(\d)_(\d+)/downsample_0$", r"layer\1_\2/down/conv"),
+    (r"^layer(\d)_(\d+)/downsample_1$", r"layer\1_\2/down/bn"),
+)
+
+NASNET_RENAMES = (
+    (r"^conv0/conv$", "conv0_conv"), (r"^conv0/bn$", "conv0_bn"),
+    (r"/path_1/conv$", "/path_1_conv"), (r"/path_2/conv$", "/path_2_conv"),
+)
+
+
+def load_torch_senet(state_dict: Mapping):
+    """SENet-family checkpoint → (params, batch_stats) for nn.senet.SENet."""
+    return convert_state_dict(state_dict, SENET_RENAMES)
+
+
+def load_torch_nasnet(state_dict: Mapping):
+    """NASNet-A-Large checkpoint → (params, batch_stats) for nn.nasnet."""
+    return convert_state_dict(state_dict, NASNET_RENAMES)
+
+
+def install_pretrained(learner, params: Mapping, stats: Optional[Mapping] = None):
+    """Overwrite matching top-level subtrees of a learner's params/batch_stats
+    with converted pretrained weights, then reset optimizer state."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+    new_params = dict(learner.params)
+    for k, v in params.items():
+        new_params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+    learner.params = pmesh.replicate_tree(new_params, learner.mesh)
+    if stats:
+        new_state = {k: dict(v) for k, v in learner.state.items()}
+        bs = dict(new_state.get("batch_stats", {}))
+        for k, v in stats.items():
+            bs[k] = jax.tree_util.tree_map(jnp.asarray, v)
+        new_state["batch_stats"] = bs
+        learner.state = pmesh.replicate_tree(new_state, learner.mesh)
+    learner.opt_state = learner.optimizer.init(learner.params)

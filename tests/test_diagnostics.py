@@ -1,0 +1,62 @@
+"""Diagnostics surface: schedule plots, optimizer summaries, feature capture
+(the reference's built-in-diagnostics-in-lieu-of-tests, SURVEY §4.2)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from neuralnetworklibrary_tpu.applications.collab import (
+    CollabFilterDataObj,
+    CollabFilterNet,
+)
+from neuralnetworklibrary_tpu.learner import Learner
+from neuralnetworklibrary_tpu.nn.layers import capture_features
+
+
+@pytest.fixture(scope="module")
+def learner(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    N = 128
+    df = pd.DataFrame({
+        "user": rng.integers(0, 16, N),
+        "item": rng.integers(0, 12, N),
+        "rating": (rng.random(N) * 4 + 0.5).astype(np.float32),
+    })
+    data = CollabFilterDataObj.from_dataframes(df, "user", "item", "rating", bs=16, seed=0)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=4)
+    return Learner(str(tmp_path_factory.mktemp("diag")), data, model, "Adam2")
+
+
+def test_schedule_plots(learner):
+    learner.fit(1e-3, 1, momentum=0.9)
+    assert learner.plot_loss_sched() is not None
+    assert learner.plot_lr_sched() is not None
+
+
+def test_optimizer_print_summary(learner, capsys):
+    learner.optimizer.print_summary(learner.partition, learner._trainable())
+    out = capsys.readouterr().out
+    assert "optimizer: adam" in out
+    assert "group 0" in out
+
+
+def test_optimizer_print_params_grads(learner, capsys):
+    grads = jax.tree_util.tree_map(jnp.ones_like, learner.params)
+    learner.optimizer.print_params_grads(learner.params, grads, max_leaves=3)
+    out = capsys.readouterr().out
+    assert "|p|=" in out and "|g|=" in out
+
+
+def test_capture_features(learner):
+    batch = learner.data.train_dl.peek()
+    x = jnp.asarray(batch.xs[0])
+    variables = {"params": learner.params, **learner.state}
+    y, feats = capture_features(learner.model, variables, x)
+    assert y.shape[0] == x.shape[0]
+    assert len(feats) > 0  # intermediate module outputs captured
