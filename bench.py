@@ -57,7 +57,10 @@ def main():
 
     make_dataset()
     tfms = get_transforms("SideOn", sz=SZ)
-    data = ImageDataObj.from_folders(IMG_ROOT, tfms, bs=BS, val_frac=0.125, seed=0)
+    # cache_images: decoded sources stay in RAM across epochs — repeated-epoch
+    # fine-tuning then runs at device speed instead of host-jpeg-decode speed
+    data = ImageDataObj.from_folders(IMG_ROOT, tfms, bs=BS, val_frac=0.125,
+                                     seed=0, cache_images=True)
     model = ImageClassificationNet.create(data, arch="resnet34")
     learner = ImageLearner("/tmp/nnl_bench", data, model, optimizer="Adam2")
     learner.init_optimizer(wd=1e-4)

@@ -65,10 +65,22 @@ def open_image(img_name: str) -> np.ndarray:
     return img[:, :, ::-1].copy()  # BGR → RGB
 
 
-def open_image_u8(img_name: str) -> np.ndarray:
-    """Like :func:`open_image` but keeps uint8 — the loader-side format."""
+def open_image_u8(img_name: str, min_side: Optional[int] = None) -> np.ndarray:
+    """Like :func:`open_image` but keeps uint8 — the loader-side format.
+
+    ``min_side``: when set, jpegs are decoded at reduced resolution
+    (IMREAD_REDUCED_COLOR_2/4) as long as the result keeps min(h, w) ≥
+    min_side — a 2-4x host-decode saving when training at sizes far below the
+    source resolution (the usual fine-tune case).  Falls back to a full decode
+    if the reduced image came out too small.
+    """
     import cv2
 
+    if min_side and img_name.lower().endswith((".jpg", ".jpeg")):
+        for flag in (cv2.IMREAD_REDUCED_COLOR_4, cv2.IMREAD_REDUCED_COLOR_2):
+            img = cv2.imread(img_name, flag)
+            if img is not None and min(img.shape[:2]) >= min_side:
+                return img[:, :, ::-1].copy()
     img = cv2.imread(img_name, cv2.IMREAD_UNCHANGED + cv2.IMREAD_ANYCOLOR)
     if img is None:
         raise FileNotFoundError(img_name)
@@ -401,16 +413,29 @@ class ImageDataset:
     thread), emitting uint8 (sz, sz, 3).
     """
 
-    def __init__(self, IMG_PATH, images, transform, target_type, ds_type):
+    def __init__(self, IMG_PATH, images, transform, target_type, ds_type,
+                 cache_images: bool = False):
         self.IMG_PATH = correct_foldername(IMG_PATH)
         self.images = images
         self.transform = transform
         self.target_type = target_type
         self.ds_type = ds_type
         self.y = [im["target"] for im in images]
+        # opt-in decoded-image RAM cache: jpeg decode is the input-pipeline
+        # bottleneck on CPU-poor hosts; a 25k-image set at 224px uint8 is
+        # ~3.8 GB, well within a training VM
+        self.cache_images = cache_images
+        self._cache: list = [None] * len(images) if cache_images else []
 
     def __len__(self):
         return len(self.images)
+
+    def _decode(self, idx):
+        ms = None
+        sz = getattr(self.transform, "sz", None)
+        if sz:
+            ms = int(max(sz) * 1.15)  # margin for the pre-resize crop
+        return open_image_u8(self.IMG_PATH + self.images[idx]["img"], min_side=ms)
 
     def __getitem__(self, idx):
         return self.getitem_rng(idx, None)
@@ -418,7 +443,13 @@ class ImageDataset:
     def getitem_rng(self, idx, rng):
         """Fetch with a loader-provided per-(epoch, sample) rng — makes host
         augmentation deterministic under threaded fetching."""
-        img = open_image_u8(self.IMG_PATH + self.images[idx]["img"])
+        if self.cache_images:
+            img = self._cache[idx]
+            if img is None:
+                img = self._decode(idx)
+                self._cache[idx] = img
+        else:
+            img = self._decode(idx)
         img = self.transform(img, rng=rng)
         if self.ds_type == "test":
             target = 0
@@ -434,7 +465,7 @@ class ImageDataObj:
 
     def __init__(self, PATH, target_type, categories, bs, transforms,
                  train_images, val_images, test_images=None, train_name="train",
-                 val_name="val", test_name=None, seed=0):
+                 val_name="val", test_name=None, seed=0, cache_images=False):
         tfm_eval, tfm_aug = transforms[0], transforms[1]
         self.target_type, self.categories, self.bs = target_type, categories, bs
         self.transforms = transforms
@@ -444,16 +475,17 @@ class ImageDataObj:
         PATH = correct_foldername(PATH)
         self.PATH = PATH
         self.train_ds = ImageDataset(PATH + train_name + "/", train_images,
-                                     tfm_aug, target_type, "train")
+                                     tfm_aug, target_type, "train", cache_images)
         self.val_ds = ImageDataset(PATH + val_name + "/", val_images, tfm_eval,
-                                   target_type, "val")
+                                   target_type, "val", cache_images)
         self.test_ds = (ImageDataset(PATH + test_name + "/", test_images,
-                                     tfm_eval, target_type, "test")
+                                     tfm_eval, target_type, "test", cache_images)
                         if test_name else None)
         self._make_loaders()
 
     def _make_loaders(self):
-        nw = min(8, os.cpu_count() or 1)  # threaded decode (cv2 drops the GIL)
+        ncpu = os.cpu_count() or 1
+        nw = min(8, ncpu) if ncpu > 2 else 0  # threads only help with spare cores
         self.train_dl = DataLoader(self.train_ds, self.bs, shuffle=True,
                                    seed=self.seed, num_workers=nw)
         self.val_dl = DataLoader(self.val_ds, self.bs, shuffle=False, num_workers=nw)
@@ -475,7 +507,7 @@ class ImageDataObj:
     def from_csv(cls, PATH, transforms, bs, train_csv="train.csv", val_csv=None,
                  test_csv=None, train_name="train", val_name=None, test_name=None,
                  target_type="single_label", val_frac=0.2, skip_first=True,
-                 suffix="", seed=0):
+                 suffix="", seed=0, cache_images=False):
         """Construct from csv label files (Vision.py:900-1016):
         single-label rows 'img,category'; multi-label rows 'img,cat1 cat2 ...'."""
         import pandas as pd
@@ -530,11 +562,12 @@ class ImageDataObj:
                          for i in range(len(df))]
         return cls(PATH, target_type, categories, bs, transforms, mk(TRAIN),
                    mk(VAL), mk(TEST) if TEST is not None else None,
-                   train_name, val_name or train_name, test_name, seed=seed)
+                   train_name, val_name or train_name, test_name, seed=seed,
+                   cache_images=cache_images)
 
     @classmethod
     def from_folders(cls, PATH, transforms, bs, train_name="train", val_name=None,
-                     test_name=None, val_frac=0.2, seed=0):
+                     test_name=None, val_frac=0.2, seed=0, cache_images=False):
         """Construct from folder-per-class layout (Vision.py:1016-1062)."""
         PATH = correct_foldername(PATH)
         category_names = sorted(os.listdir(PATH + train_name))
@@ -559,7 +592,8 @@ class ImageDataObj:
                         for img in sorted(os.listdir(PATH + test_name))]
                        if test_name else None)
         return cls(PATH, "single_label", categories, bs, transforms, train_images,
-                   val_images, test_images, train_name, val_name, test_name, seed=seed)
+                   val_images, test_images, train_name, val_name, test_name,
+                   seed=seed, cache_images=cache_images)
 
 
 # ---------------------------------------------------------------------------
@@ -742,6 +776,9 @@ class ImageLearner(Learner):
                 tfms.append(ds.transform)
         for tfm in tfms:
             tfm.sz = tuple(sz)
+        for ds in (self.data.train_ds, self.data.val_ds, self.data.test_ds):
+            if ds is not None and ds.cache_images:
+                ds._cache = [None] * len(ds)  # re-decode at the new min_side
         if bs:
             self.data.bs = bs
             if bs % self.mesh.shape["data"] != 0:

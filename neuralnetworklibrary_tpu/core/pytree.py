@@ -135,3 +135,32 @@ def broadcast_to_groups(x, n_groups: int) -> list:
             f"per-group value has length {len(x)}, expected {n_groups} layer groups"
         )
     return [x] * n_groups
+
+
+# --------------------------------------------------------------------------
+# Small list/array utilities (Core.py:86-133)
+# --------------------------------------------------------------------------
+
+def list_del(lst, del_idxs):
+    """Remove elements at the given indices (list_del, Core.py:88-96)."""
+    drop = set(int(i) for i in del_idxs)
+    return [v for i, v in enumerate(lst) if i not in drop]
+
+
+def list_mult(lst, c):
+    """Multiply every element by a scalar (list_mult, Core.py:98-102)."""
+    return [v * c for v in lst]
+
+
+def outer_mult(lst, vec):
+    """Outer product of a list with a vector: [[v * c for c in vec] for v]
+    (outer_mult, Core.py:104-107)."""
+    return [[v * c for c in vec] for v in lst]
+
+
+def linear_space(start, stop, N):
+    """N evenly spaced values including both endpoints (linear_space,
+    Core.py:109-114)."""
+    import numpy as np
+
+    return list(np.linspace(start, stop, N))

@@ -15,17 +15,63 @@ reference has no segmentation support, Vision.py:19-20).
 from __future__ import annotations
 
 import copy
+import ctypes
 import json
+import os
 from collections import defaultdict
 
 import numpy as np
 
+USE_NATIVE = os.environ.get("NNL_NO_NATIVE", "") != "1"
+_native_lib = None
+
+
+def _native():
+    """The C++ evaluation kernels (native/cocoeval.cpp), or None."""
+    global _native_lib
+    if not USE_NATIVE:
+        return None
+    if _native_lib is None:
+        from neuralnetworklibrary_tpu.native import load_library
+
+        lib = load_library("cocoeval")
+        if lib is not None:
+            i64, u8p, f64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.POINTER(ctypes.c_double))
+            lib.iou_xywh.argtypes = [f64p, f64p, u8p, i64, i64, f64p]
+            lib.match_greedy.argtypes = [f64p, u8p, u8p, f64p, i64, i64, i64,
+                                         ctypes.POINTER(i64), ctypes.POINTER(i64), u8p]
+        _native_lib = lib if lib is not None else False
+    return _native_lib or None
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
 
 def bbox_iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd) -> np.ndarray:
     """IoU between (D,4) and (G,4) xywh boxes → (D, G).  For crowd gts the
-    denominator is the detection area only (pycocotools 'iou' semantics)."""
+    denominator is the detection area only (pycocotools 'iou' semantics).
+    Uses the C++ kernel when available; numpy otherwise."""
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)))
+    lib = _native()
+    if lib is not None:
+        D, G = len(dets), len(gts)
+        d = np.ascontiguousarray(dets, np.float64)
+        g = np.ascontiguousarray(gts, np.float64)
+        c = np.ascontiguousarray(np.asarray(iscrowd), np.uint8)
+        out = np.empty((D, G), np.float64)
+        lib.iou_xywh(_f64p(d), _f64p(g), _u8p(c), D, G, _f64p(out))
+        return out
     dx, dy, dw, dh = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
     gx, gy, gw, gh = gts[:, 0], gts[:, 1], gts[:, 2], gts[:, 3]
     x1 = np.maximum(dx[:, None], gx[None, :])
@@ -168,28 +214,46 @@ class COCOeval:
         ) if G else np.zeros(0)
         dt_areas = dt_boxes[:, 2] * dt_boxes[:, 3]
 
-        # greedy matching per threshold (cocoeval.py:129-228 semantics)
-        dtm = np.zeros((T, D), np.int64)   # matched gt id (0 = unmatched)
-        gtm = np.zeros((T, G), np.int64)
-        dt_ig = np.zeros((T, D), bool)
-        for ti, t in enumerate(p.iouThrs):
-            for di in range(D):
-                best, m = min(t, 1 - 1e-10), -1
-                for gi in range(G):
-                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
+        # greedy matching per threshold (cocoeval.py:129-228 semantics);
+        # C++ sweep when available, python loop otherwise
+        lib = _native()
+        if lib is not None and D and G:
+            ious_c = np.ascontiguousarray(ious, np.float64)
+            gig = np.ascontiguousarray(gt_ig, np.uint8)
+            icr = np.ascontiguousarray(np.asarray(iscrowd), np.uint8)
+            thrs = np.ascontiguousarray(p.iouThrs, np.float64)
+            dtm_slots = np.zeros((T, D), np.int64)
+            gtm_slots = np.zeros((T, G), np.int64)
+            dt_ig8 = np.zeros((T, D), np.uint8)
+            lib.match_greedy(_f64p(ious_c), _u8p(gig), _u8p(icr), _f64p(thrs),
+                             D, G, T, _i64p(dtm_slots), _i64p(gtm_slots), _u8p(dt_ig8))
+            gt_ids = np.asarray([g["id"] for g in gts], np.int64)
+            dt_ids = np.asarray([d["id"] for d in dts], np.int64)
+            dtm = np.where(dtm_slots > 0, gt_ids[np.maximum(dtm_slots - 1, 0)], 0)
+            gtm = np.where(gtm_slots > 0, dt_ids[np.maximum(gtm_slots - 1, 0)], 0)
+            dt_ig = dt_ig8.astype(bool)
+        else:
+            dtm = np.zeros((T, D), np.int64)   # matched gt id (0 = unmatched)
+            gtm = np.zeros((T, G), np.int64)
+            dt_ig = np.zeros((T, D), bool)
+            for ti, t in enumerate(p.iouThrs):
+                for di in range(D):
+                    best, m = min(t, 1 - 1e-10), -1
+                    for gi in range(G):
+                        if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                            continue
+                        # gts are ignore-last: once we have a real match, stop
+                        # at the first ignore gt
+                        if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                            break
+                        if ious[di, gi] < best:
+                            continue
+                        best, m = ious[di, gi], gi
+                    if m == -1:
                         continue
-                    # gts are ignore-last: once we have a real match, stop at
-                    # the first ignore gt
-                    if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best, m = ious[di, gi], gi
-                if m == -1:
-                    continue
-                dtm[ti, di] = gts[m]["id"]
-                gtm[ti, m] = dts[di]["id"]
-                dt_ig[ti, di] = bool(gt_ig[m])
+                    dtm[ti, di] = gts[m]["id"]
+                    gtm[ti, m] = dts[di]["id"]
+                    dt_ig[ti, di] = bool(gt_ig[m])
 
         return {
             "dtScores": np.asarray([d["score"] for d in dts]),
