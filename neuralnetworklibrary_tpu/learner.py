@@ -90,6 +90,7 @@ class Learner:
         mesh=None,
         seed: int = 0,
         input_pipeline=None,
+        param_sharding="default",
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -105,6 +106,14 @@ class Learner:
         # fuses it with the model forward.  Change via set_input_pipeline.
         self.input_pipeline = input_pipeline
         self.mesh = mesh if mesh is not None else pmesh.get_mesh()
+        # tensor-parallel param placement: 'default' shards large matmul
+        # weights over a 'model' mesh axis when one exists (no-op on 1D
+        # meshes); pass a custom rule(path, leaf) -> PartitionSpec, or None
+        # to replicate everything
+        self.param_sharding = (
+            pmesh.default_param_rule(self.mesh) if param_sharding == "default"
+            else param_sharding
+        )
         if data.bs % self.mesh.shape["data"] != 0:
             raise ValueError(
                 f"batch size {data.bs} must be divisible by the data-parallel "
@@ -154,7 +163,7 @@ class Learner:
             self.params, self.state.get("batch_stats") or None,
             layer_groups=lg, head_prefixes=heads,
         )
-        self.params = pmesh.replicate_tree(self.params, self.mesh)
+        self.params = pmesh.shard_params(self.params, self.mesh, self.param_sharding)
         if self.state:
             self.state = pmesh.replicate_tree(self.state, self.mesh)
 
@@ -179,11 +188,12 @@ class Learner:
             print(f"no file found at '{path}'")
             return
         trees = ckpt.load_pytrees(path)
-        self.params = pmesh.replicate_tree(trees["params"], self.mesh)
+        self.params = pmesh.shard_params(trees["params"], self.mesh, self.param_sharding)
         if "state" in trees:
             self.state = pmesh.replicate_tree(trees["state"], self.mesh)
         if saved_optimizer and "opt_state" in trees:
-            self.opt_state = pmesh.replicate_tree(trees["opt_state"], self.mesh)
+            self.opt_state = pmesh.shard_params(trees["opt_state"], self.mesh,
+                                                self.param_sharding)
 
     # ---------------------------------------------------- freeze / unfreeze
 
@@ -422,6 +432,18 @@ class Learner:
         return results
 
     # -------------------------------------------------------------- predict
+
+    def predict1minibatch(self, xs):
+        """Eval-mode forward on one batch of inputs (Learner.py:277-284).
+        ``xs``: tuple of arrays (or a single array)."""
+        if not isinstance(xs, (tuple, list)):
+            xs = (xs,)
+        xs = tuple(jnp.asarray(x) for x in xs)
+        if self.input_pipeline is not None:
+            xs = self.input_pipeline(self.rng, xs, False)
+        variables = {"params": self.params, **self.state}
+        fn = jax.jit(partial(self.model.apply, **self._model_kwargs(False)))
+        return fn(variables, *xs)
 
     def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
         """Predictions for a whole dataset (Learner.py:286-393).

@@ -30,6 +30,49 @@ def get_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def get_mesh_2d(dp: int, tp: int = 1, axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """A (dp × tp) mesh for combined data + tensor parallelism.
+
+    Lay the 'model' axis innermost so tensor-parallel collectives ride the
+    fastest links (contiguous device ids map to adjacent ICI neighbors)."""
+    devices = jax.devices()[: dp * tp]
+    if len(devices) < dp * tp:
+        raise ValueError(f"need {dp * tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(dp, tp), axis_names)
+
+
+def default_param_rule(mesh: Mesh, min_size: int = 512):
+    """Default tensor-parallel sharding rule: shard a leaf's LAST axis over
+    'model' when it divides evenly and is large enough (matmul weights and
+    embeddings — the MXU-heavy params); everything else replicates.
+
+    This is the scaling-book recipe: annotate shardings, let XLA GSPMD insert
+    the all-gathers/reduce-scatters.
+    """
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def rule(path, leaf) -> P:
+        if (tp > 1 and getattr(leaf, "ndim", 0) >= 2
+                and leaf.shape[-1] % tp == 0 and leaf.shape[-1] >= min_size):
+            return P(*([None] * (leaf.ndim - 1) + ["model"]))
+        return P()
+
+    return rule
+
+
+def shard_params(tree: Any, mesh: Mesh, rule=None):
+    """device_put a param/opt pytree with per-leaf shardings from ``rule``
+    (None or a 1-sized/absent 'model' axis → fully replicated)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if rule is None or axis_sizes.get("model", 1) == 1:
+        return replicate_tree(tree, mesh)
+
+    def put(path, x):
+        return jax.device_put(x, NamedSharding(mesh, rule(path, x)))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-axis sharding for batches."""
     return NamedSharding(mesh, P(axis))

@@ -1,0 +1,118 @@
+"""Profiling and tracing utilities.
+
+The reference's observability is wall-clock epoch timing + tqdm
+(Learner.py:583,650-652; SURVEY §5 'tracing/profiling').  The TPU-native
+replacement adds what actually matters for an accelerator: device-step timing
+with proper synchronization, throughput counters (images/sec is the
+north-star metric), and jax.profiler trace capture for xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with tensorboard/xprof).
+
+    >>> with trace("/tmp/jax-trace"):
+    ...     learner.fit(1e-3, 1)
+    """
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def time_step(fn: Callable, *args, iters: int = 20, warmup: int = 3, **kwargs) -> dict:
+    """Time a device computation with correct synchronization.
+
+    Runs ``fn(*args, **kwargs)`` ``warmup`` times (compile + cache), then
+    ``iters`` times with ``block_until_ready`` only at the end — measuring
+    the real pipelined dispatch rate, not per-call latency.  Returns
+    {'mean_s', 'steps_per_s', 'total_s'}.
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return {"mean_s": dt / iters, "steps_per_s": iters / dt, "total_s": dt}
+
+
+class Throughput:
+    """Streaming samples/sec counter — the images/sec north-star meter.
+
+    >>> tp = Throughput()
+    >>> for batch in dl:
+    ...     loss = learner.train1minibatch(batch, lr)
+    ...     tp.update(batch.n_valid)
+    >>> print(tp.rate(), "samples/s")
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t0 = time.perf_counter()
+        self._n = 0
+
+    def update(self, n: int):
+        self._n += int(n)
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    def rate(self) -> float:
+        dt = time.perf_counter() - self._t0
+        return self._n / dt if dt > 0 else 0.0
+
+
+def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
+    """Measure a learner's end-to-end and device-only train throughput.
+
+    Returns {'e2e_samples_per_s', 'device_samples_per_s', 'host_fraction'}:
+    the gap between the two is input-pipeline overhead — the quantity the
+    cache/threaded-decode knobs exist to close.
+    """
+    batches = []
+    for b in learner.data.train_dl:
+        batches.append(b)
+        if len(batches) >= n_batches:
+            break
+    loss = learner.train1minibatch(batches[0], lr)  # compile
+    jax.block_until_ready(loss)
+
+    # device-only: pre-materialized batches
+    t0 = time.perf_counter()
+    n = 0
+    for b in batches:
+        loss = learner.train1minibatch(b, lr)
+        n += b.n_valid
+    jax.block_until_ready(loss)
+    dev = n / (time.perf_counter() - t0)
+
+    # end-to-end: fresh batches through the loader
+    t0 = time.perf_counter()
+    n = 0
+    for i, b in enumerate(learner.data.train_dl):
+        loss = learner.train1minibatch(b, lr)
+        n += b.n_valid
+        if i + 1 >= n_batches:
+            break
+    jax.block_until_ready(loss)
+    e2e = n / (time.perf_counter() - t0)
+    return {
+        "e2e_samples_per_s": e2e,
+        "device_samples_per_s": dev,
+        "host_fraction": max(0.0, 1.0 - e2e / dev) if dev > 0 else 0.0,
+    }

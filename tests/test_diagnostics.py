@@ -60,3 +60,23 @@ def test_capture_features(learner):
     y, feats = capture_features(learner.model, variables, x)
     assert y.shape[0] == x.shape[0]
     assert len(feats) > 0  # intermediate module outputs captured
+
+def test_profiling_utilities(learner):
+    from neuralnetworklibrary_tpu.utils.profiling import (
+        Throughput,
+        profile_learner_step,
+        time_step,
+    )
+
+    tp = Throughput()
+    tp.update(10)
+    tp.update(6)
+    assert tp.n == 16 and tp.rate() > 0
+
+    import jax.numpy as jnp
+    stats = time_step(lambda x: jnp.sum(x * x), jnp.ones(128), iters=5, warmup=1)
+    assert stats["steps_per_s"] > 0
+
+    prof = profile_learner_step(learner, n_batches=3)
+    assert prof["device_samples_per_s"] > 0
+    assert prof["e2e_samples_per_s"] > 0
