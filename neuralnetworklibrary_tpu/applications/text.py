@@ -444,6 +444,20 @@ class WeightDropLSTM(nn.Module):
         # hoisted input projection: (B, T, 4H)
         xp = jnp.einsum("bti,ih->bth", x, w_ih) + b_ih + b_hh
 
+        from neuralnetworklibrary_tpu.ops.pallas_lstm import (
+            lstm_scan,
+            pallas_lstm_available,
+        )
+
+        if train and pallas_lstm_available():
+            # Pallas kernel for the TRAINING step: w_hh / w_hhT stay
+            # VMEM-resident across the whole sequence and the backward emits
+            # per-step gate grads with the weight grad as one big matmul —
+            # measured ~1.2x faster fwd+bwd than the lax.scan at AWD-LSTM
+            # scale (ops/pallas_lstm.py).  Eval keeps the scan (XLA's
+            # streaming forward is already bandwidth-optimal there).
+            return lstm_scan(xp, w_hh, h0, c0)
+
         def step(carry, xp_t):
             h, c = carry
             gates = xp_t + h @ w_hh
