@@ -45,3 +45,57 @@ def load_pytrees(path: str) -> dict[str, Any]:
             name, leaf_path = parts[0], parts[1:]
             out.setdefault(name, {})[leaf_path] = data[key]
     return {name: unflatten_params(flat) for name, flat in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Async checkpointing (SURVEY §5 'checkpoint/resume' rebuild note)
+# ---------------------------------------------------------------------------
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer: the device→host pull happens on the
+    caller's thread (cheap, overlaps with the next dispatched step), the disk
+    write on a background thread so training never waits on IO.
+
+    >>> ck = AsyncCheckpointer()
+    >>> ck.save(path, {"params": learner.params})   # returns immediately
+    >>> ck.wait()                                    # join outstanding writes
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threads: list = []
+        self._lock = threading.Lock()
+        self._errors: list = []
+
+    def save(self, path: str, trees: Mapping[str, Any]) -> None:
+        import threading
+
+        # pull to host NOW (values at this step, not whenever the thread runs)
+        host_trees = {
+            name: (jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), t)
+                   if t is not None else None)
+            for name, t in trees.items()
+        }
+
+        def write():
+            try:
+                save_pytrees(path, host_trees)
+            except Exception as e:  # surfaced on wait()
+                with self._lock:
+                    self._errors.append(e)
+
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        with self._lock:
+            self._threads = [th for th in self._threads if th.is_alive()] + [t]
+
+    def wait(self) -> None:
+        """Block until all outstanding writes finish; re-raise any failure."""
+        with self._lock:
+            threads = list(self._threads)
+        for t in threads:
+            t.join()
+        with self._lock:
+            if self._errors:
+                raise self._errors.pop()

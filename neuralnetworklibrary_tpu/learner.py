@@ -173,16 +173,29 @@ class Learner:
 
     # -------------------------------------------------------- save / load
 
-    def save(self, filename: str, save_optimizer: bool = False):
+    def save(self, filename: str, save_optimizer: bool = False,
+             async_save: bool = False):
         """Checkpoint params (+ bn stats, + optionally optimizer state) to
-        ``PATH/models/<filename>.npz`` (Learner.py:119-133)."""
+        ``PATH/models/<filename>.npz`` (Learner.py:119-133).  ``async_save``
+        pulls values to host immediately but writes on a background thread so
+        the train loop never blocks on disk."""
         trees = {"params": self.params, "state": self.state or None}
         if save_optimizer:
             trees["opt_state"] = self.opt_state
-        ckpt.save_pytrees(self.PATH + "models/" + filename + ".npz", trees)
+        path = self.PATH + "models/" + filename + ".npz"
+        if async_save:
+            if not hasattr(self, "_async_ck"):
+                self._async_ck = ckpt.AsyncCheckpointer()
+            self._async_ck.save(path, trees)
+        else:
+            if hasattr(self, "_async_ck"):
+                self._async_ck.wait()  # never race a sync save with async ones
+            ckpt.save_pytrees(path, trees)
 
     def load(self, filename: str, saved_optimizer: bool = False):
         """Restore a checkpoint saved by :meth:`save` (Learner.py:135-153)."""
+        if hasattr(self, "_async_ck"):
+            self._async_ck.wait()  # make pending async saves visible
         path = self.PATH + "models/" + filename + ".npz"
         if not os.path.isfile(path):
             print(f"no file found at '{path}'")

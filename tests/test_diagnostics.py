@@ -80,3 +80,33 @@ def test_profiling_utilities(learner):
     prof = profile_learner_step(learner, n_batches=3)
     assert prof["device_samples_per_s"] > 0
     assert prof["e2e_samples_per_s"] > 0
+
+
+def test_async_checkpoint(learner, tmp_path):
+    import os
+
+    learner.save("async_ck", async_save=True)
+    learner._async_ck.wait()
+    assert os.path.isfile(learner.PATH + "models/async_ck.npz")
+    before = learner.evaluate("val")
+    before = before[0] if isinstance(before, list) else before
+    learner.load("async_ck")
+    after = learner.evaluate("val")
+    after = after[0] if isinstance(after, list) else after
+    assert abs(float(before) - float(after)) < 1e-6
+
+
+def test_inference_export(learner):
+    from neuralnetworklibrary_tpu.utils.export import (
+        compile_inference,
+        make_inference_fn,
+    )
+
+    batch = learner.data.train_dl.peek()
+    fn = make_inference_fn(learner, postprocess=None)
+    y = fn(*(jnp.asarray(x) for x in batch.xs))
+    assert y.shape[0] == batch.xs[0].shape[0]
+
+    compiled = compile_inference(learner, batch.xs, postprocess=None)
+    y2 = compiled(*(jnp.asarray(x) for x in batch.xs))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5)
