@@ -203,7 +203,7 @@ class BBoxDataLoader:
 
     def __init__(self, ds: BBoxDataset, bs: int, max_objects: int,
                  shuffle=True, bucket=True, granularity=128,
-                 max_side=1216 + 128, seed=0, record_geometry=False):
+                 max_side=1536, seed=0, record_geometry=False):
         self.ds, self.bs = ds, bs
         self.max_objects = max(1, int(max_objects))
         self.shuffle = shuffle
@@ -265,7 +265,9 @@ class BBoxDataLoader:
         for i, (b, c) in enumerate(zip(boxes_list, cats_list)):
             m = min(len(b), M)
             if m:
-                bb[i, :m] = b[:m]
+                # clip to the canvas: if max_side cropped the image, targets
+                # must not extend past what the model can see
+                bb[i, :m] = np.clip(b[:m], 0, [W, H, W, H])
                 cc[i, :m] = c[:m]
 
         mask = np.zeros(self.bs, np.float32)
@@ -372,6 +374,9 @@ class BBoxDataObj:
 
         train_images = build_images(trn, train_name)
         if val_json:
+            if not val_name:
+                raise ValueError("val_json requires val_name (the folder "
+                                 "holding the validation images)")
             val_images = build_images(load(val_json), val_name)
         else:
             train_images, val_images = SplitTrainVal(train_images, val_frac=val_frac, seed=seed)
@@ -824,10 +829,8 @@ class ObjectDetectionLearner(Learner):
         self.predictor = BBoxPredictor()
 
     def _forward(self, xs):
-        """Jitted eval forward; jax.jit caches one program per input shape."""
-        variables = {"params": self.params, **self.state}
-        return jax.jit(partial(self.model.apply, **self._model_kwargs(False)))(
-            variables, *xs)
+        """Eval forward via the base class's cached jit wrapper."""
+        return self.predict1minibatch(xs)
 
     def predict(self, dl="val", thresh=0.05, max_overlap=0.5, rel_thresh=None,
                 top_k=1000, max_boxes=20, dup=None, inc=None, rescale=True,
@@ -836,8 +839,12 @@ class ObjectDetectionLearner(Learner):
         (PredBoxes, PredClasses, ConfScores) with boxes rescaled back to
         original image coordinates by 1/scale (Learner.py:378-380)."""
         if isinstance(dl, str):
-            dl = {"val": self.data.val_dl, "test": self.data.test_dl,
-                  "train": self.data.train_dl}[dl]
+            if dl == "train":
+                # the train loader is aspect-bucketed + shuffled and applies
+                # batch jitter, so outputs can't align with ds.images — the
+                # reference imposes the same restriction (Learner.py:339-340)
+                raise ValueError("bbox predict requires dl in {'val', 'test'}")
+            dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
         PredBoxes, PredClasses, ConfScores = [], [], []
         for batch in dl:
             anchors, reg, clas = self._forward(

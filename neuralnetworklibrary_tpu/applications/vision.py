@@ -162,30 +162,42 @@ def size_histograms(IMG_PATH: str, sample_size: Optional[int] = None):
 
 # bbox coordinate helpers (Vision.py:191-256); boxes as numpy rows
 def hw_to_mm(b):
-    """[x, y, w, h] → [x_min, y_min, x_max, y_max] (Vision.py:191)."""
+    """[x, y, w, h] → [x_min, y_min, x_max, y_max], inclusive-pixel convention
+    (x_max = x + w − 1; Vision.py:191-193)."""
     b = np.asarray(b, np.float32)
-    return np.concatenate([b[..., :2], b[..., :2] + b[..., 2:]], axis=-1)
+    return np.concatenate([b[..., :2], b[..., :2] + b[..., 2:] - 1], axis=-1)
 
 
 def mm_to_hw(b):
-    """[x_min, y_min, x_max, y_max] → [x, y, w, h] (Vision.py:195)."""
+    """[x_min, y_min, x_max, y_max] → [x, y, w, h] (w = x_max − x_min + 1;
+    Vision.py:195-197)."""
     b = np.asarray(b, np.float32)
-    return np.concatenate([b[..., :2], b[..., 2:] - b[..., :2]], axis=-1)
+    return np.concatenate([b[..., :2], b[..., 2:] - b[..., :2] + 1], axis=-1)
 
 
 def convert_bbox_list(bbox_list):
-    """List of ([x,y,w,h], cat) → (N,4) min-max boxes + (N,) cats (Vision.py:199)."""
+    """Standard bbox list [(box, cat), ...] → ((N,4) boxes, (N,) cats) arrays
+    (Vision.py:199-210).  PURE unpacking — boxes pass through unchanged (the
+    standard list already holds min-max boxes, converted once at dataset
+    construction)."""
     if len(bbox_list) == 0:
         return np.zeros((0, 4), np.float32), np.zeros((0,), np.int64)
-    boxes = hw_to_mm(np.asarray([b for b, c in bbox_list], np.float32))
+    boxes = np.asarray([b for b, c in bbox_list], np.float32)
     cats = np.asarray([c for b, c in bbox_list], np.int64)
     return boxes, cats
 
 
 def rev_bbox_list(boxes, cats):
-    """Inverse of convert_bbox_list (Vision.py:212)."""
-    hw = mm_to_hw(np.asarray(boxes, np.float32))
-    return [(hw[i], int(c)) for i, c in enumerate(np.asarray(cats))]
+    """Inverse of convert_bbox_list, truncating −1 padding (Vision.py:212-232).
+    Boxes pass through unchanged (still min-max)."""
+    boxes = np.asarray(boxes, np.float32)
+    cats = np.asarray(cats)
+    out = []
+    for i in range(len(cats)):
+        if cats[i] == -1:
+            break
+        out.append((boxes[i], int(cats[i])))
+    return out
 
 
 def jaccard(boxes_a, boxes_b):

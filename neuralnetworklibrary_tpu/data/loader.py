@@ -102,6 +102,10 @@ class DataLoader:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         return self._pool
 
+    def __del__(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
     def __len__(self):
         n = len(self.dataset)
         return n // self.bs if self.drop_last else -(-n // self.bs)

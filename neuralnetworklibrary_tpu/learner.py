@@ -455,8 +455,10 @@ class Learner:
         if self.input_pipeline is not None:
             xs = self.input_pipeline(self.rng, xs, False)
         variables = {"params": self.params, **self.state}
-        fn = jax.jit(partial(self.model.apply, **self._model_kwargs(False)))
-        return fn(variables, *xs)
+        if not hasattr(self, "_p1m_jit"):  # one wrapper → shape-keyed cache
+            self._p1m_jit = jax.jit(
+                partial(self.model.apply, **self._model_kwargs(False)))
+        return self._p1m_jit(variables, *xs)
 
     def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
         """Predictions for a whole dataset (Learner.py:286-393).

@@ -177,13 +177,19 @@ class COCOeval:
         return [a for a in coco.imgToAnns[imgId] if a["category_id"] == catId]
 
     def evaluate(self):
+        """Per (image, category, areaRng) greedy matching — like pycocotools,
+        each area range runs its OWN matching pass with out-of-range gts
+        treated as ignored (they neither demand recall nor penalize matched
+        detections)."""
         p = self.params
         maxDet = p.maxDets[-1]
         for imgId in p.imgIds:
             for catId in p.catIds:
-                self.evalImgs[imgId, catId] = self._evaluate_img(imgId, catId, maxDet)
+                for a, aRng in enumerate(p.areaRng):
+                    self.evalImgs[imgId, catId, a] = self._evaluate_img(
+                        imgId, catId, aRng, maxDet)
 
-    def _evaluate_img(self, imgId, catId, maxDet):
+    def _evaluate_img(self, imgId, catId, aRng, maxDet):
         p = self.params
         gts = self._gather(self.cocoGt, imgId, catId)
         dts = self._gather(self.cocoDt, imgId, catId)
@@ -191,12 +197,12 @@ class COCOeval:
             return None
 
         # the reference's modification: an explicit 'ignore' flag wins; else
-        # iscrowd implies ignore (cocoeval.py:106-119)
+        # iscrowd implies ignore (cocoeval.py:106-119); a gt outside this
+        # area range is also ignored (cocoeval.py:111)
         for g in gts:
-            if "ignore" in g:
-                g["_ignore"] = int(g["ignore"])
-            else:
-                g["_ignore"] = int(g.get("iscrowd", 0))
+            base = int(g["ignore"]) if "ignore" in g else int(g.get("iscrowd", 0))
+            area = g.get("area", g["bbox"][2] * g["bbox"][3])
+            g["_ignore"] = int(base or area < aRng[0] or area > aRng[1])
 
         dts = sorted(dts, key=lambda d: -d["score"])[:maxDet]
         gt_order = np.argsort([g["_ignore"] for g in gts], kind="stable")
@@ -208,11 +214,9 @@ class COCOeval:
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
         ious = bbox_iou_xywh(dt_boxes, gt_boxes, iscrowd)
 
-        gt_ig = np.asarray([g["_ignore"] for g in gts])
-        gt_areas = np.asarray(
-            [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts]
-        ) if G else np.zeros(0)
+        gt_ig = np.asarray([g["_ignore"] for g in gts]) if G else np.zeros(0, int)
         dt_areas = dt_boxes[:, 2] * dt_boxes[:, 3]
+        dt_out = (dt_areas < aRng[0]) | (dt_areas > aRng[1])
 
         # greedy matching per threshold (cocoeval.py:129-228 semantics);
         # C++ sweep when available, python loop otherwise
@@ -255,13 +259,15 @@ class COCOeval:
                     gtm[ti, m] = dts[di]["id"]
                     dt_ig[ti, di] = bool(gt_ig[m])
 
+        # pycocotools cocoeval.py:225-226: an unmatched det outside the area
+        # range is also ignored for this range
+        dt_ig = dt_ig | ((dtm == 0) & dt_out[None, :])
+
         return {
             "dtScores": np.asarray([d["score"] for d in dts]),
             "dtm": dtm,
             "dtIgnore": dt_ig,
-            "dtAreas": dt_areas,
             "gtIgnore": gt_ig,
-            "gtAreas": gt_areas,
             "num_gt": G,
         }
 
@@ -275,8 +281,8 @@ class COCOeval:
         recall = -np.ones((T, K, A, M))
 
         for k, catId in enumerate(p.catIds):
-            for a, aRng in enumerate(p.areaRng):
-                Es = [self.evalImgs.get((imgId, catId)) for imgId in p.imgIds]
+            for a in range(A):
+                Es = [self.evalImgs.get((imgId, catId, a)) for imgId in p.imgIds]
                 Es = [e for e in Es if e is not None]
                 if not Es:
                     continue
@@ -284,18 +290,11 @@ class COCOeval:
                     scores, matched, ignored = [], [], []
                     npig = 0
                     for e in Es:
-                        # per-area gt count: non-ignored gts inside the range
-                        g_in = (e["gtAreas"] >= aRng[0]) & (e["gtAreas"] < aRng[1])
-                        g_ig = e["gtIgnore"].astype(bool) | ~g_in
-                        npig += int((~g_ig).sum())
+                        npig += int((~e["gtIgnore"].astype(bool)).sum())
                         d = min(maxDet, len(e["dtScores"]))
                         scores.append(e["dtScores"][:d])
                         matched.append(e["dtm"][:, :d])
-                        d_out = (e["dtAreas"][:d] < aRng[0]) | (e["dtAreas"][:d] >= aRng[1])
-                        # unmatched dets outside the range are ignored, and
-                        # dets matched to (area-)ignored gts are ignored
-                        dig = e["dtIgnore"][:, :d] | ((e["dtm"][:, :d] == 0) & d_out[None, :])
-                        ignored.append(dig)
+                        ignored.append(e["dtIgnore"][:, :d])
                     if npig == 0:
                         continue
                     scores = np.concatenate(scores)

@@ -115,3 +115,32 @@ def test_cocoeval_localization_threshold():
     stats = E.summarize()
     assert stats[1] == pytest.approx(1.0)  # AP50
     assert stats[2] == pytest.approx(0.0)  # AP75
+
+
+def test_area_range_matched_det_ignored():
+    """A det matched to a gt outside the evaluated area range must be IGNORED
+    for that range (pycocotools semantics), not counted as a TP."""
+    g = {
+        "images": [{"id": 1}],
+        "categories": [{"id": 1, "name": "a"}],
+        "annotations": [
+            # one medium gt (70x70 = 4900 > 32^2) and one small gt (20x20)
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [0, 0, 70, 70],
+             "area": 4900, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 1, "bbox": [80, 80, 20, 20],
+             "area": 400, "iscrowd": 0},
+        ],
+    }
+    gt = COCO(g)
+    dt = gt.loadRes([
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 70, 70], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [80, 80, 20, 20], "score": 0.8},
+    ])
+    E = COCOeval(gt, dt, "bbox")
+    E.evaluate()
+    E.accumulate()
+    stats = E.summarize()
+    assert stats[0] == pytest.approx(1.0)   # overall perfect
+    assert stats[3] == pytest.approx(1.0)   # AP_small: only the small pair counts
+    assert stats[4] == pytest.approx(1.0)   # AP_medium: only the medium pair
+    assert stats[5] == pytest.approx(-1.0)  # AP_large: no large gts

@@ -77,12 +77,20 @@ class TestBBoxHelpers:
     def test_roundtrip(self):
         b = np.array([[10.0, 20.0, 30.0, 40.0]])
         np.testing.assert_allclose(mm_to_hw(hw_to_mm(b)), b)
-        bl = [(np.array([5.0, 5.0, 10.0, 10.0]), 2)]
+        # inclusive-pixel convention: x_max = x + w - 1 (Vision.py:191-197)
+        np.testing.assert_allclose(hw_to_mm(np.array([5.0, 5.0, 10.0, 10.0])),
+                                   [5, 5, 14, 14])
+        # convert/rev are pure (un)packing — boxes pass through unchanged
+        bl = [(np.array([5.0, 5.0, 15.0, 15.0]), 2)]
         boxes, cats = convert_bbox_list(bl)
         np.testing.assert_allclose(boxes, [[5, 5, 15, 15]])
         back = rev_bbox_list(boxes, cats)
-        np.testing.assert_allclose(back[0][0], [5, 5, 10, 10])
+        np.testing.assert_allclose(back[0][0], [5, 5, 15, 15])
         assert back[0][1] == 2
+        # rev truncates -1 padding (Vision.py:212-232)
+        padded = rev_bbox_list(np.array([[5, 5, 15, 15], [-1, -1, -1, -1]]),
+                               np.array([2, -1]))
+        assert len(padded) == 1
 
     def test_jaccard(self):
         a = np.array([[0, 0, 10, 10], [0, 0, 5, 5]], np.float32)
