@@ -86,3 +86,10 @@ def test_tp_checkpoint_roundtrip():
     after = after[0] if isinstance(after, list) else after
     before = before if not isinstance(before, list) else before[0]
     assert abs(float(before) - float(after)) < 1e-6
+
+
+def test_device_count_invariance():
+    """SURVEY §4: same loss trajectory at fixed bs for n_devices in {1, 8}."""
+    _, l1 = _train(get_mesh(1), emb_dim=16)
+    _, l8 = _train(get_mesh(8), emb_dim=16)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=2e-5)
