@@ -22,6 +22,16 @@ import time
 
 import numpy as np
 
+
+def _sync(x):
+    """Execution barrier that works on every backend: fetch a (scalar) value.
+    (block_until_ready is unreliable over remote-tunneled TPU plugins.)"""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
+
 IMG_ROOT = "/tmp/nnl_bench_dogscats"
 N_IMAGES = 512
 BS = 64
@@ -65,20 +75,22 @@ def main():
     learner = ImageLearner("/tmp/nnl_bench", data, model, optimizer="Adam2")
     learner.init_optimizer(wd=1e-4)
 
-    # warmup: compile the unfrozen train step
-    it = iter(learner.data.train_dl)
-    b0 = next(it)
-    loss = learner.train1minibatch(b0, lr_batch=1e-3)
-    loss = learner.train1minibatch(next(it), lr_batch=1e-3)
-    jax.block_until_ready(loss)
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
 
+    # warmup: compile the unfrozen train step + fill the image cache
+    for b in device_prefetch(learner.data.train_dl, learner.mesh):
+        loss = learner.train1minibatch(b, lr_batch=1e-3)
+    _sync(loss)
+
+    # timed epochs: host decode/augment threads + device-prefetched uploads
+    # overlap the train step — the same path learner.fit uses
     n_imgs, t0 = 0, time.perf_counter()
     epochs = 4
     for _ in range(epochs):
-        for b in learner.data.train_dl:
+        for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
             loss = learner.train1minibatch(b, lr_batch=1e-3)
             n_imgs += b.n_valid
-    jax.block_until_ready(loss)
+    _sync(loss)
     dt = time.perf_counter() - t0
 
     img_per_sec = n_imgs / dt

@@ -450,12 +450,11 @@ class WeightDropLSTM(nn.Module):
         )
 
         if train and pallas_lstm_available():
-            # Pallas kernel for the TRAINING step: w_hh / w_hhT stay
-            # VMEM-resident across the whole sequence and the backward emits
-            # per-step gate grads with the weight grad as one big matmul —
-            # measured ~1.2x faster fwd+bwd than the lax.scan at AWD-LSTM
-            # scale (ops/pallas_lstm.py).  Eval keeps the scan (XLA's
-            # streaming forward is already bandwidth-optimal there).
+            # Opt-in (NNL_PALLAS_LSTM=1) Pallas training kernel: w_hh/w_hhT
+            # pinned in VMEM across the sequence, backward emits per-step
+            # gate grads with the weight grad as one big matmul
+            # (ops/pallas_lstm.py).  Off by default — XLA's scan is
+            # currently faster inside the full train step on v5e.
             return lstm_scan(xp, w_hh, h0, c0)
 
         def step(carry, xp_t):

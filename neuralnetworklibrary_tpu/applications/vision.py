@@ -3,13 +3,14 @@
 Rebuild of the classification half of Applications/Vision.py (detection lives
 in applications.detection).  The TPU-native input-pipeline split:
 
-- host (per sample, in the prefetching DataLoader): cv2 decode + pad + crop +
-  resize to the static (sz, sz), emitted as uint8 (4x cheaper host→device),
-- device (per batch, fused into the jitted train step): rotate-zoom + flip +
-  dihedral as ONE bilinear warp, lighting, blurred noise, normalize — see
-  ops.augment.  The reference runs this whole chain per-sample in cv2 on CPU
-  worker processes (Vision.py:399-507); here the augmented batch never exists
-  in host memory.
+- host (per sample, in the loader's parallel fetch threads, overlapped with
+  device compute): cv2 decode + pad + crop + resize + random rotate-zoom,
+  emitted as uint8 (4x cheaper host→device),
+- device (per batch, fused into the jitted train step): flip/dihedral (pure
+  reversals), lighting, blurred noise, normalize — see ops.augment.  The
+  rotate-zoom stays on the host because a per-pixel-gather warp costs
+  ~100 ms/batch on TPU while cv2 does it in ~0.5 ms/image in threads the
+  device never waits on.
 
 Model: ImageClassificationNet = body (e.g. nn.resnet features) + concat-pool
 head (Vision.py:1244-1337), with the body split into 2 layer groups for
@@ -391,16 +392,35 @@ class Transform:
             img = img[:, c:c + L]
         if self.sz:
             img = cv2.resize(img, (self.sz[1], self.sz[0]), interpolation=cv2.INTER_LINEAR)
+        # random rotate-zoom on the host (cv2.warpAffine, reflect border —
+        # Vision.py:449-456,493-495).  Runs inside the loader's fetch threads
+        # and overlaps with device compute; the equivalent per-pixel-gather
+        # warp on TPU costs ~100 ms/batch (see ops.augment).
+        if self.max_deg:
+            if rng is not None:
+                deg = float(rng.uniform(-self.max_deg, self.max_deg))
+                zoom = float(rng.uniform(1.0, self.max_zoom)) if self.max_zoom else 1.0
+            else:
+                with self._rng_lock:
+                    deg = float(self._rng.uniform(-self.max_deg, self.max_deg))
+                    zoom = (float(self._rng.uniform(1.0, self.max_zoom))
+                            if self.max_zoom else 1.0)
+            rows, cols = img.shape[:2]
+            M = cv2.getRotationMatrix2D((cols / 2, rows / 2), deg, zoom)
+            img = cv2.warpAffine(img, M, (cols, rows), borderMode=cv2.BORDER_REFLECT)
         return img
 
     # ---- device part ----
     def device_apply(self, key, batch, train: bool):
+        """Per-batch device stages: flip/dihedral (reversals), lighting,
+        blurred noise, normalize.  Rotate-zoom already happened on the host
+        in __call__ (per sample, overlapped with compute).)"""
         if train and (self.has_random_geometry or self.bal_range or self.max_noise):
             if key is None:
                 key = jax.random.PRNGKey(0)
             return augment_batch(
-                key, batch, tfm_type=self.tfm_type, max_deg=self.max_deg,
-                max_zoom=self.max_zoom, bal_range=self.bal_range,
+                key, batch, tfm_type=self.tfm_type, max_deg=None,
+                max_zoom=None, bal_range=self.bal_range,
                 cont_range=self.cont_range, max_noise=self.max_noise,
                 stats=self.stats)
         return normalize_batch(batch, self.stats)

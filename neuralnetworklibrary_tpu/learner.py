@@ -122,7 +122,7 @@ class Learner:
 
         self.rng = jax.random.PRNGKey(seed)
         self._init_variables()
-        self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = self._committed_opt_state()
 
         self.frozen = False
         self.bn_frozen: Optional[str] = None
@@ -131,7 +131,7 @@ class Learner:
         self.mom_sched: list = []
         self.betas_sched: list = []
         self.moving_avg_loss = 0.0
-        self._ema = jnp.zeros(())
+        self._ema = self._zero_ema()
         self._step_cache: dict = {}
         self._eval_cache: dict = {}
         self._global_step = 0
@@ -213,7 +213,18 @@ class Learner:
     def _reset_opt_state(self):
         # The reference re-creates its Optimizer (losing all state) on every
         # freeze/unfreeze/bn_freeze (Learner.py:241,246,263,271).
-        self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = self._committed_opt_state()
+
+    def _committed_opt_state(self):
+        """Fresh optimizer state with EXPLICIT device placement.  Leaves
+        created eagerly are 'uncommitted' in jax; the jitted step's outputs
+        come back committed, so an uncommitted initial state changes the call
+        signature after the first step and costs one full recompile."""
+        return pmesh.shard_params(self.optimizer.init(self.params), self.mesh,
+                                  self.param_sharding)
+
+    def _zero_ema(self):
+        return pmesh.replicate_tree(jnp.zeros(()), self.mesh)
 
     def freeze(self):
         """Train only the head submodule (Learner.py:237-241)."""
@@ -403,7 +414,7 @@ class Learner:
         total, count, correct = 0.0, 0.0, 0.0
         mvals = np.zeros(len(batch_metrics))
         preds, ys = [], []
-        for bi, batch in enumerate(dl):
+        for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
             loss_sum, n, corr, mv, y_pred, mut = estep(
                 self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
@@ -530,7 +541,7 @@ class Learner:
 
         self.loss_sched, self.lr_sched, self.mom_sched, self.betas_sched = [], [], [], []
         self.moving_avg_loss = 0.0
-        self._ema = jnp.zeros(())
+        self._ema = self._zero_ema()
 
         min_loss = _first(self.evaluate("val"))
         if save_name:
@@ -552,7 +563,9 @@ class Learner:
         i = 0
         for n in range(num_epochs):
             start = time.time()
-            for j, batch in enumerate(self.data.train_dl):
+            # device_prefetch: batch k+1 uploads while batch k computes
+            for j, batch in enumerate(
+                    pmesh.device_prefetch(self.data.train_dl, self.mesh)):
                 self.lr_sched.append(lr_sched[i])
                 mom_i = mom_sched[i] if mom_sched is not None else None
                 betas_i = betas_sched[i] if betas_sched is not None else None
@@ -659,7 +672,7 @@ class Learner:
         self._check_lr_len(lr_max)
         self.save("temp", save_optimizer=True)
         self.moving_avg_loss = 0.0
-        self._ema = jnp.zeros(())
+        self._ema = self._zero_ema()
         self.loss_sched, self.lr_sched, self.mom_sched, self.betas_sched = [], [], [], []
         self.init_optimizer(wd, bn_wd, clip)
 
@@ -670,7 +683,7 @@ class Learner:
         initial_loss, done = None, False
         i = 0
         for n in range(num_epochs):
-            for batch in self.data.train_dl:
+            for batch in pmesh.device_prefetch(self.data.train_dl, self.mesh):
                 loss = self.train1minibatch(batch, lr_sched[i], momentum, betas)
                 self.loss_sched.append(float(loss))
                 self.lr_sched.append(lr_sched[i])

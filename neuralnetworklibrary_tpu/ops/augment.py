@@ -188,25 +188,34 @@ def _augment_impl(key, imgs, tfm_type, max_deg, max_zoom, bal_lo, bal_hi,
 
     k_rz, k_flip, k_rot, k_bal, k_cont, k_noise = jax.random.split(key, 6)
 
-    # one composed inverse affine per image: rot-zoom ∘ flip ∘ rot90
-    A, b = _identity_affine(B)
-    need_warp = False
+    # optional rotate-zoom as one inverse-affine bilinear resample.  NOTE:
+    # per-pixel gathers are slow on TPU (~2 ms/Mpixel), so the default
+    # pipeline applies rotate-zoom on the HOST (cv2, inside the loader's
+    # fetch threads, overlapped with device compute — vision.Transform) and
+    # leaves max_deg=None here; the device path remains for pipelines that
+    # want everything on-accelerator.
     if max_deg is not None:
         kd, kz = jax.random.split(k_rz)
         deg = jax.random.uniform(kd, (B,), minval=-max_deg, maxval=max_deg)
         zoom = jax.random.uniform(kz, (B,), minval=1.0, maxval=max_zoom if max_zoom else 1.0)
         A, b = _rot_zoom_inverse(deg, zoom, W // 2, H // 2)
-        need_warp = True
+        x = warp_affine_batch(x, A, b)
+
+    # flip / dihedral: pure reversals + selects — NO gathers
     if tfm_type in ("SideOn", "TopDown"):
         flip = jax.random.randint(k_flip, (B,), 0, 2)
-        rot = (jax.random.randint(k_rot, (B,), 0, 4)
-               if tfm_type == "TopDown" else jnp.zeros((B,), jnp.int32))
-        dA, db = _dihedral_inverse(flip, rot, H)
-        # dst→src: first undo dihedral, then undo rotate-zoom
-        A, b = _compose(A, b, dA, db)
-        need_warp = True
-    if need_warp:
-        x = warp_affine_batch(x, A, b)
+        x = jnp.where(flip[:, None, None, None].astype(bool), x[:, :, ::-1, :], x)
+        if tfm_type == "TopDown":
+            if H != W:
+                raise ValueError("TopDown dihedral rotations require square images")
+            rot = jax.random.randint(k_rot, (B,), 0, 4)
+            stacked = jnp.stack([
+                x,
+                jnp.rot90(x, 1, (1, 2)),
+                jnp.rot90(x, 2, (1, 2)),
+                jnp.rot90(x, 3, (1, 2)),
+            ])
+            x = stacked[rot, jnp.arange(B)]
 
     # brightness / contrast about the per-image channel mean (Vision.py:500-502)
     if bal_lo is not None:

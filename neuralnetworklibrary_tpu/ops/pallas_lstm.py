@@ -308,10 +308,18 @@ lstm_scan.defvjp(_lstm_fwd_rule, _lstm_bwd_rule)
 
 
 def pallas_lstm_available() -> bool:
-    """True when the TPU backend is active and the kernel isn't disabled."""
+    """True when the TPU backend is active AND the kernel is opted in
+    (NNL_PALLAS_LSTM=1).
+
+    Off by default: honest synced benchmarks (value-fetch barriers — see
+    utils.profiling.sync) show the lax.scan path is ~15% FASTER inside the
+    full jitted train step on v5e (XLA already keeps the scan-invariant
+    w_hh in the chip's large VMEM), so the kernel currently serves as
+    infrastructure for future tuning rather than a default win.
+    """
     import os
 
-    if os.environ.get("NNL_PALLAS_LSTM", "") == "0":
+    if os.environ.get("NNL_PALLAS_LSTM", "") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

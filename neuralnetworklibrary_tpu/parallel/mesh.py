@@ -94,12 +94,44 @@ def shard_batch(batch_arrays, mesh: Mesh, axis: str = "data"):
     rep = replicated(mesh)
 
     def put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % mesh.shape[axis] != 0:
             return jax.device_put(x, rep)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch_arrays)
+
+
+def device_prefetch(batch_iter, mesh: Mesh, size: int = 2, axis: str = "data"):
+    """Move batches to device ``size`` iterations ahead of consumption.
+
+    The host→device transfer of batch k+1 overlaps the device compute of
+    batch k (the flax ``prefetch_to_device`` pattern) — without this the
+    upload serializes with the train step.  Yields the incoming items with
+    their array fields already sharded (objects exposing .xs/.y/.mask get
+    those replaced; plain pytrees are sharded whole).
+    """
+    import collections
+    import dataclasses
+
+    queue = collections.deque()
+
+    def put(item):
+        if hasattr(item, "xs"):
+            xs, y, mask = shard_batch((item.xs, item.y, item.mask), mesh, axis)
+            return dataclasses.replace(item, xs=xs, y=y, mask=mask)
+        return shard_batch(item, mesh, axis)
+
+    # puts stay on the consumer thread: device_put is asynchronous enough in
+    # practice, and a dedicated upload thread measurably HURTS on CPU-poor
+    # hosts (GIL/core contention with the decode threads)
+    for item in batch_iter:
+        queue.append(put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def replicate_tree(tree: Any, mesh: Mesh):

@@ -17,6 +17,22 @@ import jax
 import numpy as np
 
 
+def sync(x) -> None:
+    """Force device execution to COMPLETE by fetching a value.
+
+    ``jax.block_until_ready`` is not a reliable execution barrier on every
+    backend (remote-tunneled plugins can report buffers ready before the
+    device finishes); transferring a leaf's bytes to host is.  All timing in
+    this module synchronizes this way.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    # reduce to a scalar ON DEVICE first — fetching the raw leaf would pull
+    # the whole array across a (possibly tunneled) transport
+    jax.device_get(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with tensorboard/xprof).
@@ -32,18 +48,18 @@ def time_step(fn: Callable, *args, iters: int = 20, warmup: int = 3, **kwargs) -
     """Time a device computation with correct synchronization.
 
     Runs ``fn(*args, **kwargs)`` ``warmup`` times (compile + cache), then
-    ``iters`` times with ``block_until_ready`` only at the end — measuring
-    the real pipelined dispatch rate, not per-call latency.  Returns
+    ``iters`` times with one :func:`sync` at the end — measuring the real
+    pipelined dispatch rate, not per-call latency.  Returns
     {'mean_s', 'steps_per_s', 'total_s'}.
     """
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     return {"mean_s": dt / iters, "steps_per_s": iters / dt, "total_s": dt}
 
@@ -90,7 +106,7 @@ def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
         if len(batches) >= n_batches:
             break
     loss = learner.train1minibatch(batches[0], lr)  # compile
-    jax.block_until_ready(loss)
+    sync(loss)
 
     # device-only: pre-materialized batches
     t0 = time.perf_counter()
@@ -98,7 +114,7 @@ def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
     for b in batches:
         loss = learner.train1minibatch(b, lr)
         n += b.n_valid
-    jax.block_until_ready(loss)
+    sync(loss)
     dev = n / (time.perf_counter() - t0)
 
     # end-to-end: fresh batches through the loader
@@ -109,7 +125,7 @@ def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
         n += b.n_valid
         if i + 1 >= n_batches:
             break
-    jax.block_until_ready(loss)
+    sync(loss)
     e2e = n / (time.perf_counter() - t0)
     return {
         "e2e_samples_per_s": e2e,
