@@ -98,8 +98,11 @@ class TransformBBox:
         return rand_scale, row_jit, col_jit
 
     def __call__(self, img: np.ndarray, target):
-        """img float32 RGB [0,1]; target = bbox list [(xywh, cat), ...] or 0.
-        Returns (img_normalized, bboxes (n,4) min-max, cats (n,))."""
+        """img float32 RGB [0,1]; target = standard bbox list (min-max boxes)
+        or 0.  Returns (img float32 [0,1] UNnormalized, bboxes (n,4) min-max,
+        cats (n,)) — normalization happens on DEVICE (the loader ships uint8,
+        4x less host→device transfer than the reference's normalized floats).
+        """
         flip = int(self._rng.integers(0, 2)) if self.tfm_type == "SideOn" else 0
         if self.record is not None:
             self.record.append((flip, img.shape[1]))
@@ -109,9 +112,6 @@ class TransformBBox:
             cont = self._rng.uniform(*self.cont_range)
             mu = img.mean(axis=(0, 1))
             img = np.clip((img - mu) * cont + bal + mu, 0.0, 1.0)
-
-        img = (img - np.asarray(self.stats[0], np.float32)) / np.asarray(
-            self.stats[1], np.float32)
 
         if flip:
             img = np.ascontiguousarray(img[:, ::-1])
@@ -253,11 +253,13 @@ class BBoxDataLoader:
         H = _snap_up(max(im.shape[0] for im in imgs) + row_jit, self.granularity)
         W = _snap_up(max(im.shape[1] for im in imgs) + col_jit, self.granularity)
         H, W = min(H, self.max_side), min(W, self.max_side)
-        batch_img = np.zeros((self.bs, H, W, 3), np.float32)
+        # ship uint8 (4x less host→device transfer); device normalizes
+        batch_img = np.zeros((self.bs, H, W, 3), np.uint8)
         for i, im in enumerate(imgs):
             h = min(im.shape[0], H - row_jit)
             w = min(im.shape[1], W - col_jit)
-            batch_img[i, row_jit: row_jit + h, col_jit: col_jit + w] = im[:h, :w]
+            batch_img[i, row_jit: row_jit + h, col_jit: col_jit + w] = (
+                np.clip(im[:h, :w], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
         M = self.max_objects
         bb = np.full((self.bs, M, 4), -1.0, np.float32)
@@ -816,6 +818,14 @@ class ObjectDetectionLearner(Learner):
                  use_moving_avg=True, mesh=None, seed=0):
         if loss_func == "default":
             loss_func = SSD_loss()
+        # batches arrive uint8; normalize on device (fused into the step)
+        from neuralnetworklibrary_tpu.ops.augment import normalize_batch
+
+        stats = data.transforms[0].stats
+
+        def _pipeline(key, xs, train):
+            return (normalize_batch(xs[0], stats),) + tuple(xs[1:])
+
         if mesh is None:
             # detection batches are small; default to the largest mesh the
             # train bs divides so DP still engages when it can
@@ -825,7 +835,8 @@ class ObjectDetectionLearner(Learner):
 
             mesh = get_mesh(math.gcd(data.bs, len(jax.devices())))
         super().__init__(PATH, data, model, optimizer, loss_func,
-                         use_moving_avg, mesh=mesh, seed=seed)
+                         use_moving_avg, mesh=mesh, seed=seed,
+                         input_pipeline=_pipeline)
         self.predictor = BBoxPredictor()
 
     def _forward(self, xs):
