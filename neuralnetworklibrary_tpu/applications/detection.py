@@ -1000,3 +1000,39 @@ class ObjectDetectionLearner(Learner):
             bboxes = [(mm_to_hw(b), c) for b, c in zip(pb[i], pc[i])]
             images.append({"img": img, "bboxes": bboxes, "preds": cs[i]})
         return ShowImages(images, self.data.categories, num_cols, figsize)
+
+
+def _retinanet_factory(backbone):
+    def ctor(num_classes, **kw):
+        return ObjectDetectionNet(num_classes=num_classes, backbone=backbone, **kw)
+
+    ctor.__doc__ = (f"RetinaNet with a {backbone} backbone "
+                    "(retinanet.py:390-428 per-depth constructors).")
+    ctor.__name__ = f"retinanet{backbone[6:]}"
+    return ctor
+
+
+retinanet18 = _retinanet_factory("resnet18")
+retinanet34 = _retinanet_factory("resnet34")
+retinanet50 = _retinanet_factory("resnet50")
+retinanet101 = _retinanet_factory("resnet101")
+retinanet152 = _retinanet_factory("resnet152")
+
+
+def retinanet(num_classes=80, coco_state_dict=None):
+    """RetinaNet-resnet50, optionally loading the reference's COCO-pretrained
+    checkpoint (retinanet.py:430-435).  ``coco_state_dict``: a torch
+    state_dict (or path to one); backbone+FPN+subnets all convert."""
+    model = ObjectDetectionNet(num_classes=num_classes, backbone="resnet50")
+    if coco_state_dict is None:
+        return model, None
+
+    from neuralnetworklibrary_tpu.utils.torch_convert import load_torch_retinanet
+
+    if isinstance(coco_state_dict, str):
+        import torch
+
+        coco_state_dict = torch.load(coco_state_dict, map_location="cpu",
+                                     weights_only=True)
+    params, stats = load_torch_retinanet(coco_state_dict, include_subnets=True)
+    return model, (params, stats)
