@@ -91,6 +91,7 @@ class Learner:
         seed: int = 0,
         input_pipeline=None,
         param_sharding="default",
+        matmul_precision=None,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -114,6 +115,10 @@ class Learner:
             pmesh.default_param_rule(self.mesh) if param_sharding == "default"
             else param_sharding
         )
+        # 'bfloat16' trades a little matmul/conv precision for MXU speed
+        # (params stay f32; only the dot/conv compute precision changes);
+        # None keeps the backend default
+        self.matmul_precision = matmul_precision
         if data.bs % self.mesh.shape["data"] != 0:
             raise ValueError(
                 f"batch size {data.bs} must be divisible by the data-parallel "
@@ -284,8 +289,9 @@ class Learner:
         state_keys = tuple(self.state.keys())
         kwargs = self._model_kwargs(train=True)
         pipeline = self.input_pipeline
+        precision = self.matmul_precision
 
-        def step(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
+        def body(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
             if pipeline is not None:
                 rng, aug_key = jax.random.split(rng)
                 xs = pipeline(aug_key, xs, True)
@@ -315,6 +321,12 @@ class Learner:
             )
             ema = ema * _EMA_DECAY + loss * (1.0 - _EMA_DECAY)
             return params, new_state, opt_state, ema, loss
+
+        def step(*args):
+            if precision is None:
+                return body(*args)
+            with jax.default_matmul_precision(precision):  # trace-time scope
+                return body(*args)
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 

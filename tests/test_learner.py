@@ -244,3 +244,31 @@ def test_eval_masked_last_batch_exact(tmp_path):
     )
     manual = float(jnp.mean(jnp.square(y_pred - y)))
     assert np.isclose(loss, manual, rtol=1e-5)
+
+
+def test_matmul_precision_option(tmp_path):
+    """Learner(matmul_precision='bfloat16') trains and converges like f32."""
+    import numpy as np
+    import pandas as pd
+
+    from neuralnetworklibrary_tpu.applications.collab import (
+        CollabFilterDataObj,
+        CollabFilterNet,
+    )
+    from neuralnetworklibrary_tpu.learner import Learner
+
+    rng = np.random.default_rng(0)
+    N = 256
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, N), "i": rng.integers(0, 15, N),
+        "r": (rng.random(N) * 4 + 0.5).astype(np.float32)})
+    data = CollabFilterDataObj.from_dataframes(df, "u", "i", "r", bs=32, seed=0)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=8)
+    learner = Learner(str(tmp_path), data, model, "Adam2",
+                      matmul_precision="bfloat16")
+    l0 = learner.evaluate("val")
+    l0 = l0[0] if isinstance(l0, list) else l0
+    learner.fit(1e-2, 3)
+    l1 = learner.evaluate("val")
+    l1 = l1[0] if isinstance(l1, list) else l1
+    assert np.isfinite(l1) and l1 < l0
