@@ -24,13 +24,10 @@ import numpy as np
 
 
 def _sync(x):
-    """Execution barrier that works on every backend: fetch a (scalar) value.
-    (block_until_ready is unreliable over remote-tunneled TPU plugins.)"""
-    import jax
-    import jax.numpy as jnp
+    """Execution barrier that works on every backend (see utils.profiling)."""
+    from neuralnetworklibrary_tpu.utils.profiling import sync
 
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    jax.device_get(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
+    sync(x)
 
 IMG_ROOT = "/tmp/nnl_bench_dogscats"
 N_IMAGES = 512

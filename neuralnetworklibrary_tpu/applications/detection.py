@@ -137,7 +137,12 @@ def get_transforms_bbox(tfm_type, jitter=20, scale_range=(0.8, 1.2)):
 
 class TransformBBoxShowPreds:
     """Single-image transform for ad-hoc bbox prediction display
-    (Vision.py:614-637): scale → normalize → zero-pad to a /32 size."""
+    (Vision.py:614-637): scale → pad to a /32 size.
+
+    Returns float32 in [0, 1], UNnormalized (padding = the normalization
+    mean) — ObjectDetectionLearner's device pipeline normalizes, so feeding
+    this through predict1minibatch sees each pixel normalized exactly once.
+    """
 
     def __init__(self, stats=imagenet_stats):
         self.stats = stats
@@ -147,11 +152,10 @@ class TransformBBoxShowPreds:
 
         rows, cols = img.shape[:2]
         img = cv2.resize(img, (int(cols * scale), int(rows * scale)))
-        img = (img - np.asarray(self.stats[0], np.float32)) / np.asarray(
-            self.stats[1], np.float32)
         rows, cols = img.shape[:2]
         H, W = _snap_up(rows, 32), _snap_up(cols, 32)
-        out = np.zeros((H, W, 3), np.float32)
+        out = np.broadcast_to(np.asarray(self.stats[0], np.float32),
+                              (H, W, 3)).copy()
         out[:rows, :cols] = img
         return out
 
@@ -253,8 +257,12 @@ class BBoxDataLoader:
         H = _snap_up(max(im.shape[0] for im in imgs) + row_jit, self.granularity)
         W = _snap_up(max(im.shape[1] for im in imgs) + col_jit, self.granularity)
         H, W = min(H, self.max_side), min(W, self.max_side)
-        # ship uint8 (4x less host→device transfer); device normalizes
-        batch_img = np.zeros((self.bs, H, W, 3), np.uint8)
+        # ship uint8 (4x less host→device transfer); device normalizes.
+        # padding = the normalization mean so it maps to ~0 after normalize
+        # (the reference pads zeros AFTER normalizing — same semantics)
+        pad_u8 = (np.asarray(self.ds.transform.stats[0], np.float32)
+                  * 255.0 + 0.5).astype(np.uint8)
+        batch_img = np.broadcast_to(pad_u8, (self.bs, H, W, 3)).copy()
         for i, im in enumerate(imgs):
             h = min(im.shape[0], H - row_jit)
             w = min(im.shape[1], W - col_jit)
@@ -856,8 +864,10 @@ class ObjectDetectionLearner(Learner):
                 # reference imposes the same restriction (Learner.py:339-340)
                 raise ValueError("bbox predict requires dl in {'val', 'test'}")
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
+        from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
         PredBoxes, PredClasses, ConfScores = [], [], []
-        for batch in dl:
+        for batch in pmesh.device_prefetch(dl, self.mesh):
             anchors, reg, clas = self._forward(
                 tuple(jnp.asarray(x) for x in batch.xs))
             img_hw = batch.xs[0].shape[1:3]
@@ -909,7 +919,9 @@ class ObjectDetectionLearner(Learner):
             dl = BBoxDataLoader(ds, 1, self.data.max_objects, shuffle=False,
                                 bucket=False, granularity=self.data.granularity,
                                 seed=i, record_geometry=True)
-            for j, batch in enumerate(dl):
+            from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+            for j, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
                 anchors, reg, clas = self._forward(
                     tuple(jnp.asarray(x) for x in batch.xs))
                 img_hw = batch.xs[0].shape[1:3]

@@ -379,8 +379,9 @@ class Learner:
         kwargs = self._model_kwargs(train=False)
         target_type = self.target_type
         pipeline = self.input_pipeline
+        precision = self.matmul_precision
 
-        def estep(params, state, xs, y, mask, rng):
+        def ebody(params, state, xs, y, mask, rng):
             if pipeline is not None:
                 xs = pipeline(rng, xs, False)
             variables = {"params": params, **state}
@@ -405,6 +406,12 @@ class Learner:
             else:
                 correct = jnp.zeros(())
             return loss_sum, n, correct, mvals, y_pred, mut
+
+        def estep(*args):
+            if precision is None:
+                return ebody(*args)
+            with jax.default_matmul_precision(precision):
+                return ebody(*args)
 
         return jax.jit(estep)
 
@@ -479,8 +486,15 @@ class Learner:
             xs = self.input_pipeline(self.rng, xs, False)
         variables = {"params": self.params, **self.state}
         if not hasattr(self, "_p1m_jit"):  # one wrapper → shape-keyed cache
-            self._p1m_jit = jax.jit(
-                partial(self.model.apply, **self._model_kwargs(False)))
+            apply = partial(self.model.apply, **self._model_kwargs(False))
+            if self.matmul_precision is not None:
+                precision = self.matmul_precision
+
+                def apply(*a, _inner=partial(self.model.apply,
+                                             **self._model_kwargs(False)), **kw):
+                    with jax.default_matmul_precision(precision):
+                        return _inner(*a, **kw)
+            self._p1m_jit = jax.jit(apply)
         return self._p1m_jit(variables, *xs)
 
     def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
@@ -493,7 +507,7 @@ class Learner:
             dl = {"val": self.data.val_dl, "test": getattr(self.data, "test_dl", None), "train": self.data.train_dl}[dl]
         estep = self._get_eval_step(())
         probs_list, labels_list, cont = [], [], []
-        for bi, batch in enumerate(dl):
+        for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
             _, _, _, _, y_pred, mut = estep(
                 self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))

@@ -27,7 +27,10 @@ def sync(x) -> None:
     """
     import jax.numpy as jnp
 
-    leaf = jax.tree_util.tree_leaves(x)[0]
+    leaves = jax.tree_util.tree_leaves(x)
+    if not leaves:  # None / empty pytree: nothing to wait on
+        return
+    leaf = leaves[0]
     # reduce to a scalar ON DEVICE first — fetching the raw leaf would pull
     # the whole array across a (possibly tunneled) transport
     jax.device_get(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
