@@ -430,8 +430,10 @@ class Learner:
         end_ms = [m for m in metrics if _is_end_metric(m)]
         estep = self._get_eval_step(tuple(batch_metrics))
 
-        total, count, correct = 0.0, 0.0, 0.0
-        mvals = np.zeros(len(batch_metrics))
+        # accumulate ON DEVICE: a float() per batch would force a host sync
+        # (and a tunnel round-trip) every iteration
+        total, count, correct = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+        mvals = jnp.zeros(len(batch_metrics))
         preds, ys = [], []
         for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
@@ -439,15 +441,17 @@ class Learner:
                 self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
             if mut:
                 self.state = {**self.state, **mut}
-            total += float(loss_sum)
-            count += float(n)
-            correct += float(corr)
+            total += loss_sum
+            count += n
+            correct += corr
             if len(batch_metrics):
-                mvals += np.asarray(mv)
+                mvals += mv
             if end_ms:
                 preds.append(np.asarray(y_pred)[: batch.n_valid])
                 ys.append(np.asarray(batch.y)[: batch.n_valid])
 
+        total, count, correct = float(total), float(count), float(correct)
+        mvals = np.asarray(mvals)
         avg_loss = total / count
         if dataset_type == "train":
             return avg_loss
