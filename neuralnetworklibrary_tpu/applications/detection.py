@@ -44,6 +44,7 @@ from neuralnetworklibrary_tpu.applications.vision import (
 from neuralnetworklibrary_tpu.data.loader import Batch
 from neuralnetworklibrary_tpu.data.split import SplitTrainVal
 from neuralnetworklibrary_tpu.learner import Learner
+from neuralnetworklibrary_tpu.parallel import mesh as pmesh
 from neuralnetworklibrary_tpu.nn import resnet as _resnet_mod
 from neuralnetworklibrary_tpu.nn.retinanet import (
     DEFAULT_RATIOS,
@@ -260,8 +261,9 @@ class BBoxDataLoader:
         # ship uint8 (4x less host→device transfer); device normalizes.
         # padding = the normalization mean so it maps to ~0 after normalize
         # (the reference pads zeros AFTER normalizing — same semantics)
-        pad_u8 = (np.asarray(self.ds.transform.stats[0], np.float32)
-                  * 255.0 + 0.5).astype(np.uint8)
+        stats = self.ds.transform.stats
+        mean = np.asarray(stats[0], np.float32) if stats is not None else np.zeros(3)
+        pad_u8 = (mean * 255.0 + 0.5).astype(np.uint8)
         batch_img = np.broadcast_to(pad_u8, (self.bs, H, W, 3)).copy()
         for i, im in enumerate(imgs):
             h = min(im.shape[0], H - row_jit)
@@ -864,8 +866,6 @@ class ObjectDetectionLearner(Learner):
                 # reference imposes the same restriction (Learner.py:339-340)
                 raise ValueError("bbox predict requires dl in {'val', 'test'}")
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
-        from neuralnetworklibrary_tpu.parallel import mesh as pmesh
-
         PredBoxes, PredClasses, ConfScores = [], [], []
         for batch in pmesh.device_prefetch(dl, self.mesh):
             anchors, reg, clas = self._forward(
@@ -919,8 +919,6 @@ class ObjectDetectionLearner(Learner):
             dl = BBoxDataLoader(ds, 1, self.data.max_objects, shuffle=False,
                                 bucket=False, granularity=self.data.granularity,
                                 seed=i, record_geometry=True)
-            from neuralnetworklibrary_tpu.parallel import mesh as pmesh
-
             for j, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
                 anchors, reg, clas = self._forward(
                     tuple(jnp.asarray(x) for x in batch.xs))
@@ -1031,14 +1029,18 @@ retinanet101 = _retinanet_factory("resnet101")
 retinanet152 = _retinanet_factory("resnet152")
 
 
-def retinanet(num_classes=80, coco_state_dict=None):
-    """RetinaNet-resnet50, optionally loading the reference's COCO-pretrained
-    checkpoint (retinanet.py:430-435).  ``coco_state_dict``: a torch
-    state_dict (or path to one); backbone+FPN+subnets all convert."""
-    model = ObjectDetectionNet(num_classes=num_classes, backbone="resnet50")
-    if coco_state_dict is None:
-        return model, None
+def retinanet(num_classes=80):
+    """RetinaNet-resnet50 (retinanet.py:430-435's architecture).  To use the
+    reference's COCO-pretrained checkpoint, convert it with
+    :func:`retinanet_coco_weights` and install via
+    utils.torch_convert.install_pretrained."""
+    return ObjectDetectionNet(num_classes=num_classes, backbone="resnet50")
 
+
+def retinanet_coco_weights(coco_state_dict):
+    """Convert the reference RetinanetPretrainedCOCO.pt state_dict (or a path
+    to it) → (params, batch_stats) covering backbone + FPN + 80-class
+    subnets."""
     from neuralnetworklibrary_tpu.utils.torch_convert import load_torch_retinanet
 
     if isinstance(coco_state_dict, str):
@@ -1046,5 +1048,4 @@ def retinanet(num_classes=80, coco_state_dict=None):
 
         coco_state_dict = torch.load(coco_state_dict, map_location="cpu",
                                      weights_only=True)
-    params, stats = load_torch_retinanet(coco_state_dict, include_subnets=True)
-    return model, (params, stats)
+    return load_torch_retinanet(coco_state_dict, include_subnets=True)

@@ -267,6 +267,18 @@ class Learner:
 
     # ------------------------------------------------------------ the step
 
+    def _with_precision(self, fn):
+        """Scope ``matmul_precision`` (when set) around a traced callable."""
+        if self.matmul_precision is None:
+            return fn
+        precision = self.matmul_precision
+
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision(precision):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     def _model_kwargs(self, train: bool) -> dict:
         kw = {"train": train}
         if self._accepts_bn_frozen:
@@ -289,7 +301,6 @@ class Learner:
         state_keys = tuple(self.state.keys())
         kwargs = self._model_kwargs(train=True)
         pipeline = self.input_pipeline
-        precision = self.matmul_precision
 
         def body(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
             if pipeline is not None:
@@ -322,13 +333,7 @@ class Learner:
             ema = ema * _EMA_DECAY + loss * (1.0 - _EMA_DECAY)
             return params, new_state, opt_state, ema, loss
 
-        def step(*args):
-            if precision is None:
-                return body(*args)
-            with jax.default_matmul_precision(precision):  # trace-time scope
-                return body(*args)
-
-        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(self._with_precision(body), donate_argnums=(0, 1, 2, 3))
 
     def _get_train_step(self):
         key = (self._trainable(), self.bn_frozen)
@@ -379,7 +384,6 @@ class Learner:
         kwargs = self._model_kwargs(train=False)
         target_type = self.target_type
         pipeline = self.input_pipeline
-        precision = self.matmul_precision
 
         def ebody(params, state, xs, y, mask, rng):
             if pipeline is not None:
@@ -407,13 +411,7 @@ class Learner:
                 correct = jnp.zeros(())
             return loss_sum, n, correct, mvals, y_pred, mut
 
-        def estep(*args):
-            if precision is None:
-                return ebody(*args)
-            with jax.default_matmul_precision(precision):
-                return ebody(*args)
-
-        return jax.jit(estep)
+        return jax.jit(self._with_precision(ebody))
 
     def _get_eval_step(self, metrics=()):
         key = (tuple(id(m) for m in metrics), self.bn_frozen)
@@ -430,15 +428,20 @@ class Learner:
         end_ms = [m for m in metrics if _is_end_metric(m)]
         estep = self._get_eval_step(tuple(batch_metrics))
 
-        # accumulate ON DEVICE: a float() per batch would force a host sync
-        # (and a tunnel round-trip) every iteration
+        # accumulate ON DEVICE (a float() per batch would force a host sync
+        # every iteration), flushing to f64 host accumulators every 128
+        # batches so f32 device sums never drift or saturate (2^24 limit)
+        FLUSH = 128
+        h_total = h_count = h_correct = 0.0
+        h_mvals = np.zeros(len(batch_metrics))
         total, count, correct = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
         mvals = jnp.zeros(len(batch_metrics))
         preds, ys = [], []
         for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
-            xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
+            # device_prefetch already sharded the batch fields
             loss_sum, n, corr, mv, y_pred, mut = estep(
-                self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
+                self.params, self.state, batch.xs, batch.y, batch.mask,
+                jax.random.fold_in(self.rng, bi))
             if mut:
                 self.state = {**self.state, **mut}
             total += loss_sum
@@ -446,12 +449,19 @@ class Learner:
             correct += corr
             if len(batch_metrics):
                 mvals += mv
+            if (bi + 1) % FLUSH == 0:
+                h_total += float(total); h_count += float(count)
+                h_correct += float(correct); h_mvals += np.asarray(mvals)
+                total, count, correct = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+                mvals = jnp.zeros(len(batch_metrics))
             if end_ms:
                 preds.append(np.asarray(y_pred)[: batch.n_valid])
                 ys.append(np.asarray(batch.y)[: batch.n_valid])
 
-        total, count, correct = float(total), float(count), float(correct)
-        mvals = np.asarray(mvals)
+        total = h_total + float(total)
+        count = h_count + float(count)
+        correct = h_correct + float(correct)
+        mvals = h_mvals + np.asarray(mvals)
         avg_loss = total / count
         if dataset_type == "train":
             return avg_loss
@@ -490,15 +500,8 @@ class Learner:
             xs = self.input_pipeline(self.rng, xs, False)
         variables = {"params": self.params, **self.state}
         if not hasattr(self, "_p1m_jit"):  # one wrapper → shape-keyed cache
-            apply = partial(self.model.apply, **self._model_kwargs(False))
-            if self.matmul_precision is not None:
-                precision = self.matmul_precision
-
-                def apply(*a, _inner=partial(self.model.apply,
-                                             **self._model_kwargs(False)), **kw):
-                    with jax.default_matmul_precision(precision):
-                        return _inner(*a, **kw)
-            self._p1m_jit = jax.jit(apply)
+            self._p1m_jit = jax.jit(self._with_precision(
+                partial(self.model.apply, **self._model_kwargs(False))))
         return self._p1m_jit(variables, *xs)
 
     def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
@@ -512,9 +515,9 @@ class Learner:
         estep = self._get_eval_step(())
         probs_list, labels_list, cont = [], [], []
         for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
-            xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask), self.mesh)
             _, _, _, _, y_pred, mut = estep(
-                self.params, self.state, xs, y, mask, jax.random.fold_in(self.rng, bi))
+                self.params, self.state, batch.xs, batch.y, batch.mask,
+                jax.random.fold_in(self.rng, bi))
             if mut:
                 self.state = {**self.state, **mut}
             y_pred = np.asarray(y_pred)[: batch.n_valid]
