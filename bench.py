@@ -82,7 +82,7 @@ def main():
     # timed epochs: host decode/augment threads + device-prefetched uploads
     # overlap the train step — the same path learner.fit uses
     n_imgs, t0 = 0, time.perf_counter()
-    epochs = 4
+    epochs = 6  # longer window → less sensitivity to transient tunnel bandwidth
     for _ in range(epochs):
         for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
             loss = learner.train1minibatch(b, lr_batch=1e-3)
