@@ -776,8 +776,11 @@ def mAP1(targs, preds, scores, thresh):
     ntrue = sum(len(t) for t in targs)
     if ntrue == 0 or len(Scores) == 0:
         return 0.0
-    order = np.argsort(-np.asarray(Scores), kind="stable")
-    IsCorrect = np.asarray(IsCorrect)[order]
+    # Reference sorts (score, is_correct) pairs descending (Vision.py:1731) so
+    # correct predictions rank ahead of incorrect ones at equal confidence.
+    IsCorrect = np.asarray(IsCorrect)
+    order = np.lexsort((-IsCorrect, -np.asarray(Scores)))
+    IsCorrect = IsCorrect[order]
     L = len(IsCorrect)
     tp = np.cumsum(IsCorrect)
     precision = tp / np.arange(1, L + 1)

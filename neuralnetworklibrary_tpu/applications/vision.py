@@ -767,9 +767,10 @@ def load_pretrained_body(learner, torch_state_dict, arch: str):
     new_state = {k: dict(v) for k, v in learner.state.items()}
     new_state.setdefault("batch_stats", {})["body"] = jax.tree_util.tree_map(
         jnp.asarray, stats)
-    learner.params = pmesh.replicate_tree(new_params, learner.mesh)
+    learner.params = pmesh.shard_params(new_params, learner.mesh,
+                                        learner.param_sharding)
     learner.state = pmesh.replicate_tree(new_state, learner.mesh)
-    learner.opt_state = learner.optimizer.init(learner.params)
+    learner.opt_state = learner._committed_opt_state()
 
 
 # ---------------------------------------------------------------------------

@@ -168,20 +168,28 @@ class kPrecision:
 class AUC:
     """ROC AUC for binary classification (LossesMetrics.py:110-124).
 
-    An "end metric": computed host-side on the full concatenated predictions
-    (N, 2 logits) and int labels, like the reference's sklearn call.
+    An "end metric": computed host-side on the full dataset like the
+    reference's sklearn call — but memory-bounded: ``prepare`` reduces each
+    batch to the positive-class probability (f32) and an int8 label, so
+    evaluating a 100k-row val set stores ~500 KB instead of the full logits.
     """
 
     is_end_metric = True
+
+    def prepare(self, y_pred, y):
+        """Per-batch host reduction: (N, 2 logits) → (N,) f32 prob, (N,) i8."""
+        y_pred = np.asarray(y_pred)
+        e = np.exp(y_pred - y_pred.max(axis=1, keepdims=True))
+        probs = (e / e.sum(axis=1, keepdims=True))[:, 1].astype(np.float32)
+        return probs, np.asarray(y).astype(np.int8)
 
     def __call__(self, y_pred, y):
         from sklearn.metrics import roc_auc_score
 
         y_pred = np.asarray(y_pred)
-        y = np.asarray(y)
-        e = np.exp(y_pred - y_pred.max(axis=1, keepdims=True))
-        probs = e / e.sum(axis=1, keepdims=True)
-        return float(roc_auc_score(y, probs[:, 1]))
+        if y_pred.ndim == 2:  # called directly on raw logits
+            y_pred, y = self.prepare(y_pred, y)
+        return float(roc_auc_score(np.asarray(y), y_pred))
 
 
 # End-metric registry (Learner.py:16).

@@ -426,6 +426,15 @@ class Learner:
         dl = self.data.train_dl if dataset_type == "train" else self.data.val_dl
         batch_metrics = [m for m in metrics if not _is_end_metric(m)]
         end_ms = [m for m in metrics if _is_end_metric(m)]
+        if end_ms and self.target_type == "bbox":
+            raise ValueError(
+                "end metrics (whole-dataset metrics like 'auc') are not "
+                "supported for tuple-target (bbox) learners; use batch "
+                "metrics or compute_mAP/coco_pascal_eval instead")
+        # resolve end-metric callables once; each may define prepare(y_pred, y)
+        # — a per-batch host reduction that bounds accumulation memory
+        end_fns = [M.end_metrics[m]() if isinstance(m, str) else m
+                   for m in end_ms]
         estep = self._get_eval_step(tuple(batch_metrics))
 
         # accumulate ON DEVICE (a float() per batch would force a host sync
@@ -436,7 +445,7 @@ class Learner:
         h_mvals = np.zeros(len(batch_metrics))
         total, count, correct = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
         mvals = jnp.zeros(len(batch_metrics))
-        preds, ys = [], []
+        end_acc = [([], []) for _ in end_fns]  # per-metric (preds, ys) lists
         for bi, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             # device_prefetch already sharded the batch fields
             loss_sum, n, corr, mv, y_pred, mut = estep(
@@ -454,9 +463,14 @@ class Learner:
                 h_correct += float(correct); h_mvals += np.asarray(mvals)
                 total, count, correct = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
                 mvals = jnp.zeros(len(batch_metrics))
-            if end_ms:
-                preds.append(np.asarray(y_pred)[: batch.n_valid])
-                ys.append(np.asarray(batch.y)[: batch.n_valid])
+            if end_fns:
+                yp = np.asarray(y_pred)[: batch.n_valid]
+                yy = np.asarray(batch.y)[: batch.n_valid]
+                for fn, (ps, ls) in zip(end_fns, end_acc):
+                    prep = getattr(fn, "prepare", None)
+                    p, l = prep(yp, yy) if prep is not None else (yp, yy)
+                    ps.append(p)
+                    ls.append(l)
 
         total = h_total + float(total)
         count = h_count + float(count)
@@ -475,13 +489,14 @@ class Learner:
             results.append(correct / (count * C))
         if len(metrics):
             all_vals = []
-            YP = np.concatenate(preds) if preds else None
-            Y = np.concatenate(ys) if ys else None
-            bi = 0
+            bi = ei = 0
             for m in metrics:
                 if _is_end_metric(m):
-                    fn = M.end_metrics[m]() if isinstance(m, str) else m
-                    all_vals.append(fn(YP, Y))
+                    ps, ls = end_acc[ei]
+                    fn = end_fns[ei]
+                    ei += 1
+                    all_vals.append(fn(np.concatenate(ps) if ps else None,
+                                       np.concatenate(ls) if ls else None))
                 else:
                     all_vals.append(mvals[bi] / count)
                     bi += 1

@@ -347,9 +347,10 @@ class COCOeval:
         valid = s[s > -1]
         mean = float(np.mean(valid)) if valid.size else -1.0
         kind = "Average Precision" if ap else "Average Recall"
+        abbr = "AP" if ap else "AR"
         t = (f"{p.iouThrs[0]:0.2f}:{p.iouThrs[-1]:0.2f}"
              if iouThr is None else f"{iouThr:0.2f}")
-        print(f" {kind:<18} (AP) @[ IoU={t:<9} | area={areaRng:>6s} | "
+        print(f" {kind:<18} ({abbr}) @[ IoU={t:<9} | area={areaRng:>6s} | "
               f"maxDets={maxDets:>3d} ] = {mean:0.3f}")
         return mean
 

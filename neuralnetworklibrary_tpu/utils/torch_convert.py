@@ -244,7 +244,11 @@ def install_pretrained(learner, params: Mapping, stats: Optional[Mapping] = None
     new_params = dict(learner.params)
     for k, v in params.items():
         new_params[k] = jax.tree_util.tree_map(jnp.asarray, v)
-    learner.params = pmesh.replicate_tree(new_params, learner.mesh)
+    # Respect the learner's committed shardings (tensor-parallel rules included)
+    # so installing weights on a 2D mesh neither drops TP nor forces a
+    # resharding recompile on the next step — same path as Learner.load.
+    learner.params = pmesh.shard_params(new_params, learner.mesh,
+                                        learner.param_sharding)
     if stats:
         new_state = {k: dict(v) for k, v in learner.state.items()}
         bs = dict(new_state.get("batch_stats", {}))
@@ -252,4 +256,4 @@ def install_pretrained(learner, params: Mapping, stats: Optional[Mapping] = None
             bs[k] = jax.tree_util.tree_map(jnp.asarray, v)
         new_state["batch_stats"] = bs
         learner.state = pmesh.replicate_tree(new_state, learner.mesh)
-    learner.opt_state = learner.optimizer.init(learner.params)
+    learner.opt_state = learner._committed_opt_state()

@@ -272,3 +272,14 @@ def test_matmul_precision_option(tmp_path):
     l1 = learner.evaluate("val")
     l1 = l1[0] if isinstance(l1, list) else l1
     assert np.isfinite(l1) and l1 < l0
+
+
+def test_end_metric_rejected_for_tuple_targets(tmp_path):
+    """Tuple-target (bbox) learners must reject end metrics with a clear
+    error instead of crashing in np.asarray on ragged targets."""
+    data = collab_data(N=128, bs=32)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=4)
+    learner = Learner(str(tmp_path), data, model)
+    learner.target_type = "bbox"
+    with pytest.raises(ValueError, match="end metrics"):
+        learner.evaluate("val", metrics=["auc"])

@@ -98,3 +98,21 @@ def test_auc_end_metric():
     probs = torch.softmax(torch.tensor(logits), dim=1).numpy()[:, 1]
     assert np.isclose(auc, roc_auc_score(y, probs), rtol=1e-5)
     assert M.AUC.is_end_metric
+
+
+def test_auc_prepare_streaming_matches_direct():
+    """The streaming prepare() path (per-batch reduction to prob + int8 label)
+    must reproduce the direct full-logits AUC exactly."""
+    r = rng()
+    logits = r.normal(size=(64, 2)).astype(np.float32)
+    y = r.integers(0, 2, size=64)
+    auc = M.AUC()
+    direct = auc(logits, y)
+    ps, ls = [], []
+    for i in range(0, 64, 16):
+        p, l = auc.prepare(logits[i:i + 16], y[i:i + 16])
+        assert p.ndim == 1 and p.dtype == np.float32 and l.dtype == np.int8
+        ps.append(p)
+        ls.append(l)
+    streamed = auc(np.concatenate(ps), np.concatenate(ls))
+    assert np.isclose(direct, streamed, rtol=1e-6)

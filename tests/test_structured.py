@@ -215,3 +215,14 @@ class TestStructuredModel:
         paths = learner.partition.paths
         for p, t in zip(paths, mask):
             assert t == (p[0] == "head")
+
+
+def test_evaluate_auc_end_metric_streaming():
+    """evaluate('val', metrics=['auc']) uses the memory-bounded prepare()
+    accumulation and returns a sane AUC for a learnable binary problem."""
+    data = _synthetic_dataobj(target="cat")
+    model = StructuredDataNet.from_dataobj(data, [16, 2])
+    learner = Learner("/tmp/nnl_test_struct_auc", data, model, optimizer="Adam")
+    learner.fit(1e-2, 3)
+    loss, acc, mvals = learner.evaluate("val", metrics=["auc"])
+    assert 0.8 < mvals[0] <= 1.0
