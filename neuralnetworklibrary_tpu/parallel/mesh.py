@@ -63,8 +63,7 @@ def default_param_rule(mesh: Mesh, min_size: int = 512):
 def shard_params(tree: Any, mesh: Mesh, rule=None):
     """device_put a param/opt pytree with per-leaf shardings from ``rule``
     (None or a 1-sized/absent 'model' axis → fully replicated)."""
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    if rule is None or axis_sizes.get("model", 1) == 1:
+    if rule is None:
         return replicate_tree(tree, mesh)
 
     def put(path, x):

@@ -73,3 +73,120 @@ def test_bad_microbatch_count():
     x = jnp.zeros((10, 8))
     with pytest.raises(ValueError):
         gpipe_forward(_stage_fn, stacked, x, mesh, n_microbatches=4)
+
+
+# --------------------------------------------- differentiable pipeline
+
+from neuralnetworklibrary_tpu.parallel.pipeline import (  # noqa: E402
+    PipelinedMLP,
+    pipeline_apply,
+    pipelined_param_rule,
+)
+
+
+def _stacked(S, width, seed=0):
+    return stack_stage_params(_make_stages(S, width, seed))
+
+
+@pytest.mark.parametrize("S,M", [(2, 4), (4, 4), (4, 8)])
+def test_pipeline_apply_matches_sequential(S, M):
+    width, B = 16, M * 4
+    stacked = _stacked(S, width)
+    params_list = [{"w": stacked["w"][s], "b": stacked["b"][s]} for s in range(S)]
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (B, width)).astype(np.float32))
+    got = pipeline_apply(_stage_fn, stacked, x, n_microbatches=M)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_sequential(params_list, x)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_apply_grads_match_sequential():
+    """jax.grad through the scanned schedule == grads of sequential execution
+    (the pipelined backward is exact, not an approximation)."""
+    S, M, width, B = 4, 4, 16, 16
+    stacked = _stacked(S, width, seed=5)
+    x = jnp.asarray(np.random.default_rng(6).normal(0, 1, (B, width)).astype(np.float32))
+    y = jnp.asarray(np.random.default_rng(7).normal(0, 1, (B, width)).astype(np.float32))
+
+    def loss_pipe(p):
+        return jnp.mean((pipeline_apply(_stage_fn, p, x, M) - y) ** 2)
+
+    def loss_seq(p):
+        h = x
+        for s in range(S):
+            h = _stage_fn({"w": p["w"][s], "b": p["b"][s]}, h)
+        return jnp.mean((h - y) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.jit(jax.grad(loss_seq))(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        g_pipe, g_seq)
+
+
+# --------------------------------------------- Learner integration (dp x stage)
+
+import types  # noqa: E402
+
+from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader  # noqa: E402
+from neuralnetworklibrary_tpu.learner import Learner  # noqa: E402
+from neuralnetworklibrary_tpu.parallel.mesh import get_mesh_2d  # noqa: E402
+
+
+def _pipe_data(n=256, n_in=8, bs=32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, n_in)).astype(np.float32)
+    w = rng.normal(size=(n_in,)).astype(np.float32)
+    y = (x @ w + 0.1 * np.sin(3 * x).sum(1)).astype(np.float32)
+    tr = ArrayDataset(x[: n - 64], y[: n - 64])
+    va = ArrayDataset(x[n - 64:], y[n - 64:])
+    return types.SimpleNamespace(
+        target_type="cont", bs=bs,
+        train_dl=DataLoader(tr, bs, shuffle=True),
+        val_dl=DataLoader(va, bs),
+        train_ds=tr, val_ds=va,
+    )
+
+
+class _SequentialMLP(PipelinedMLP):
+    """Same model, sequential execution — the numerics oracle."""
+
+    def apply(self, variables, *xs, **kw):
+        kw["pipelined"] = False
+        return super().apply(variables, *xs, **kw)
+
+
+def _train_pipe(model_cls, lmesh, rule, n_steps=6, seed=0, **model_kw):
+    data = _pipe_data()
+    model = model_cls(n_in=8, width=32, n_out=1, **model_kw)
+    learner = Learner("/tmp/test_pipe_learner", data, model, "Adam2",
+                      mesh=lmesh, seed=seed, param_sharding=rule)
+    it = iter(learner.data.train_dl)
+    return [float(learner.train1minibatch(next(it), 1e-3)) for _ in range(n_steps)]
+
+
+@pytest.mark.parametrize("dp,S", [(4, 2), (2, 4)])
+def test_pipelined_learner_matches_sequential(dp, S):
+    """A Learner trains a stage-sharded model end-to-end on a (data, stage)
+    mesh; the loss trajectory matches unpipelined execution of the same
+    model (VERDICT r1 item 2)."""
+    mesh = get_mesh_2d(dp, S, axis_names=("data", "stage"))
+    rule = pipelined_param_rule(mesh)
+    pipe = _train_pipe(PipelinedMLP, mesh, rule,
+                       n_stages=S, n_microbatches=4, mesh=mesh)
+    seq = _train_pipe(_SequentialMLP, get_mesh_2d(dp, S, axis_names=("data", "stage")),
+                      None, n_stages=S, n_microbatches=4)
+    np.testing.assert_allclose(pipe, seq, rtol=2e-4, atol=2e-5)
+    assert pipe[-1] < pipe[0]  # actually learning
+
+
+def test_pipelined_stack_params_sharded():
+    mesh = get_mesh_2d(2, 4, axis_names=("data", "stage"))
+    data = _pipe_data()
+    model = PipelinedMLP(n_in=8, width=32, n_stages=4, n_out=1,
+                         n_microbatches=4, mesh=mesh)
+    learner = Learner("/tmp/test_pipe_sharded", data, model, "Adam2",
+                      mesh=mesh, param_sharding=pipelined_param_rule(mesh))
+    assert not learner.params["stack"]["kernel"].sharding.is_fully_replicated
+    assert learner.params["in_proj"]["kernel"].sharding.is_fully_replicated
