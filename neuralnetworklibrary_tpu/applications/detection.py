@@ -299,17 +299,23 @@ class BBoxDataLoader:
 class BBoxDataObj:
     """Detection data object (the bbox mode of ImageDataObj, Vision.py:814-899).
 
-    train loader: batched + aspect bucketed; val/test: bs=1 (the reference
-    hard-requires bs=1 for bbox predict, Learner.py:339-340).
+    train loader: batched + aspect bucketed.  val/test: ALSO batched (aspect
+    bucketed, deterministic order) — the reference hard-requires bs=1 for
+    bbox predict (Learner.py:339-340), a CPU-era restriction this rebuild
+    deliberately removes: static bucketing makes batched eval shapes stable,
+    and predict/TTA_bbox restore dataset order via the loader's ``groups``.
+    Pass ``val_bs=1`` to reproduce the reference's behavior exactly.
     """
 
     target_type = "bbox"
 
     def __init__(self, PATH, categories, bs, transforms, train_images,
                  val_images, test_images=None, train_name="train",
-                 val_name="val", test_name=None, granularity=128, seed=0):
+                 val_name="val", test_name=None, granularity=128, seed=0,
+                 val_bs=None):
         tfm_eval, tfm_aug = transforms[0], transforms[1]
         self.categories, self.bs = categories, bs
+        self.val_bs = val_bs if val_bs is not None else bs
         self.transforms = transforms
         self.granularity = granularity
         self.seed = seed
@@ -330,10 +336,13 @@ class BBoxDataObj:
         g, M = self.granularity, self.max_objects
         self.train_dl = BBoxDataLoader(self.train_ds, self.bs, M, shuffle=True,
                                        granularity=g, seed=self.seed)
-        self.val_dl = BBoxDataLoader(self.val_ds, 1, M, shuffle=False,
-                                     bucket=False, granularity=g)
-        self.test_dl = (BBoxDataLoader(self.test_ds, 1, M, shuffle=False,
-                                       bucket=False, granularity=g)
+        # val/test: aspect-bucketed (similar padded shapes batch together)
+        # with deterministic group order; predict() restores dataset order
+        # through .groups
+        self.val_dl = BBoxDataLoader(self.val_ds, self.val_bs, M, shuffle=False,
+                                     bucket=True, granularity=g)
+        self.test_dl = (BBoxDataLoader(self.test_ds, self.val_bs, M, shuffle=False,
+                                       bucket=True, granularity=g)
                         if self.test_ds else None)
 
     @classmethod
@@ -869,8 +878,15 @@ class ObjectDetectionLearner(Learner):
                 # reference imposes the same restriction (Learner.py:339-340)
                 raise ValueError("bbox predict requires dl in {'val', 'test'}")
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
-        PredBoxes, PredClasses, ConfScores = [], [], []
-        for batch in pmesh.device_prefetch(dl, self.mesh):
+        # batched eval: the loader's .groups map each batch row to its
+        # dataset index, so predictions land in dataset order whatever the
+        # (aspect-bucketed) batch composition
+        groups = getattr(dl, "groups", None)
+        L = sum(len(g) for g in groups) if groups is not None else len(dl)
+        PredBoxes: list = [None] * L
+        PredClasses: list = [None] * L
+        ConfScores: list = [None] * L
+        for j, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             anchors, reg, clas = self._forward(
                 tuple(jnp.asarray(x) for x in batch.xs))
             img_hw = batch.xs[0].shape[1:3]
@@ -878,14 +894,14 @@ class ObjectDetectionLearner(Learner):
                                         max_overlap, rel_thresh, top_k,
                                         max_boxes, dup, inc)
             for i in range(batch.n_valid):
+                ds_idx = groups[j][i] if groups is not None else j
                 boxes = pb[i]
                 if rescale:
-                    img_idx = len(PredBoxes)
-                    scale = dl.ds.images[img_idx]["scale"]
+                    scale = dl.ds.images[ds_idx]["scale"]
                     boxes = [b / scale for b in boxes]
-                PredBoxes.append(boxes)
-                PredClasses.append(pc[i])
-                ConfScores.append(cs[i])
+                PredBoxes[ds_idx] = boxes
+                PredClasses[ds_idx] = pc[i]
+                ConfScores[ds_idx] = cs[i]
         return PredBoxes, PredClasses, ConfScores
 
     def compute_mAP(self, predictions=None, thresholds=COCO_thresholds,
@@ -919,8 +935,12 @@ class ObjectDetectionLearner(Learner):
             tfm.seed(1000 + i)
             tfm.record = []
             ds = BBoxDataset(src.IMG_PATH, src.images, tfm, src.ds_type)
-            dl = BBoxDataLoader(ds, 1, self.data.max_objects, shuffle=False,
-                                bucket=False, granularity=self.data.granularity,
+            # batched passes (the bs=1 restriction is gone): aspect-bucketed
+            # groups; tfm.record entries land in sample-access order, i.e.
+            # row k of batch j is record[j*bs + k]
+            dl = BBoxDataLoader(ds, self.data.val_bs, self.data.max_objects,
+                                shuffle=False, bucket=True,
+                                granularity=self.data.granularity,
                                 seed=i, record_geometry=True)
             for j, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
                 anchors, reg, clas = self._forward(
@@ -929,21 +949,24 @@ class ObjectDetectionLearner(Learner):
                 pb, pc, cs = self.predictor(img_hw, reg, clas, anchors, thresh,
                                             max_overlap, rel_thresh, top_k,
                                             max_boxes, dup, inc)
-                boxes, classes, scores = pb[0], pc[0], cs[0]
                 rand_scale, row_jit, col_jit = dl.geometry_log[j]
-                flip, cols = tfm.record[j]
-                scale = src.images[j]["scale"]
-                if len(boxes):
-                    b = np.asarray(boxes, np.float32)
-                    b = b - np.asarray([col_jit, row_jit, col_jit, row_jit], np.float32)
-                    b = b / (rand_scale * scale)
-                    if i > 0 and flip:
-                        b = np.stack([cols - b[:, 2], b[:, 1],
-                                      cols - b[:, 0], b[:, 3]], axis=1)
-                    boxes = list(b)
-                merged[j][0] += boxes
-                merged[j][1] += classes
-                merged[j][2] += scores
+                for k in range(batch.n_valid):
+                    ds_idx = dl.groups[j][k]
+                    boxes, classes, scores = pb[k], pc[k], cs[k]
+                    flip, cols = tfm.record[j * dl.bs + k]
+                    scale = src.images[ds_idx]["scale"]
+                    if len(boxes):
+                        b = np.asarray(boxes, np.float32)
+                        b = b - np.asarray([col_jit, row_jit, col_jit, row_jit],
+                                           np.float32)
+                        b = b / (rand_scale * scale)
+                        if i > 0 and flip:
+                            b = np.stack([cols - b[:, 2], b[:, 1],
+                                          cols - b[:, 0], b[:, 3]], axis=1)
+                        boxes = list(b)
+                    merged[ds_idx][0] += boxes
+                    merged[ds_idx][1] += classes
+                    merged[ds_idx][2] += scores
 
         # final NMS over the concatenated predictions, one static shape
         K = (1 + num_augs) * max_boxes

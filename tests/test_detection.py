@@ -492,3 +492,59 @@ def test_detection_freeze_and_fit(tiny_detection_data):
     learner.fit(1e-4, 1, save_name=None)
     body_final = np.asarray(learner.params["body"]["stem"]["conv"]["kernel"])
     assert not np.array_equal(body_after, body_final)
+
+
+def test_batched_predict_matches_bs1(tmp_path_factory):
+    """Batched (val_bs>1) detection inference returns the same per-image
+    predictions in the same dataset order as the reference's bs=1 path
+    (the removed restriction, Learner.py:339-340)."""
+    import cv2
+    import json as _json
+
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataLoader,
+        BBoxDataObj,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+
+    root = tmp_path_factory.mktemp("detb")
+    (root / "train").mkdir()
+    rng = np.random.default_rng(3)
+    images, annotations = [], []
+    for i in range(8):  # identical dims → identical padded shapes per group
+        img = rng.uniform(0, 255, (64, 80, 3)).astype(np.uint8)
+        name = f"im{i}.png"
+        cv2.imwrite(str(root / "train" / name), img)
+        images.append({"id": i, "file_name": name, "width": 80, "height": 64})
+        annotations.append({"id": i, "image_id": i,
+                            "bbox": [10 + i, 10, 16, 16], "category_id": 1})
+    with open(root / "train.json", "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": [{"id": 1, "name": "thing"}]}, f)
+
+    tfms = get_transforms_bbox("SideOn")
+    data = BBoxDataObj.from_json_bbox(str(root), tfms, bs=4, val_frac=0.5,
+                                      get_ARS=(64, 128), granularity=32, seed=0)
+    model = ObjectDetectionNet(num_classes=1, backbone="resnet18",
+                               feature_size=32)
+    learner = ObjectDetectionLearner(str(root), data, model)
+
+    assert data.val_dl.bs == 4  # batched by default now
+    pb, pc, cs = learner.predict("val", thresh=0.05)
+
+    dl1 = BBoxDataLoader(data.val_ds, 1, data.max_objects, shuffle=False,
+                         bucket=False, granularity=32)
+    pb1, pc1, cs1 = learner.predict(dl=dl1, thresh=0.05)
+
+    assert len(pb) == len(pb1) == len(data.val_ds)
+    for a, b in zip(pc, pc1):
+        assert list(a) == list(b)
+    for a, b in zip(cs, cs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+    for a, b in zip(pb, pb1):
+        if len(a):
+            np.testing.assert_allclose(np.stack(a), np.stack(b), rtol=1e-4,
+                                       atol=1e-3)
