@@ -50,13 +50,33 @@ def correct_foldername(p: str) -> str:
 # (1) Tokenization / numericalization (Text.py:28-122)
 # ---------------------------------------------------------------------------
 
-# spacy-like English splitting: contractions ('s, n't, 're, ...) split off
-# first, then words / hyphen-dot compounds / single punctuation marks.
+# spacy-compatible English splitting (the reference tokenizes with
+# spacy.load('en').tokenizer, Text.py:34; spacy is unavailable here so the
+# rules are reproduced: contractions split off, hyphens between letters are
+# infixes, numbers keep internal [,.:-] punctuation, ellipsis is one token,
+# letter.letter compounds stay joined with the trailing period split off).
+# Golden fixtures: tests/fixtures/tokenizer_golden.json.
 _CONTRACTION_RE = re.compile(r"(\w)(n't|'s|'m|'re|'ve|'ll|'d)\b")
+# spacy tokenizer_exceptions that survive do_caps lowercasing and matter for
+# wt103 vocab hits: multi-token special cases
+_SPECIAL_CASES = {
+    "cannot": ["can", "not"],
+    "gonna": ["gon", "na"],
+    "gotta": ["got", "ta"],
+    "wanna": ["wan", "na"],
+    "lemme": ["lem", "me"],
+    "gimme": ["gim", "me"],
+    "outta": ["out", "ta"],
+}
 _TOKEN_RE = re.compile(
     r"_[a-z]+_"                    # specials like _unk_, _bos_
-    r"|n't|'s|'m|'re|'ve|'ll|'d"   # pre-split english contractions
-    r"|\w+(?:[-.]\w+)*"            # words, hyphen/dot compounds
+    # pre-split contractions — guarded so 's in a quoted word ('single')
+    # doesn't match; only the standalone post-split forms do
+    r"|(?:n't|'s|'m|'re|'ve|'ll|'d)(?![a-z])"
+    r"|\.\.\."                     # ellipsis (exactly 3 — 4+ became tk_rep)
+    r"|\d+(?:[,.:\-]\d+)*"         # numbers w/ internal punct (1,000 10:30 1914-1918)
+    r"|\w+(?:\.\w+)+"              # period compounds (u.s e.g a.b) — spacy keeps
+    r"|\w+"                        # plain words (hyphens split off, as spacy infix)
     r"|[^\w\s]"                    # single punctuation marks
 )
 
@@ -95,7 +115,14 @@ class Tokenizer:
 
     def base_tok(self, x):
         x = _CONTRACTION_RE.sub(r"\1 \2", x)
-        return _TOKEN_RE.findall(x)
+        out = []
+        for raw in _TOKEN_RE.findall(x):
+            special = _SPECIAL_CASES.get(raw)
+            if special is not None:
+                out += special
+            else:
+                out.append(raw)
+        return out
 
     def proc_text(self, s: str) -> list:
         s = self.re_rep.sub(Tokenizer.replace_rep, s)

@@ -244,3 +244,49 @@ class TestClassifier:
         np.testing.assert_array_equal(
             np.asarray(new_params["enc"]["lstm_0"]["w_ih"]),
             np.asarray(lmp["enc"]["lstm_0"]["w_ih"]))
+
+
+# ------------------------------------------------- tokenizer golden parity
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "tokenizer_golden.json")
+
+
+def _golden_cases():
+    import json
+
+    with open(_GOLDEN) as f:
+        return json.load(f)["cases"]
+
+
+class TestTokenizerGolden:
+    """Golden fixtures vs the reference pipeline (fastai pre-rules +
+    spacy-'en' tokenization, Text.py:28-75), hand-derived from the spacy
+    English rules.  Cases with an 'ours' field are documented residual
+    divergences (spacy abbreviation exceptions, email/URL whole tokens)."""
+
+    def test_golden_fixtures(self):
+        tok = Tokenizer()
+        failures = []
+        for case in _golden_cases():
+            expected = case.get("ours", case["tokens"])
+            got = tok.proc_text(case["text"])
+            if got != expected:
+                failures.append(f"  {case['text']!r}\n    want {expected}\n    got  {got}")
+        assert not failures, "tokenizer divergences:\n" + "\n".join(failures)
+
+    def test_vocab_hit_rate_vs_spacy_tokens(self):
+        """Build a wt103-style vocab from the SPACY-expected token stream and
+        measure the fraction of our tokens that hit it — quantifies the
+        pretrained-LM vocab-miss risk from residual tokenizer divergence."""
+        tok = Tokenizer()
+        spacy_stream, our_stream = [], []
+        for case in _golden_cases():
+            spacy_stream += case["tokens"]
+            our_stream += tok.proc_text(case["text"])
+        vocab = set(spacy_stream)
+        hits = sum(t in vocab for t in our_stream)
+        hit_rate = hits / len(our_stream)
+        # residual divergences (p.m./e.g./etc./mr. trailing periods, emails)
+        # cost a handful of tokens; anything below 97% means a new regression
+        assert hit_rate >= 0.97, f"vocab hit rate {hit_rate:.4f}"
