@@ -79,10 +79,15 @@ class DataLoader:
         prefetch: int = 2,
         transform: Optional[Callable] = None,
         num_workers: int = 0,
+        host_shard: bool = False,
     ):
         self.dataset = dataset
         self.bs = bs
         self.shuffle = shuffle
+        # multi-host: each process iterates only its contiguous slice of the
+        # (globally shuffled) epoch order; combine with
+        # parallel.multihost.global_batch to build globally-sharded batches
+        self.host_shard = host_shard
         self.drop_last = drop_last
         self.seed = seed
         self.collate = collate
@@ -122,6 +127,10 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idxs)
+        if self.host_shard:
+            from neuralnetworklibrary_tpu.parallel.multihost import host_shard
+
+            idxs = np.asarray(host_shard(list(idxs)))
         return idxs
 
     def _make_batch(self, idxs: np.ndarray) -> Batch:

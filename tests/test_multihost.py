@@ -1,0 +1,79 @@
+"""Multi-host scaffolding tests — single-process degradation paths
+(no real DCN in this environment; see parallel/multihost.py)."""
+
+import numpy as np
+import pytest
+
+from neuralnetworklibrary_tpu.parallel import multihost as mh
+from neuralnetworklibrary_tpu.parallel.mesh import (
+    get_mesh,
+    get_mesh_2d,
+    shard_params,
+    default_param_rule,
+)
+
+
+def test_initialize_is_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert mh.initialize() is False
+
+
+def test_process_info_single_host():
+    assert mh.process_info() == (0, 1)
+
+
+def test_host_shard_single_host_returns_all():
+    assert mh.host_shard([1, 2, 3]) == [1, 2, 3]
+
+
+def test_host_shard_simulated_processes():
+    items = list(range(10))
+    shards = [mh.host_shard(items, pi, 4) for pi in range(4)]
+    # every host sees the same count (ceil(10/4)=3), tail pads with last item
+    assert all(len(s) == 3 for s in shards)
+    assert shards[0] == [0, 1, 2] and shards[3] == [9, 9, 9]
+    # all real items covered
+    assert set(sum(shards, [])) == set(items)
+
+
+def test_global_batch_single_host_shards_leading_axis():
+    mesh = get_mesh(8)
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    gx = mh.global_batch({"x": x}, mesh)["x"]
+    assert gx.shape == (16, 2)
+    assert not gx.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(gx), x)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Params sharded over a 2D mesh round-trip through per-process shard
+    files back to full arrays."""
+    mesh = get_mesh_2d(4, 2)
+    rng = np.random.default_rng(0)
+    params = {
+        "emb": {"kernel": rng.normal(size=(40, 512)).astype(np.float32)},
+        "head": {"bias": rng.normal(size=(7,)).astype(np.float32)},
+    }
+    sharded = shard_params(params, mesh, default_param_rule(mesh))
+    assert not sharded["emb"]["kernel"].sharding.is_fully_replicated
+
+    path = str(tmp_path / "ck")
+    mh.save_sharded(path, {"params": sharded})
+    out = mh.load_sharded(path)
+    np.testing.assert_allclose(out["params"]["emb"]["kernel"],
+                               params["emb"]["kernel"])
+    np.testing.assert_allclose(out["params"]["head"]["bias"],
+                               params["head"]["bias"])
+
+
+def test_dataloader_host_shard_single_process():
+    """host_shard=True is an identity on one process (full epoch order)."""
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+
+    x = np.arange(20, dtype=np.float32)
+    y = x * 2
+    dl = DataLoader(ArrayDataset(x, y), bs=8, host_shard=True)
+    seen = []
+    for b in dl:
+        seen += list(np.asarray(b.xs[0])[: b.n_valid])
+    assert sorted(seen) == list(x)
