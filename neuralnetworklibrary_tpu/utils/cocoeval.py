@@ -107,19 +107,94 @@ class COCO:
 
     def createIndex(self):
         self.imgToAnns = defaultdict(list)
+        self.catToImgs = defaultdict(list)
         for ann in self.dataset.get("annotations", []):
             self.anns[ann["id"]] = ann
             self.imgToAnns[ann["image_id"]].append(ann)
+            if "category_id" in ann:
+                self.catToImgs[ann["category_id"]].append(ann["image_id"])
         for img in self.dataset.get("images", []):
             self.imgs[img["id"]] = img
         for cat in self.dataset.get("categories", []):
             self.cats[cat["id"]] = cat
 
-    def getImgIds(self):
-        return list(self.imgs.keys())
+    def info(self):
+        """Print the dataset's info block (coco.py:102-107)."""
+        for k, v in self.dataset.get("info", {}).items():
+            print(f"{k}: {v}")
 
-    def getCatIds(self):
-        return list(self.cats.keys())
+    @staticmethod
+    def _as_list(x):
+        return x if isinstance(x, (list, tuple)) else [x]
+
+    def getAnnIds(self, imgIds=(), catIds=(), areaRng=(), iscrowd=None):
+        """Annotation ids matching every given filter (coco.py:109-136):
+        image membership, category, area range [lo, hi), and the iscrowd
+        flag (None = both)."""
+        imgIds, catIds = self._as_list(imgIds), self._as_list(catIds)
+        areaRng = list(areaRng)
+        if imgIds:
+            anns = [a for i in imgIds for a in self.imgToAnns[i]]
+        else:
+            anns = list(self.anns.values())
+        if catIds:
+            cset = set(catIds)
+            anns = [a for a in anns if a.get("category_id") in cset]
+        if areaRng:
+            anns = [a for a in anns
+                    if areaRng[0] < a.get("area", 0) < areaRng[1]]
+        if iscrowd is not None:
+            anns = [a for a in anns if a.get("iscrowd", 0) == iscrowd]
+        return [a["id"] for a in anns]
+
+    def getCatIds(self, catNms=(), supNms=(), catIds=()):
+        """Category ids filtered by name / supercategory / id (coco.py:138-161)."""
+        catNms, supNms, catIds = map(self._as_list, (catNms, supNms, catIds))
+        cats = list(self.cats.values())
+        if catNms:
+            cats = [c for c in cats if c.get("name") in set(catNms)]
+        if supNms:
+            cats = [c for c in cats if c.get("supercategory") in set(supNms)]
+        if catIds:
+            cats = [c for c in cats if c["id"] in set(catIds)]
+        return [c["id"] for c in cats]
+
+    def getImgIds(self, imgIds=(), catIds=()):
+        """Image ids: intersection of the given ids (or all) with images
+        containing ALL the given categories (coco.py:163-183)."""
+        imgIds, catIds = self._as_list(imgIds), self._as_list(catIds)
+        ids = set(imgIds) if imgIds else set(self.imgs.keys())
+        for c in catIds:
+            ids &= set(self.catToImgs[c])
+        return list(ids)
+
+    def loadAnns(self, ids=()):
+        return [self.anns[i] for i in self._as_list(ids)]
+
+    def loadCats(self, ids=()):
+        return [self.cats[i] for i in self._as_list(ids)]
+
+    def loadImgs(self, ids=()):
+        return [self.imgs[i] for i in self._as_list(ids)]
+
+    def showAnns(self, anns):
+        """Draw bbox annotations on the current matplotlib axes
+        (coco.py:185-233, bbox path; this library has no mask support —
+        Vision.py:19-20)."""
+        if not anns:
+            return
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Rectangle
+
+        ax = plt.gca()
+        rng = np.random.default_rng(0)
+        for ann in anns:
+            if "bbox" not in ann:
+                continue
+            x, y, w, h = ann["bbox"]
+            color = rng.uniform(0.2, 1.0, 3)
+            ax.add_patch(Rectangle((x, y), w, h, fill=False,
+                                   edgecolor=color, linewidth=2))
 
     def loadRes(self, resFile) -> "COCO":
         """Detection results (json path or list of dicts with image_id,

@@ -144,3 +144,35 @@ def test_area_range_matched_det_ignored():
     assert stats[3] == pytest.approx(1.0)   # AP_small: only the small pair counts
     assert stats[4] == pytest.approx(1.0)   # AP_medium: only the medium pair
     assert stats[5] == pytest.approx(-1.0)  # AP_large: no large gts
+
+
+def test_coco_annotation_api():
+    """The broader annotation API surface (coco.py:109-233): filtered
+    getAnnIds/getCatIds/getImgIds and the load* accessors."""
+    from neuralnetworklibrary_tpu.utils.cocoeval import COCO
+
+    ds = {
+        "images": [{"id": 1, "file_name": "a.jpg"},
+                   {"id": 2, "file_name": "b.jpg"}],
+        "categories": [
+            {"id": 10, "name": "cat", "supercategory": "animal"},
+            {"id": 20, "name": "car", "supercategory": "vehicle"}],
+        "annotations": [
+            {"id": 100, "image_id": 1, "category_id": 10,
+             "bbox": [0, 0, 10, 10], "area": 100, "iscrowd": 0},
+            {"id": 101, "image_id": 1, "category_id": 20,
+             "bbox": [5, 5, 4, 4], "area": 16, "iscrowd": 0},
+            {"id": 102, "image_id": 2, "category_id": 10,
+             "bbox": [1, 1, 30, 30], "area": 900, "iscrowd": 1}],
+    }
+    coco = COCO(ds)
+    assert sorted(coco.getAnnIds(imgIds=1)) == [100, 101]
+    assert coco.getAnnIds(catIds=10, iscrowd=0) == [100]
+    assert coco.getAnnIds(areaRng=[50, 1000]) == [100, 102]
+    assert coco.getCatIds(catNms="cat") == [10]
+    assert coco.getCatIds(supNms=["vehicle"]) == [20]
+    assert sorted(coco.getImgIds(catIds=10)) == [1, 2]
+    assert coco.getImgIds(catIds=[10, 20]) == [1]
+    assert coco.loadAnns(100)[0]["bbox"] == [0, 0, 10, 10]
+    assert coco.loadImgs([2])[0]["file_name"] == "b.jpg"
+    assert coco.loadCats(20)[0]["name"] == "car"
