@@ -238,3 +238,70 @@ def test_nasnet_matches_reference():
     feats = NASNetALarge().apply({"params": params, "batch_stats": stats},
                                  to_nhwc(x), train=False)
     compare(feats, from_nchw(feats_t), "nasnetalarge")
+
+
+# ------------------------------------------------- NMS prune-mode parity
+
+def _clustered_boxes(rng, n, n_classes=4):
+    """Random box sets with deliberate overlaps + strict inclusions so every
+    prune mode (nms core, rel_thresh, inc, dup) actually fires."""
+    centers = rng.uniform(20, 80, (6, 2))
+    ctr = centers[rng.integers(0, 6, n)] + rng.normal(0, 4, (n, 2))
+    wh = rng.uniform(8, 30, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    # every 5th box: shrunken copy of the previous one, same class →
+    # a single strict inclusion with area ratio > 0.25
+    for k in range(1, n, 5):
+        boxes[k] = boxes[k - 1] + np.array([2, 2, -2, -2], np.float32)
+    classes = rng.integers(0, n_classes, n)
+    for k in range(1, n, 5):
+        classes[k] = classes[k - 1]
+    scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+    return boxes, classes.astype(np.int64), scores
+
+
+@pytest.mark.parametrize("rel,inc,dup", [
+    (None, [0.7, []], None),                       # inc alone
+    (None, [0.7, [1]], None),                      # inc with exempted class
+    (None, None, [0.3, [(0, 1), (1, 0), (2, 3)]]),  # dup alone
+    ([0.1, 0.3], [0.6, []], [0.3, [(0, 1), (1, 0)]]),  # all combined
+])
+def test_nms_prune_modes_match_reference(rel, inc, dup):
+    """Differential test of the inc/dup/rel_thresh prune passes
+    (detection.py nms_post_passes) vs the reference's nms
+    (retinanet.py:613-704) on randomized clustered box sets."""
+    from neuralnetworklibrary_tpu.applications.detection import nms_post_passes
+    from neuralnetworklibrary_tpu.ops.boxes import nms_fixed
+
+    core = core_stub()
+    ref = load_ref_module("retinanet.py", "ref_retinanet_nms")
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        boxes, classes, scores = _clustered_boxes(rng, n=40)
+        rb, rc, rs = ref.nms(
+            core.TEN(boxes), core.TEN(classes), core.TEN(scores.astype(np.float64)),
+            max_overlap=0.5, rel_thresh=rel, top_k=1000, max_boxes=15,
+            dup=[dup[0], [tuple(p) for p in dup[1]]] if dup else None,
+            inc=inc, print_it=False)
+
+        b, c, s = nms_fixed(jnp.asarray(boxes), jnp.asarray(classes),
+                            jnp.asarray(scores), max_overlap=0.5,
+                            top_k=1000, out_k=40)
+        b, c, s = np.asarray(b), np.asarray(c), np.asarray(s)
+        valid = s > 0
+        ob, oc, os_ = nms_post_passes(
+            b[valid], c[valid], s[valid],
+            rel_thresh=tuple(rel) if rel else None,
+            inc=(inc[0], list(inc[1])) if inc else None,
+            dup=(dup[0], [tuple(p) for p in dup[1]]) if dup else None,
+            max_boxes=15)
+
+        assert len(ob) == len(rb), (
+            f"trial {trial}: kept {len(ob)} boxes, reference kept {len(rb)}")
+        np.testing.assert_allclose(np.asarray(os_), np.asarray(rs), rtol=1e-5,
+                                   err_msg=f"trial {trial} scores diverge")
+        assert [int(x) for x in oc] == [int(x) for x in rc], f"trial {trial}"
+        np.testing.assert_allclose(np.stack(ob) if ob else np.zeros((0, 4)),
+                                   np.stack(rb) if rb else np.zeros((0, 4)),
+                                   rtol=1e-5, err_msg=f"trial {trial}")
