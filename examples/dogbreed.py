@@ -64,9 +64,12 @@ def synthetic_dataset(root, n_breeds=4, n_per_breed=24, seed=0):
 
 
 def run_arch(path, arch, sz1, sz2, bs, lr, epochs, cycles, stats=None,
-             save_prefix=""):
+             save_prefix="", frozen=True):
     """One branch of the notebook: frozen fit @sz1 → progressive resize to
-    sz2 with SGDR restarts → TTA probabilities (cells 18-25 / 28-37)."""
+    sz2 with SGDR restarts → TTA probabilities (cells 18-25 / 28-37).
+
+    frozen=False in synthetic mode: with no pretrained body to protect,
+    freezing a random-init body would cap what the head can learn."""
     tfms = get_transforms("SideOn", sz=sz1, stats=stats) if stats else \
         get_transforms("SideOn", sz=sz1)
     data = ImageDataObj.from_csv(path, tfms, bs=bs, train_csv="labels.csv",
@@ -75,8 +78,9 @@ def run_arch(path, arch, sz1, sz2, bs, lr, epochs, cycles, stats=None,
     model = ImageClassificationNet.create(data, arch=arch)
     learner = ImageLearner(path, data, model, optimizer="Adam2")
 
-    learner.freeze()
-    learner.bn_freeze("non_head")
+    if frozen:
+        learner.freeze()
+        learner.bn_freeze("non_head")
     learner.fit(lr, epochs, wd=1e-4, save_name=f"{save_prefix}{sz1}_{arch}",
                 save_method="best")
     learner.load(f"{save_prefix}{sz1}_{arch}")
@@ -113,12 +117,14 @@ def main():
     # senet154 branch (cells 18-25)
     probs_se, target, _ = run_arch(path, "senet154", *se_szs, bs=bs,
                                    lr=5e-3, epochs=args.epochs,
-                                   cycles=args.cycles, save_prefix="se_")
+                                   cycles=args.cycles, save_prefix="se_",
+                                   frozen=not synthetic)
     # nasnetalarge branch with the 0.5/0.5 stats switch (cells 28-37)
     probs_nas, _, _ = run_arch(path, "nasnetalarge", *nas_szs,
                                bs=max(bs // 2, 2), lr=3e-3,
                                epochs=args.epochs, cycles=args.cycles,
-                               stats=nasnet_stats, save_prefix="nas_")
+                               stats=nasnet_stats, save_prefix="nas_",
+                               frozen=not synthetic)
 
     # 2-model ensemble: average probabilities (cell 39)
     probs = (probs_se + probs_nas) / 2

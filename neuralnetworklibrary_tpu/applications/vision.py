@@ -797,11 +797,94 @@ class ImageLearner(Learner):
 
         return pipeline
 
+    def enable_device_cache(self, margin: int = 32, include_val: bool = False):
+        """Device-resident training dataset: decode every train image ONCE to
+        a margin-sized uint8 array resident in HBM; train batches then ship
+        only (bs,) int32 indices and the whole augmentation chain — random
+        crop + rotate-zoom folded into one per-image affine gather, flip,
+        lighting, normalize — runs inside the jitted step.
+
+        This is the input-pipeline mode for hosts whose upload path cannot
+        feed the chip (the classic resize-(sz+margin)/random-crop-sz train
+        protocol replaces the reference's crop-of-original; eval/TTA/predict
+        keep the exact host path).  Memory: N x (sz+margin)^2 x 3 bytes —
+        25k DogsCats images at 256px is ~4.9 GB of HBM.
+
+        include_val=True additionally caches the validation set (appended
+        rows of the same array): per-epoch eval then uploads nothing and
+        uses the resize-(sz+margin)/center-crop-sz protocol on device —
+        deterministic, but NOT pixel-identical to the host eval transform
+        (which resizes straight to sz), so it is opt-in.
+
+        Re-run after :meth:`data_resize` (the cache is size-specific).
+        """
+        data = self.data
+        tfm_aug = data.transforms[1]
+        sz = tuple(data.sz)
+        S = (sz[0] + margin, sz[1] + margin)
+        src_tfm = Transform("Basic", "center", None, S, None, None, None,
+                            None, stats=None)
+        ds = data.train_ds
+        vds = data.val_ds if include_val else None
+        n_train = len(ds)
+        n_total = n_train + (len(vds) if vds else 0)
+        imgs = np.empty((n_total, S[0], S[1], 3), np.uint8)
+        for i in range(n_train):
+            raw = ds._cache[i] if (ds.cache_images and ds._cache[i] is not None) \
+                else ds._decode(i)
+            imgs[i] = src_tfm(raw)
+        if vds:
+            for i in range(len(vds)):
+                raw = (vds._cache[i]
+                       if (vds.cache_images and vds._cache[i] is not None)
+                       else vds._decode(i))
+                imgs[n_train + i] = src_tfm(raw)
+        from neuralnetworklibrary_tpu.data.loader import ArrayDataset
+        from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+        cache = jax.device_put(imgs, pmesh.replicated(self.mesh))
+
+        def labels(d):
+            y = np.asarray(d.y)
+            return y.astype(np.int32) if data.target_type == "single_label" else y
+
+        idx_ds = ArrayDataset(np.arange(n_train, dtype=np.int32), labels(ds))
+        data.train_dl = DataLoader(idx_ds, data.bs, shuffle=True, seed=data.seed)
+        if vds:
+            vidx = ArrayDataset(np.arange(n_train, n_total, dtype=np.int32),
+                                labels(vds))
+            data.val_dl = DataLoader(vidx, data.bs, shuffle=False)
+
+        from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+        base = self._build_pipeline(data)
+
+        def pipeline(key, xs, train):
+            if xs[0].ndim == 1:  # index batch → resident-cache path
+                img = cached_augment_batch(
+                    key, cache, xs[0], sz, train=train,
+                    tfm_type=tfm_aug.tfm_type, max_deg=tfm_aug.max_deg,
+                    max_zoom=tfm_aug.max_zoom, bal_range=tfm_aug.bal_range,
+                    cont_range=tfm_aug.cont_range, max_noise=tfm_aug.max_noise,
+                    stats=tfm_aug.stats)
+                return (img,) + tuple(xs[1:])
+            return base(key, xs, train)  # pixel batches: val/test/TTA/predict
+
+        self.set_input_pipeline(pipeline)
+        self._device_cache_nbytes = imgs.nbytes
+        return self
+
     def data_resize(self, sz, bs=None):
         """Progressive resizing (Vision.py:1814-1833): change the static image
         size (new size → XLA compiles a fresh step; both stay cached)."""
         if isinstance(sz, int):
             sz = (sz, sz)
+        if getattr(self, "_device_cache_nbytes", 0):
+            # the HBM cache is size-specific: fall back to the host pipeline
+            # and loaders; call enable_device_cache() again at the new size
+            self._device_cache_nbytes = 0
+            self.data._make_loaders()
+            self.set_input_pipeline(self._build_pipeline(self.data))
         self.data.sz = tuple(sz)
         tfms = list(self.data.transforms)
         for ds in (self.data.train_ds, self.data.val_ds, self.data.test_ds):

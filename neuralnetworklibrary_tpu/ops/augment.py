@@ -39,7 +39,8 @@ def _reflect_index(idx, size):
     return jnp.clip(idx, 0, size - 1)
 
 
-def warp_affine_batch(imgs: jax.Array, A: jax.Array, b: jax.Array) -> jax.Array:
+def warp_affine_batch(imgs: jax.Array, A: jax.Array, b: jax.Array,
+                      out_hw=None) -> jax.Array:
     """Inverse-warp a batch of NHWC images by per-image affine maps.
 
     For each output pixel p=(x, y), samples the input at q = A @ p + b with
@@ -47,11 +48,14 @@ def warp_affine_batch(imgs: jax.Array, A: jax.Array, b: jax.Array) -> jax.Array:
     Vision.py:493-495; cv2 matrices are in (x, y) = (col, row) order).
 
     imgs: (B, H, W, C) float.  A: (B, 2, 2).  b: (B, 2).
+    out_hw: output grid (oh, ow); defaults to the input (H, W) — a smaller
+    grid folds cropping into the same single gather pass.
     """
     B, H, W, C = imgs.shape
-    xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    X, Y = jnp.meshgrid(xs, ys)  # (H, W) output pixel coords
+    oh, ow = (H, W) if out_hw is None else out_hw
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    ys = jnp.arange(oh, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, ys)  # (oh, ow) output pixel coords
 
     # source coords, per image: (B, H, W)
     sx = A[:, 0, 0, None, None] * X + A[:, 0, 1, None, None] * Y + b[:, 0, None, None]
@@ -69,8 +73,8 @@ def warp_affine_batch(imgs: jax.Array, A: jax.Array, b: jax.Array) -> jax.Array:
     flat = imgs.reshape(B, H * W, C)
 
     def gather(yy, xx):
-        idx = (yy * W + xx).reshape(B, H * W, 1)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
+        idx = (yy * W + xx).reshape(B, oh * ow, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, oh, ow, C)
 
     v00 = gather(y0r, x0r)
     v01 = gather(y0r, x1r)
@@ -258,3 +262,136 @@ def augment_batch(key, imgs, *, tfm_type="Basic", max_deg=10, max_zoom=1.05,
         None if not max_noise else float(max_noise),
         stats_key,
     )
+
+
+def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
+                         *, train: bool, tfm_type="SideOn", max_deg=10,
+                         max_zoom=1.05, bal_range=(-0.05, 0.05),
+                         cont_range=(0.95, 1.05), max_noise=None,
+                         stats=imagenet_stats, geometry="batch"):
+    """Device-resident-dataset augmentation: index → augmented batch, all on
+    device.  The only per-step host→device transfer is ``idxs`` (a few hundred
+    bytes), vs ~150 KB/image for shipped pixels — the input-pipeline mode for
+    hosts whose upload path can't feed the chip (see
+    ImageLearner.enable_device_cache).
+
+    cache: (N, S, S, C) uint8, the margin-sized source images resident in HBM.
+    idxs: (B,) int32 rows to train on this step.
+    out_hw: (oh, ow) output size (the model's training resolution).
+
+    train=True, geometry="batch" (default): per-image random integer crop
+    (vmapped dynamic_slice, cheap) + ONE shared rotate-zoom for the batch
+    via the MXU two-pass warp (~20x faster than per-pixel gathers; the
+    reference's own detection collater draws batch-shared geometry the same
+    way, Vision.py:586-589).  geometry="image": per-image rotate-zoom via
+    the exact gather warp (~115 ms/batch on v5e — use only when per-image
+    angles matter).  Then flip/lighting/noise/normalize, all per image.
+    train=False: deterministic center crop + normalize (the classic
+    resize-S/center-crop-sz eval protocol).
+    """
+    B = idxs.shape[0]
+    S = cache.shape[1]
+    oh, ow = out_hw
+    if not train:
+        imgs = jnp.take(cache, idxs, axis=0).astype(jnp.float32) / 255.0
+        r0, c0 = (S - oh) // 2, (S - ow) // 2
+        x = imgs[:, r0:r0 + oh, c0:c0 + ow]
+        return normalize_batch(x, stats)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_geo, k_rest = jax.random.split(key)
+    kd, kz, kx, ky = jax.random.split(k_geo, 4)
+
+    if geometry == "batch":
+        # per-image integer crop window, halfway between out and source size
+        wh = oh + (S - oh) // 2
+        ww = ow + (S - ow) // 2
+        r0 = jax.random.randint(kx, (B,), 0, S - wh + 1)
+        c0 = jax.random.randint(ky, (B,), 0, S - ww + 1)
+        imgs = jnp.take(cache, idxs, axis=0)
+        win = jax.vmap(
+            lambda im, r, c: jax.lax.dynamic_slice(im, (r, c, 0), (wh, ww, im.shape[-1]))
+        )(imgs, r0, c0).astype(jnp.float32) / 255.0
+        deg = (jax.random.uniform(kd, (), minval=-max_deg, maxval=max_deg)
+               if max_deg else jnp.zeros(()))
+        zoom = (jax.random.uniform(kz, (), minval=1.0, maxval=max_zoom)
+                if max_zoom else jnp.ones(()))
+        th = -deg * (np.pi / 180.0)
+        s = 1.0 / zoom
+        cos, sin = jnp.cos(th) * s, jnp.sin(th) * s
+        A = jnp.stack([jnp.stack([cos, sin]), jnp.stack([-sin, cos])])
+        out_c = jnp.asarray([ow / 2, oh / 2], jnp.float32)
+        src_c = jnp.asarray([ww / 2, wh / 2], jnp.float32)
+        b = src_c - A @ out_c
+        x = warp_affine_two_pass(win, A, b, (oh, ow))
+    else:
+        imgs = jnp.take(cache, idxs, axis=0).astype(jnp.float32) / 255.0
+        deg = (jax.random.uniform(kd, (B,), minval=-max_deg, maxval=max_deg)
+               if max_deg else jnp.zeros((B,)))
+        zoom = (jax.random.uniform(kz, (B,), minval=1.0, maxval=max_zoom)
+                if max_zoom else jnp.ones((B,)))
+        # crop center anywhere that keeps the unrotated window inside the source
+        cx = jax.random.uniform(kx, (B,), minval=ow / 2, maxval=S - ow / 2)
+        cy = jax.random.uniform(ky, (B,), minval=oh / 2, maxval=S - oh / 2)
+        # inverse map: out pixel p → src q = Rinv @ (p - out_center) + crop_center
+        A, _ = _rot_zoom_inverse(deg, zoom, 0.0, 0.0)
+        out_c = jnp.asarray([ow / 2, oh / 2], jnp.float32)
+        crop_c = jnp.stack([cx, cy], axis=-1)
+        b = crop_c - jnp.einsum("bij,j->bi", A, out_c)
+        x = warp_affine_batch(imgs, A, b, out_hw=(oh, ow))
+    # remaining random stages (flip, lighting, noise) + normalize
+    return augment_batch(k_rest, x, tfm_type=tfm_type, max_deg=None,
+                         max_zoom=None, bal_range=bal_range,
+                         cont_range=cont_range, max_noise=max_noise,
+                         stats=stats)
+
+
+def _interp_matrix(src_coords: jax.Array, Wsrc: int) -> jax.Array:
+    """(rows, O) float source positions → (rows, Wsrc, O) two-band bilinear
+    interpolation matrices (clamp borders)."""
+    i0 = jnp.floor(src_coords)
+    f = src_coords - i0
+    i0 = i0.astype(jnp.int32)
+    grid = jnp.arange(Wsrc)[None, :, None]
+    m = ((grid == jnp.clip(i0, 0, Wsrc - 1)[:, None, :]) * (1 - f)[:, None, :]
+         + (grid == jnp.clip(i0 + 1, 0, Wsrc - 1)[:, None, :]) * f[:, None, :])
+    return m.astype(jnp.float32)
+
+
+def warp_affine_two_pass(imgs: jax.Array, A: jax.Array, b: jax.Array,
+                         out_hw) -> jax.Array:
+    """SHARED-geometry affine warp as two interpolation-matrix contractions.
+
+    Per-pixel gather warps are index-overhead-bound on TPU (~115 ms for a
+    64x256->224 batch); expressing the same 1-D resamples as two-band sparse
+    matrices turns the warp into two MXU einsums (~3 ms measured on v5e).
+    Restriction: ONE affine for the whole batch (A (2,2), b (2,) — the
+    out-pixel → src-pixel map q = A @ p + b, x-col/y-row order as in
+    :func:`warp_affine_batch`).
+
+    Decomposition: [[a, b],[c, d]] = Hx([p, q]) . Vy([c, d]) with q = b/d,
+    p = a − b·c/d — an x-pass (per-source-row 1-D affine resample) followed
+    by a y-pass (per-output-column 1-D affine resample).  Two-pass bilinear
+    ≈ one-pass bilinear with ≤|b/d| sub-pixel skew (~0.2 px at 10°);
+    borders clamp instead of reflect.
+    """
+    B, H, W, C = imgs.shape
+    oh, ow = out_hw
+    a_, b_ = A[0, 0], A[0, 1]
+    c_, d_ = A[1, 0], A[1, 1]
+    q_ = b_ / d_
+    p_ = a_ - b_ * c_ / d_
+    t_ = b[0] - q_ * b[1]
+
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    ys = jnp.arange(oh, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    # x-pass: t1[h, x'] = src[h, p·x' + q·h + t]
+    sx = p_ * xs[None, :] + q_ * rows[:, None] + t_          # (H, ow)
+    Mx = _interp_matrix(sx, W)                               # (H, W, ow)
+    t1 = jnp.einsum("hwo,bhwc->bhoc", Mx, imgs)              # (B, H, ow, C)
+    # y-pass: out[y', x'] = t1[c·x' + d·y' + b_y, x']
+    sy = d_ * ys[:, None] + c_ * xs[None, :] + b[1]          # (oh, ow)
+    My = _interp_matrix(sy.T, H)                             # (ow, H, oh)
+    return jnp.einsum("xhy,bhxc->byxc", My, t1)              # (B, oh, ow, C)

@@ -107,3 +107,61 @@ class TestAugmentBatch:
         k = _gaussian_kernel1d(11)
         ref = cv2.getGaussianKernel(11, 0).ravel()
         np.testing.assert_allclose(k, ref, atol=1e-6)
+
+
+class TestTwoPassWarp:
+    """warp_affine_two_pass (MXU path) vs the exact gather warp."""
+
+    def _shared(self, deg=8.0, zoom=1.03, S=48, O=40):
+        th = np.deg2rad(-deg)
+        s = 1.0 / zoom
+        A = np.asarray([[np.cos(th) * s, np.sin(th) * s],
+                        [-np.sin(th) * s, np.cos(th) * s]], np.float32)
+        b = (np.asarray([S / 2, S / 2]) - A @ np.asarray([O / 2, O / 2])).astype(np.float32)
+        return jnp.asarray(A), jnp.asarray(b)
+
+    def test_identity_exact(self):
+        from neuralnetworklibrary_tpu.ops.augment import warp_affine_two_pass
+
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        A = jnp.eye(2)
+        b = jnp.zeros(2)
+        out = warp_affine_two_pass(img, A, b, (32, 32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    def test_affine_ramp_exact(self):
+        # bilinear resampling is exact on images affine in (x, y), so the
+        # two-pass decomposition must match the analytic warp exactly there
+        from neuralnetworklibrary_tpu.ops.augment import warp_affine_two_pass
+
+        S, O = 48, 32
+        ys, xs = np.mgrid[0:S, 0:S].astype(np.float32)
+        img = jnp.asarray(np.stack([xs, ys, xs + ys], -1)[None])
+        A, b = self._shared(S=S, O=O)
+        out = np.asarray(warp_affine_two_pass(img, A, b, (O, O)))
+        oy, ox = np.mgrid[0:O, 0:O].astype(np.float32)
+        sx = A[0, 0] * ox + A[0, 1] * oy + b[0]
+        sy = A[1, 0] * ox + A[1, 1] * oy + b[1]
+        inside = (sx > 1) & (sx < S - 2) & (sy > 1) & (sy < S - 2)
+        np.testing.assert_allclose(out[0, ..., 0][inside], np.asarray(sx)[inside],
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(out[0, ..., 1][inside], np.asarray(sy)[inside],
+                                   atol=1e-3, rtol=1e-4)
+
+    def test_close_to_gather_warp_on_smooth_image(self):
+        from neuralnetworklibrary_tpu.ops.augment import (
+            warp_affine_batch,
+            warp_affine_two_pass,
+        )
+
+        S, O = 48, 32
+        ys, xs = np.mgrid[0:S, 0:S].astype(np.float32)
+        img = jnp.asarray((np.sin(xs / 6) * np.cos(ys / 7))[None, ..., None].astype(np.float32))
+        A, b = self._shared(S=S, O=O)
+        two = np.asarray(warp_affine_two_pass(img, A, b, (O, O)))
+        Ab = jnp.broadcast_to(A, (1, 2, 2))
+        bb = jnp.broadcast_to(b, (1, 2))
+        one = np.asarray(warp_affine_batch(img, Ab, bb, out_hw=(O, O)))
+        # interior only (clamp-vs-reflect borders); <= |b/d| sub-pixel skew
+        np.testing.assert_allclose(two[:, 4:-4, 4:-4], one[:, 4:-4, 4:-4],
+                                   atol=0.04)

@@ -213,3 +213,79 @@ class TestImageLearner:
         cm = learner.confusion_matrix(plot=False)
         assert cm.sum() == 6
         assert np.trace(cm) >= 5
+
+
+class TestDeviceCache:
+    def test_enable_device_cache_trains_and_keeps_eval_path(self, img_root):
+        """Device-resident dataset mode: index-only train batches learn the
+        color rule; val evaluate/predict keep the exact host pixel path."""
+        data = _dataobj(img_root, sz=32, bs=8)
+        model = ImageClassificationNet.create(data, arch=_tiny_arch())
+        learner = ImageLearner("/tmp/nnl_test_devcache", data, model,
+                               optimizer="Adam")
+        learner.enable_device_cache(margin=8)
+        # train loader now yields (bs,) int32 indices
+        b = learner.data.train_dl.peek()
+        assert np.asarray(b.xs[0]).ndim == 1
+        assert learner._device_cache_nbytes > 0
+        learner.fit(5e-3, 6)
+        loss, acc = learner.evaluate("val")[:2]
+        assert acc > 0.9, f"device-cache training failed to learn (acc={acc})"
+        # evaluate('train') exercises the center-crop eval path on the cache
+        tl = learner.evaluate("train")
+        assert np.isfinite(tl)
+        # predict on val drives the legacy pixel path through the same pipeline
+        probs = learner.predict("val")
+        assert np.asarray(probs[0]).shape[0] == len(data.val_ds)
+
+
+def test_cached_augment_batch_shapes_and_determinism():
+    import jax
+
+    from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+    rng = np.random.default_rng(0)
+    cache = jnp.asarray(rng.integers(0, 256, (10, 40, 40, 3), dtype=np.uint8))
+    idxs = jnp.asarray([0, 3, 7], jnp.int32)
+    key = jax.random.PRNGKey(1)
+    out = cached_augment_batch(key, cache, idxs, (32, 32), train=True)
+    assert out.shape == (3, 32, 32, 3)
+    out2 = cached_augment_batch(key, cache, idxs, (32, 32), train=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))  # same key
+    ev = cached_augment_batch(None, cache, idxs, (32, 32), train=False)
+    assert ev.shape == (3, 32, 32, 3)
+    # eval path = exact center crop + normalize of the cached rows
+    from neuralnetworklibrary_tpu.ops.augment import imagenet_stats, normalize_batch
+    manual = normalize_batch(cache[np.asarray(idxs)][:, 4:36, 4:36], imagenet_stats)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(manual), atol=1e-6)
+
+
+def test_data_resize_drops_device_cache(img_root):
+    data = _dataobj(img_root, sz=32, bs=8)
+    model = ImageClassificationNet.create(data, arch=_tiny_arch())
+    learner = ImageLearner("/tmp/nnl_test_devcache2", data, model,
+                           optimizer="Adam")
+    learner.enable_device_cache(margin=8)
+    assert np.asarray(learner.data.train_dl.peek().xs[0]).ndim == 1
+    learner.data_resize(40)
+    # host loaders + pixel pipeline restored; training still works
+    b = learner.data.train_dl.peek()
+    assert np.asarray(b.xs[0]).ndim == 4
+    assert learner._device_cache_nbytes == 0
+    learner.fit(5e-3, 1)
+
+
+def test_device_cache_include_val(img_root):
+    """include_val=True: eval uploads nothing (index batches) and still
+    measures accurate val metrics; predict('val') works through the cache."""
+    data = _dataobj(img_root, sz=32, bs=8)
+    model = ImageClassificationNet.create(data, arch=_tiny_arch())
+    learner = ImageLearner("/tmp/nnl_test_devcache3", data, model,
+                           optimizer="Adam")
+    learner.enable_device_cache(margin=8, include_val=True)
+    assert np.asarray(learner.data.val_dl.peek().xs[0]).ndim == 1
+    learner.fit(5e-3, 6)
+    loss, acc = learner.evaluate("val")[:2]
+    assert acc > 0.9
+    probs, labels = learner.predict("val")
+    assert len(labels) == len(data.val_ds)
