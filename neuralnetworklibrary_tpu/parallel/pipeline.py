@@ -117,7 +117,7 @@ def shard_stage_params(params_list, mesh: Mesh, axis: str = "stage"):
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x,
                    n_microbatches: int, mesh: Optional[Mesh] = None,
-                   axis: str = "stage"):
+                   axis: str = "stage", remat: bool = False):
     """Differentiable GPipe schedule: ``x`` through S stages, M microbatches.
 
     stage_fn(params_s, h) -> h' — one stage's computation (homogeneous width).
@@ -133,7 +133,15 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x,
     over the leading axis) and the buffer rolls one stage forward.  Identical
     numerics to applying the stages sequentially; ``jax.grad`` through this
     function produces the reversed backward pipeline.
+
+    remat=True wraps the stage in ``jax.checkpoint`` so the backward
+    recomputes stage activations instead of storing every tick's
+    intermediates — the classic GPipe activation-memory fix (O(ticks)
+    stored tensors shrink to the scan carries); same numerics, ~1 extra
+    forward of compute.
     """
+    if remat:
+        stage_fn = jax.checkpoint(stage_fn)
     S = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     B, width = x.shape
     M = n_microbatches
@@ -195,10 +203,10 @@ class PipelinedMLP:
 
     def __init__(self, n_in: int, width: int, n_stages: int, n_out: int,
                  n_microbatches: int = 4, mesh: Optional[Mesh] = None,
-                 axis: str = "stage"):
+                 axis: str = "stage", remat: bool = False):
         self.n_in, self.width, self.n_stages = n_in, width, n_stages
         self.n_out, self.M = n_out, n_microbatches
-        self.mesh, self.axis = mesh, axis
+        self.mesh, self.axis, self.remat = mesh, axis, remat
         self.layer_group_prefixes = [["in_proj", "stack"], ["head"]]
         self.head_prefixes = ("head",)
 
@@ -232,7 +240,8 @@ class PipelinedMLP:
         stacked = (params["stack"]["kernel"], params["stack"]["bias"])
         if pipelined:
             h = pipeline_apply(self._stage_fn, stacked, h, self.M,
-                               mesh=self.mesh, axis=self.axis)
+                               mesh=self.mesh, axis=self.axis,
+                               remat=self.remat)
         else:  # sequential reference path (numerics oracle)
             for s in range(self.n_stages):
                 h = self._stage_fn((stacked[0][s], stacked[1][s]), h)

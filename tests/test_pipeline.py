@@ -190,3 +190,22 @@ def test_pipelined_stack_params_sharded():
                       mesh=mesh, param_sharding=pipelined_param_rule(mesh))
     assert not learner.params["stack"]["kernel"].sharding.is_fully_replicated
     assert learner.params["in_proj"]["kernel"].sharding.is_fully_replicated
+
+
+def test_pipeline_remat_same_numerics():
+    """remat=True (jax.checkpoint on the stage) must not change values or
+    gradients — only activation memory."""
+    S, M, width, B = 4, 4, 16, 16
+    stacked = _stacked(S, width, seed=9)
+    x = jnp.asarray(np.random.default_rng(10).normal(0, 1, (B, width)).astype(np.float32))
+    y = jnp.asarray(np.random.default_rng(11).normal(0, 1, (B, width)).astype(np.float32))
+
+    def loss(p, rm):
+        return jnp.mean((pipeline_apply(_stage_fn, p, x, M, remat=rm) - y) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(stacked)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(stacked)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6), g0, g1)
