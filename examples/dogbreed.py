@@ -81,14 +81,16 @@ def run_arch(path, arch, sz1, sz2, bs, lr, epochs, cycles, stats=None,
     if frozen:
         learner.freeze()
         learner.bn_freeze("non_head")
-    learner.fit(lr, epochs, wd=1e-4, save_name=f"{save_prefix}{sz1}_{arch}",
-                save_method="best")
+    clip = None if frozen else 1.0  # random-init bodies need grad clipping
+    learner.fit(lr, epochs, wd=1e-4, clip=clip,
+                save_name=f"{save_prefix}{sz1}_{arch}", save_method="best")
     learner.load(f"{save_prefix}{sz1}_{arch}")
 
     # progressive resize (cell 22/34): same params, larger static shape
     learner.data_resize(sz2)
     learner.fit_cycles(lr, lr / 100, num_cycles=cycles, base_length=1,
-                       wd=1e-4, save_name=f"{save_prefix}{sz2}_{arch}",
+                       wd=1e-4, clip=clip,
+                       save_name=f"{save_prefix}{sz2}_{arch}",
                        save_method="best")
     learner.load(f"{save_prefix}{sz2}_{arch}")
 
@@ -114,14 +116,15 @@ def main():
     else:  # the notebook's configuration (cells 17, 30, 34)
         se_szs, nas_szs, bs = (224, 299), (331, 399), args.bs or 64
 
+    lr_se, lr_nas = (5e-3, 3e-3) if not synthetic else (5e-4, 5e-4)
     # senet154 branch (cells 18-25)
     probs_se, target, _ = run_arch(path, "senet154", *se_szs, bs=bs,
-                                   lr=5e-3, epochs=args.epochs,
+                                   lr=lr_se, epochs=args.epochs,
                                    cycles=args.cycles, save_prefix="se_",
                                    frozen=not synthetic)
     # nasnetalarge branch with the 0.5/0.5 stats switch (cells 28-37)
     probs_nas, _, _ = run_arch(path, "nasnetalarge", *nas_szs,
-                               bs=max(bs // 2, 2), lr=3e-3,
+                               bs=max(bs // 2, 2), lr=lr_nas,
                                epochs=args.epochs, cycles=args.cycles,
                                stats=nasnet_stats, save_prefix="nas_",
                                frozen=not synthetic)

@@ -797,7 +797,8 @@ class ImageLearner(Learner):
 
         return pipeline
 
-    def enable_device_cache(self, margin: int = 32, include_val: bool = False):
+    def enable_device_cache(self, margin: int = 32, include_val: bool = False,
+                            geometry: str = "batch"):
         """Device-resident training dataset: decode every train image ONCE to
         a margin-sized uint8 array resident in HBM; train batches then ship
         only (bs,) int32 indices and the whole augmentation chain — random
@@ -866,7 +867,7 @@ class ImageLearner(Learner):
                     tfm_type=tfm_aug.tfm_type, max_deg=tfm_aug.max_deg,
                     max_zoom=tfm_aug.max_zoom, bal_range=tfm_aug.bal_range,
                     cont_range=tfm_aug.cont_range, max_noise=tfm_aug.max_noise,
-                    stats=tfm_aug.stats)
+                    stats=tfm_aug.stats, geometry=geometry)
                 return (img,) + tuple(xs[1:])
             return base(key, xs, train)  # pixel batches: val/test/TTA/predict
 

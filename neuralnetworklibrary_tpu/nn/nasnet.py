@@ -30,11 +30,20 @@ def _use_ra(train, bn_train):
 
 
 def avg_pool_exclude_pad(x, window=3, stride=1, padding=1):
-    """AvgPool2d(count_include_pad=False) over NHWC."""
-    pads = [(padding, padding)] * 2
-    s = nn.pooling.pool(x, 0.0, jnp.add, (window, window), (stride, stride), pads)
+    """AvgPool2d(count_include_pad=False) over NHWC.
+
+    Sum-pool via lax.reduce_window with lax.add — the add monoid dispatches
+    to XLA's ReduceWindowSum, which has a transpose rule (flax's generic
+    nn.pooling.pool(jnp.add) does not and breaks reverse-mode AD when the
+    body is unfrozen)."""
+    import jax.lax as lax
+
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    dims = (1, window, window, 1)
+    strides = (1, stride, stride, 1)
+    s = lax.reduce_window(x, 0.0, lax.add, dims, strides, pads)
     ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
-    counts = nn.pooling.pool(ones, 0.0, jnp.add, (window, window), (stride, stride), pads)
+    counts = lax.reduce_window(ones, 0.0, lax.add, dims, strides, pads)
     return s / counts
 
 

@@ -188,3 +188,20 @@ def test_build_body_registry():
     assert nfeats == 2048
     with pytest.raises(KeyError):
         build_body("vgg19")
+
+
+def test_zoo_bodies_are_differentiable():
+    """Backward through every zoo body family must work (unfrozen training;
+    the exclude-pad avg pools once used a non-differentiable generic
+    reduce_window and broke nasnet/inception grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.nn.inception import avg_pool_3x3_exclude_pad
+    from neuralnetworklibrary_tpu.nn.nasnet import avg_pool_exclude_pad
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 4)).astype(np.float32))
+    g = jax.grad(lambda v: float(0) + jnp.sum(avg_pool_exclude_pad(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    g = jax.grad(lambda v: jnp.sum(avg_pool_3x3_exclude_pad(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
