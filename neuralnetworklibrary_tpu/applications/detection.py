@@ -837,7 +837,7 @@ class ObjectDetectionLearner(Learner):
     NMS, mAP computation, bbox display."""
 
     def __init__(self, PATH, data, model, optimizer="default", loss_func="default",
-                 use_moving_avg=True, mesh=None, seed=0):
+                 use_moving_avg=True, mesh=None, seed=0, **learner_kwargs):
         if loss_func == "default":
             loss_func = SSD_loss()
         # batches arrive uint8; normalize on device (fused into the step)
@@ -858,7 +858,7 @@ class ObjectDetectionLearner(Learner):
             mesh = get_mesh(math.gcd(data.bs, len(jax.devices())))
         super().__init__(PATH, data, model, optimizer, loss_func,
                          use_moving_avg, mesh=mesh, seed=seed,
-                         input_pipeline=_pipeline)
+                         input_pipeline=_pipeline, **learner_kwargs)
         self.predictor = BBoxPredictor()
 
     def _forward(self, xs):

@@ -782,10 +782,13 @@ class ImageLearner(Learner):
     resize, stats switching, confusion matrix, image display, TTA."""
 
     def __init__(self, PATH, data, model, optimizer="default", loss_func="default",
-                 use_moving_avg=True, mesh=None, seed=0):
+                 use_moving_avg=True, mesh=None, seed=0, **learner_kwargs):
+        # learner_kwargs forwards base Learner options (matmul_precision,
+        # param_sharding, ...)
         super().__init__(PATH, data, model, optimizer, loss_func, use_moving_avg,
                          mesh=mesh, seed=seed,
-                         input_pipeline=self._build_pipeline(data))
+                         input_pipeline=self._build_pipeline(data),
+                         **learner_kwargs)
 
     @staticmethod
     def _build_pipeline(data):
