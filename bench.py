@@ -151,6 +151,8 @@ def main():
     learner = build_learner("resnet34", "/tmp/nnl_bench", frozen=False)
     r34_dev = bench_device_only(learner)
     r34_rates = bench_e2e(learner, epochs=6, include_eval=False)
+    learner.enable_device_cache(margin=32)
+    r34_cache_rates = bench_e2e(learner, epochs=5, include_eval=False)
     del learner
     gc.collect()
 
@@ -171,6 +173,7 @@ def main():
         "resnet34_e2e": round(r34_e2e, 2),
         "resnet34_epoch_range": [round(min(r34_rates), 1),
                                  round(max(r34_rates), 1)],
+        "resnet34_device_cache_e2e": round(float(np.median(r34_cache_rates)), 2),
         "resnet34_device_only": round(r34_dev, 2),
         "baseline": BASELINE,
         "note": "median per-epoch img/s; baseline = P6000 Dogbreed "

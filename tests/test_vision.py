@@ -289,3 +289,18 @@ def test_device_cache_include_val(img_root):
     assert acc > 0.9
     probs, labels = learner.predict("val")
     assert len(labels) == len(data.val_ds)
+
+
+def test_device_cache_on_dp_mesh(img_root):
+    """Device cache composes with data parallelism: indices shard over the
+    'data' axis, the cache replicates, training learns."""
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh
+
+    data = _dataobj(img_root, sz=32, bs=8)
+    model = ImageClassificationNet.create(data, arch=_tiny_arch())
+    learner = ImageLearner("/tmp/nnl_test_devcache_dp", data, model,
+                           optimizer="Adam", mesh=get_mesh(8))
+    learner.enable_device_cache(margin=8, include_val=True)
+    learner.fit(5e-3, 6)
+    loss, acc = learner.evaluate("val")[:2]
+    assert acc > 0.9
