@@ -349,7 +349,8 @@ class BBoxDataObj:
     def from_json_bbox(cls, PATH, transforms, bs, train_json="train.json",
                        val_json=None, test_json=None, train_name="train",
                        val_name=None, test_name=None, val_frac=0.2, suffix="",
-                       get_ARS=(608, 1216), granularity=128, seed=0):
+                       get_ARS=(608, 1216), granularity=128, seed=0,
+                       val_bs=None):
         """Construct from COCO/Pascal-format json annotations
         (Vision.py:1062-1200): keys 'images' (id, file_name, and width/height
         when present), 'annotations' (image_id, bbox xywh, category_id, with
@@ -420,7 +421,7 @@ class BBoxDataObj:
 
         data = cls(PATH, categories, bs, transforms, train_images, val_images,
                    test_images, train_name, val_name, test_name,
-                   granularity=granularity, seed=seed)
+                   granularity=granularity, seed=seed, val_bs=val_bs)
         data.cat2dscat = cat2dscat
         return data
 
@@ -880,12 +881,14 @@ class ObjectDetectionLearner(Learner):
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
         # batched eval: the loader's .groups map each batch row to its
         # dataset index, so predictions land in dataset order whatever the
-        # (aspect-bucketed) batch composition
+        # (aspect-bucketed) batch composition.  Loaders without .groups fall
+        # back to sequential row order (the old bs=1/duck-typed behavior).
         groups = getattr(dl, "groups", None)
-        L = sum(len(g) for g in groups) if groups is not None else len(dl)
-        PredBoxes: list = [None] * L
-        PredClasses: list = [None] * L
-        ConfScores: list = [None] * L
+        L = sum(len(g) for g in groups) if groups is not None else None
+        PredBoxes: list = [None] * L if L is not None else []
+        PredClasses: list = [None] * L if L is not None else []
+        ConfScores: list = [None] * L if L is not None else []
+        seq = 0  # running dataset index for the groups-less fallback
         for j, batch in enumerate(pmesh.device_prefetch(dl, self.mesh)):
             anchors, reg, clas = self._forward(
                 tuple(jnp.asarray(x) for x in batch.xs))
@@ -894,14 +897,20 @@ class ObjectDetectionLearner(Learner):
                                         max_overlap, rel_thresh, top_k,
                                         max_boxes, dup, inc)
             for i in range(batch.n_valid):
-                ds_idx = groups[j][i] if groups is not None else j
+                ds_idx = groups[j][i] if groups is not None else seq
+                seq += 1
                 boxes = pb[i]
                 if rescale:
                     scale = dl.ds.images[ds_idx]["scale"]
                     boxes = [b / scale for b in boxes]
-                PredBoxes[ds_idx] = boxes
-                PredClasses[ds_idx] = pc[i]
-                ConfScores[ds_idx] = cs[i]
+                if groups is not None:
+                    PredBoxes[ds_idx] = boxes
+                    PredClasses[ds_idx] = pc[i]
+                    ConfScores[ds_idx] = cs[i]
+                else:
+                    PredBoxes.append(boxes)
+                    PredClasses.append(pc[i])
+                    ConfScores.append(cs[i])
         return PredBoxes, PredClasses, ConfScores
 
     def compute_mAP(self, predictions=None, thresholds=COCO_thresholds,

@@ -883,12 +883,7 @@ class ImageLearner(Learner):
         size (new size → XLA compiles a fresh step; both stay cached)."""
         if isinstance(sz, int):
             sz = (sz, sz)
-        if getattr(self, "_device_cache_nbytes", 0):
-            # the HBM cache is size-specific: fall back to the host pipeline
-            # and loaders; call enable_device_cache() again at the new size
-            self._device_cache_nbytes = 0
-            self.data._make_loaders()
-            self.set_input_pipeline(self._build_pipeline(self.data))
+        self._drop_device_cache()
         self.data.sz = tuple(sz)
         tfms = list(self.data.transforms)
         for ds in (self.data.train_ds, self.data.val_ds, self.data.test_ds):
@@ -905,8 +900,17 @@ class ImageLearner(Learner):
                 raise ValueError(f"bs {bs} not divisible by mesh size")
             self.data._make_loaders()
 
+    def _drop_device_cache(self):
+        """Restore host loaders + pixel pipeline if a device cache is active
+        (the HBM cache is size- and stats-specific)."""
+        if getattr(self, "_device_cache_nbytes", 0):
+            self._device_cache_nbytes = 0
+            self.data._make_loaders()
+            self.set_input_pipeline(self._build_pipeline(self.data))
+
     def switch_transform_stats(self, new_stats):
         """Swap normalization stats on all transforms (Vision.py:1835-1844)."""
+        self._drop_device_cache()
         for tfm in self.data.transforms:
             tfm.stats = new_stats
         for ds in (self.data.train_ds, self.data.val_ds, self.data.test_ds):

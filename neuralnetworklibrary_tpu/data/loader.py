@@ -113,6 +113,11 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.host_shard:
+            from neuralnetworklibrary_tpu.parallel.multihost import process_info
+
+            _, pc = process_info()
+            n = -(-n // pc)  # this host's (padded) share of the epoch
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def peek(self) -> Batch:
@@ -162,7 +167,9 @@ class DataLoader:
 
     def _iter_batches(self) -> Iterator[Batch]:
         idxs = self._epoch_indices()
-        n_batches = len(self)
+        # batch count from THIS epoch's index set (host_shard slices it)
+        n = len(idxs)
+        n_batches = n // self.bs if self.drop_last else -(-n // self.bs)
         for b in range(n_batches):
             yield self._make_batch(idxs[b * self.bs : (b + 1) * self.bs])
         self.epoch += 1

@@ -290,11 +290,11 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     resize-S/center-crop-sz eval protocol).
     """
     B = idxs.shape[0]
-    S = cache.shape[1]
+    Sh, Sw = cache.shape[1], cache.shape[2]  # cache may be non-square
     oh, ow = out_hw
     if not train:
         imgs = jnp.take(cache, idxs, axis=0).astype(jnp.float32) / 255.0
-        r0, c0 = (S - oh) // 2, (S - ow) // 2
+        r0, c0 = (Sh - oh) // 2, (Sw - ow) // 2
         x = imgs[:, r0:r0 + oh, c0:c0 + ow]
         return normalize_batch(x, stats)
 
@@ -305,10 +305,10 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
 
     if geometry == "batch":
         # per-image integer crop window, halfway between out and source size
-        wh = oh + (S - oh) // 2
-        ww = ow + (S - ow) // 2
-        r0 = jax.random.randint(kx, (B,), 0, S - wh + 1)
-        c0 = jax.random.randint(ky, (B,), 0, S - ww + 1)
+        wh = oh + (Sh - oh) // 2
+        ww = ow + (Sw - ow) // 2
+        r0 = jax.random.randint(kx, (B,), 0, Sh - wh + 1)
+        c0 = jax.random.randint(ky, (B,), 0, Sw - ww + 1)
         imgs = jnp.take(cache, idxs, axis=0)
         win = jax.vmap(
             lambda im, r, c: jax.lax.dynamic_slice(im, (r, c, 0), (wh, ww, im.shape[-1]))
@@ -332,8 +332,8 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
         zoom = (jax.random.uniform(kz, (B,), minval=1.0, maxval=max_zoom)
                 if max_zoom else jnp.ones((B,)))
         # crop center anywhere that keeps the unrotated window inside the source
-        cx = jax.random.uniform(kx, (B,), minval=ow / 2, maxval=S - ow / 2)
-        cy = jax.random.uniform(ky, (B,), minval=oh / 2, maxval=S - oh / 2)
+        cx = jax.random.uniform(kx, (B,), minval=ow / 2, maxval=Sw - ow / 2)
+        cy = jax.random.uniform(ky, (B,), minval=oh / 2, maxval=Sh - oh / 2)
         # inverse map: out pixel p → src q = Rinv @ (p - out_center) + crop_center
         A, _ = _rot_zoom_inverse(deg, zoom, 0.0, 0.0)
         out_c = jnp.asarray([ow / 2, oh / 2], jnp.float32)

@@ -548,3 +548,48 @@ def test_batched_predict_matches_bs1(tmp_path_factory):
         if len(a):
             np.testing.assert_allclose(np.stack(a), np.stack(b), rtol=1e-4,
                                        atol=1e-3)
+
+
+def test_from_json_bbox_val_bs_passthrough(tiny_detection_data):
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataObj,
+        get_transforms_bbox,
+    )
+
+    tfms = get_transforms_bbox("SideOn")
+    data = BBoxDataObj.from_json_bbox(
+        str(tiny_detection_data), tfms, bs=2, val_frac=0.34,
+        get_ARS=(64, 128), granularity=32, seed=0, val_bs=1)
+    assert data.val_dl.bs == 1  # reference-exact bs=1 opt-out
+
+
+def test_predict_groupless_custom_loader(tiny_detection_data):
+    """A duck-typed loader without .groups gets sequential per-row appends
+    (the pre-batching behavior), not one slot per batch (review finding)."""
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataLoader,
+        BBoxDataObj,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+
+    tfms = get_transforms_bbox("SideOn")
+    data = BBoxDataObj.from_json_bbox(
+        str(tiny_detection_data), tfms, bs=2, val_frac=0.34,
+        get_ARS=(64, 128), granularity=32, seed=0)
+    model = ObjectDetectionNet(num_classes=2, backbone="resnet18",
+                               feature_size=32)
+    learner = ObjectDetectionLearner(str(tiny_detection_data), data, model)
+
+    inner = BBoxDataLoader(data.val_ds, 1, data.max_objects, shuffle=False,
+                           bucket=False, granularity=32)
+
+    class Duck:  # exposes .ds and iteration, but NOT .groups
+        ds = inner.ds
+
+        def __iter__(self):
+            return iter(inner)
+
+    pb, pc, cs = learner.predict(dl=Duck(), thresh=0.05)
+    assert len(pb) == len(data.val_ds)

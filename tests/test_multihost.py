@@ -77,3 +77,22 @@ def test_dataloader_host_shard_single_process():
     for b in dl:
         seen += list(np.asarray(b.xs[0])[: b.n_valid])
     assert sorted(seen) == list(x)
+
+
+def test_dataloader_host_shard_simulated_two_processes(monkeypatch):
+    """Each simulated process iterates exactly its padded share — len() and
+    the batch count agree with the sliced epoch (review finding r2)."""
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.parallel import multihost as mh_mod
+
+    x = np.arange(100, dtype=np.float32)
+    ds = ArrayDataset(x, x * 2)
+    seen_all = []
+    for pi in range(2):
+        monkeypatch.setattr(mh_mod, "process_info", lambda pi=pi: (pi, 2))
+        dl = DataLoader(ds, bs=8, host_shard=True)
+        batches = list(dl)
+        assert len(batches) == len(dl) == 7  # ceil(50/8)
+        for b in batches:
+            seen_all += list(np.asarray(b.xs[0])[: b.n_valid])
+    assert set(seen_all) == set(x)  # both shards together cover everything

@@ -304,3 +304,35 @@ def test_device_cache_on_dp_mesh(img_root):
     learner.fit(5e-3, 6)
     loss, acc = learner.evaluate("val")[:2]
     assert acc > 0.9
+
+
+def test_switch_stats_drops_device_cache(img_root):
+    """switch_transform_stats while a device cache is active must fall back
+    to the host pipeline instead of feeding index batches to the pixel
+    pipeline (review finding r2)."""
+    data = _dataobj(img_root, sz=32, bs=8)
+    model = ImageClassificationNet.create(data, arch=_tiny_arch())
+    learner = ImageLearner("/tmp/nnl_test_devcache4", data, model,
+                           optimizer="Adam")
+    learner.enable_device_cache(margin=8)
+    learner.switch_transform_stats(([0.5] * 3, [0.5] * 3))
+    assert learner._device_cache_nbytes == 0
+    b = learner.data.train_dl.peek()
+    assert np.asarray(b.xs[0]).ndim == 4  # host pixel batches again
+    learner.fit(1e-3, 1)
+
+
+def test_cached_augment_non_square_cache():
+    import jax
+
+    from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+    rng = np.random.default_rng(0)
+    cache = jnp.asarray(rng.integers(0, 256, (6, 40, 56, 3), dtype=np.uint8))
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    for geom in ("batch", "image"):
+        out = cached_augment_batch(jax.random.PRNGKey(0), cache, idxs,
+                                   (32, 48), train=True, geometry=geom)
+        assert out.shape == (2, 32, 48, 3)
+    ev = cached_augment_batch(None, cache, idxs, (32, 48), train=False)
+    assert ev.shape == (2, 32, 48, 3)
