@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--sz", type=int, default=224)
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--weights", default=None, help="torchvision .pth state_dict")
+    ap.add_argument("--device-cache", action="store_true",
+                    help="HBM-resident dataset: decode once, ship only "
+                         "indices, augment on device (the TPU input-pipeline "
+                         "mode; 7.5x the P6000 baseline in bench.py)")
     args = ap.parse_args()
 
     path = args.path or synthetic_dataset("/tmp/dogscats_demo")
@@ -68,6 +72,9 @@ def main():
         sd = torch.load(args.weights, map_location="cpu", weights_only=True)
         load_pretrained_body(learner, sd, args.arch)
         print("pretrained body installed")
+
+    if args.device_cache:
+        learner.enable_device_cache(include_val=True)
 
     # stage 1: train the head only (DogsCats workflow)
     learner.freeze()

@@ -30,7 +30,9 @@ from neuralnetworklibrary_tpu.applications.text import (
 from neuralnetworklibrary_tpu.learner import Learner
 
 
-def synthetic_reviews(n=400, seed=0):
+def synthetic_reviews(n=2000, seed=0):
+    # n must keep BOTH splits above bs*(bptt+1) tokens (~22 tokens/review:
+    # val split of 400 reviews ≈ 8.8k tokens ≥ 64*(75+1))
     rng = np.random.default_rng(seed)
     pos = "a wonderful film with great acting and a moving story".split()
     neg = "a terrible movie with bad acting and a boring plot".split()
@@ -56,8 +58,8 @@ def main():
         train_csv, val_csv = args.train, args.val
     else:
         df = synthetic_reviews()
-        df[:320].to_csv("/tmp/imdb_train.csv", index=False)
-        df[320:].to_csv("/tmp/imdb_val.csv", index=False)
+        df[:1600].to_csv("/tmp/imdb_train.csv", index=False)
+        df[1600:].to_csv("/tmp/imdb_val.csv", index=False)
         train_csv, val_csv = "/tmp/imdb_train.csv", "/tmp/imdb_val.csv"
 
     # ---- stage 1: language model (IMDB.ipynb cells 10-19) ----

@@ -261,10 +261,16 @@ class LanguageModelDataLoader:
             (tok for i in idxs for tok in self.ds.texts[int(i)]),
             dtype=np.int32, count=self.ds.num_tokens)[:ntoks]
         self.data = stream.reshape(self.bs, self.seqlen + 1)
-        self.offset = int(rng.integers(0, self.bptt)) if self.random else 0
+        # the offset is bounded so EVERY epoch yields exactly len(self)
+        # batches regardless of the draw — schedules are sized as
+        # num_epochs * len(train_dl), so the per-epoch count must be constant
+        hi = min(self.bptt, self.seqlen - len(self) * self.bptt + 1)
+        self.offset = int(rng.integers(0, max(1, hi))) if self.random else 0
 
     def __len__(self):
-        return (self.seqlen - self.offset) // self.bptt
+        if self.random:
+            return max(1, (self.seqlen - (self.bptt - 1)) // self.bptt)
+        return self.seqlen // self.bptt
 
     def peek(self) -> Batch:
         x = self.data[:, :self.bptt]

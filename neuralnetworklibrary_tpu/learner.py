@@ -842,4 +842,10 @@ def _softmax_np(x):
 
 
 def _sigmoid_np(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # numerically stable: exp only of non-positive arguments
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out

@@ -290,3 +290,28 @@ class TestTokenizerGolden:
         # residual divergences (p.m./e.g./etc./mr. trailing periods, emails)
         # cost a handful of tokens; anything below 97% means a new regression
         assert hit_rate >= 0.97, f"vocab hit rate {hit_rate:.4f}"
+
+
+def test_lm_loader_constant_batch_count_across_epochs():
+    """The random per-epoch offset must never change the number of batches
+    (schedules are sized num_epochs * len(dl); a varying count crashed
+    fit_one_cycle mid-training on corpora where seqlen % bptt < bptt-1)."""
+    from neuralnetworklibrary_tpu.applications.text import (
+        LanguageModelDataLoader,
+    )
+
+    class DS:
+        def __init__(self, n_tokens):
+            rng = np.random.default_rng(0)
+            self.texts = [list(rng.integers(0, 50, n_tokens))]
+            self.num_tokens = n_tokens
+
+    # 64*(549+1) tokens -> seqlen 549, bptt 75: naive counts vary 6-7 with
+    # the offset; the loader must pin them
+    dl = LanguageModelDataLoader(DS(64 * 550), 64, 75, random=True, seed=3)
+    n = len(dl)
+    for _ in range(8):  # 8 epochs, 8 offset draws
+        batches = list(dl)
+        assert len(batches) == n
+        for b in batches:
+            assert b.xs[0].shape == (64, 75) and b.y.shape == (64, 75)
