@@ -900,17 +900,19 @@ class ImageLearner(Learner):
                 raise ValueError(f"bs {bs} not divisible by mesh size")
             self.data._make_loaders()
 
-    def _drop_device_cache(self):
-        """Restore host loaders + pixel pipeline if a device cache is active
-        (the HBM cache is size- and stats-specific)."""
+    def _drop_device_cache(self, rebuild_pipeline: bool = True):
+        """Restore host loaders (and, unless the caller rebuilds it itself,
+        the pixel pipeline) if a device cache is active — the HBM cache is
+        size- and stats-specific."""
         if getattr(self, "_device_cache_nbytes", 0):
             self._device_cache_nbytes = 0
             self.data._make_loaders()
-            self.set_input_pipeline(self._build_pipeline(self.data))
+            if rebuild_pipeline:
+                self.set_input_pipeline(self._build_pipeline(self.data))
 
     def switch_transform_stats(self, new_stats):
         """Swap normalization stats on all transforms (Vision.py:1835-1844)."""
-        self._drop_device_cache()
+        self._drop_device_cache(rebuild_pipeline=False)  # rebuilt below
         for tfm in self.data.transforms:
             tfm.stats = new_stats
         for ds in (self.data.train_ds, self.data.val_ds, self.data.test_ds):

@@ -842,8 +842,8 @@ def _softmax_np(x):
 
 
 def _sigmoid_np(x):
-    # numerically stable: exp only of non-positive arguments
-    out = np.empty_like(x, dtype=np.float64)
+    # numerically stable (exp only of non-positive args), dtype-preserving
+    out = np.empty_like(x, dtype=np.result_type(x.dtype, np.float32))
     pos = x >= 0
     out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
     ex = np.exp(x[~pos])

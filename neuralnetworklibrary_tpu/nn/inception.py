@@ -54,17 +54,11 @@ def _maxpool_3_2(x):
 
 
 def avg_pool_3x3_exclude_pad(x):
-    """AvgPool2d(3, stride=1, padding=1, count_include_pad=False).
+    """AvgPool2d(3, stride=1, padding=1, count_include_pad=False) — the
+    shared differentiable implementation lives in nn.nasnet."""
+    from neuralnetworklibrary_tpu.nn.nasnet import avg_pool_exclude_pad
 
-    Sum-pool via lax.reduce_window with lax.add (ReduceWindowSum has a
-    transpose rule; flax's generic pool(jnp.add) breaks reverse-mode AD)."""
-    import jax.lax as lax
-
-    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
-    s = lax.reduce_window(x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), pads)
-    ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
-    counts = lax.reduce_window(ones, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), pads)
-    return s / counts
+    return avg_pool_exclude_pad(x, window=3, stride=1, padding=1)
 
 
 # ---------------------------------------------------------------------------

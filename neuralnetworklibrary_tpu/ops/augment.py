@@ -275,7 +275,8 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     hosts whose upload path can't feed the chip (see
     ImageLearner.enable_device_cache).
 
-    cache: (N, S, S, C) uint8, the margin-sized source images resident in HBM.
+    cache: (N, Sh, Sw, C) uint8, the margin-sized source images resident in
+        HBM (non-square supported).
     idxs: (B,) int32 rows to train on this step.
     out_hw: (oh, ow) output size (the model's training resolution).
 
@@ -289,6 +290,8 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     train=False: deterministic center crop + normalize (the classic
     resize-S/center-crop-sz eval protocol).
     """
+    if geometry not in ("batch", "image"):
+        raise ValueError(f"geometry must be 'batch' or 'image', got {geometry!r}")
     B = idxs.shape[0]
     Sh, Sw = cache.shape[1], cache.shape[2]  # cache may be non-square
     oh, ow = out_hw
