@@ -593,3 +593,53 @@ def test_predict_groupless_custom_loader(tiny_detection_data):
 
     pb, pc, cs = learner.predict(dl=Duck(), thresh=0.05)
     assert len(pb) == len(data.val_ds)
+
+
+def test_batched_tta_bbox_matches_val_bs1(tmp_path_factory):
+    """TTA_bbox at val_bs>1 equals the bs=1 path when padded shapes match
+    (same-size images): per-image box sets, classes, scores identical."""
+    import cv2
+    import json as _json
+
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataObj,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+
+    root = tmp_path_factory.mktemp("dettta")
+    (root / "train").mkdir()
+    rng = np.random.default_rng(5)
+    images, annotations = [], []
+    for i in range(8):
+        img = rng.uniform(0, 255, (64, 80, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / "train" / f"im{i}.png"), img)
+        images.append({"id": i, "file_name": f"im{i}.png", "width": 80,
+                       "height": 64})
+        annotations.append({"id": i, "image_id": i,
+                            "bbox": [8 + i, 12, 18, 18], "category_id": 1})
+    with open(root / "train.json", "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": [{"id": 1, "name": "t"}]}, f)
+
+    tfms = get_transforms_bbox("SideOn", jitter=0, scale_range=(1, 1))
+    model = ObjectDetectionNet(num_classes=1, backbone="resnet18",
+                               feature_size=32)
+
+    outs = {}
+    for vbs in (4, 1):
+        data = BBoxDataObj.from_json_bbox(str(root), tfms, bs=4, val_frac=0.5,
+                                          get_ARS=(64, 128), granularity=32,
+                                          seed=0, val_bs=vbs)
+        learner = ObjectDetectionLearner(str(root), data, model, seed=0)
+        outs[vbs] = learner.TTA_bbox("val", num_augs=2, thresh=0.05)
+
+    assert len(outs[4]) == len(outs[1])
+    for (b4, c4, s4), (b1, c1, s1) in zip(outs[4], outs[1]):
+        assert list(c4) == list(c1)
+        np.testing.assert_allclose(np.asarray(s4), np.asarray(s1), rtol=1e-4,
+                                   atol=1e-5)
+        if len(b4):
+            np.testing.assert_allclose(np.stack(b4), np.stack(b1), rtol=1e-4,
+                                       atol=1e-3)
