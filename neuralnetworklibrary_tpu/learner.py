@@ -296,7 +296,9 @@ class Learner:
         self._step_cache.clear()
         self._eval_cache.clear()
 
-    def _make_train_step(self, trainable: tuple, bn_frozen):
+    def _train_body(self, trainable: tuple, bn_frozen):
+        """The pure per-step training function — shared by the single-step
+        jit (`_make_train_step`) and the fused-epoch scan (`fit_fused`)."""
         model, opt, part = self.model, self.optimizer, self.partition
         state_keys = tuple(self.state.keys())
         kwargs = self._model_kwargs(train=True)
@@ -333,7 +335,105 @@ class Learner:
             ema = ema * _EMA_DECAY + loss * (1.0 - _EMA_DECAY)
             return params, new_state, opt_state, ema, loss
 
+        return body
+
+    def _make_train_step(self, trainable: tuple, bn_frozen):
+        body = self._train_body(trainable, bn_frozen)
         return jax.jit(self._with_precision(body), donate_argnums=(0, 1, 2, 3))
+
+    def _get_epoch_step(self):
+        """One whole epoch of train steps as a single jitted lax.scan.
+
+        With device-resident data (index batches), every per-step input is a
+        few hundred bytes, so the whole epoch needs ONE host round-trip.
+        Measured honestly: this is NOT faster end-to-end than the step loop —
+        JAX's async dispatch already pipelines back-to-back unfused steps,
+        and the scan adds carry overhead (v5e: senet154 659 vs 715 img/s,
+        resnet34 1228 vs 1860).  Use it when minimizing host involvement
+        matters (e.g. embedding epochs inside a larger jitted program), not
+        for throughput.
+        """
+        key = ("fused", self._trainable(), self.bn_frozen)
+        if key not in self._step_cache:
+            body = self._train_body(self._trainable(), self.bn_frozen)
+
+            def epoch(params, state, opt_state, ema, xs_stk, y_stk, mask_stk,
+                      lr_stk, wd_stk, mom_stk, b1_stk, b2_stk, clip_s, steps, rng):
+                def sstep(carry, inp):
+                    params, state, opt_state, ema = carry
+                    xs_i, y_i, mask_i, lr_i, wd_i, mom_i, b1_i, b2_i, t = inp
+                    r = jax.random.fold_in(rng, t)
+                    params, state, opt_state, ema, loss = body(
+                        params, state, opt_state, ema, xs_i, y_i, mask_i,
+                        lr_i, wd_i, mom_i, b1_i, b2_i, clip_s, r)
+                    return (params, state, opt_state, ema), loss
+
+                (params, state, opt_state, ema), losses = jax.lax.scan(
+                    sstep, (params, state, opt_state, ema),
+                    (xs_stk, y_stk, mask_stk, lr_stk, wd_stk, mom_stk,
+                     b1_stk, b2_stk, steps))
+                return params, state, opt_state, ema, losses
+
+            self._step_cache[key] = jax.jit(self._with_precision(epoch),
+                                            donate_argnums=(0, 1, 2, 3))
+        return self._step_cache[key]
+
+    _FUSED_MAX_BYTES = 512 * 1024 * 1024
+
+    def _train_epoch_fused(self, lr_slice, mom_slice, betas_slice):
+        """Run one epoch through `_get_epoch_step`.  Matches the step-by-step
+        loop numerically (same rng stream, same short-batch lr rescale).
+        Requires uniform batch shapes and a stacked epoch under
+        ``_FUSED_MAX_BYTES`` (the device-cache index loader trivially
+        qualifies).  Returns per-step losses as a numpy array."""
+        batches = list(self.data.train_dl)
+        n = len(batches)
+        xs_stk = tuple(np.stack([np.asarray(b.xs[k]) for b in batches])
+                       for k in range(len(batches[0].xs)))
+        y_stk = jax.tree_util.tree_map(lambda *ys: np.stack(ys),
+                                       *[b.y for b in batches])
+        mask_stk = np.stack([b.mask for b in batches])
+        total = sum(a.nbytes for a in xs_stk) + sum(
+            a.nbytes for a in jax.tree_util.tree_leaves(y_stk))
+        if total > self._FUSED_MAX_BYTES:
+            raise ValueError(
+                f"fused epoch would stack {total / 1e6:.0f} MB of batch data; "
+                "fused training is meant for small per-step inputs (e.g. "
+                "enable_device_cache index batches) — use fused=False")
+
+        rows = [self._hyper_row(lr_slice[j], batches[j].n_valid,
+                                mom_slice[j] if mom_slice is not None else None,
+                                betas_slice[j] if betas_slice is not None else None)
+                for j in range(n)]
+        lr_stk = np.stack([r[0] for r in rows])
+        wd_stk = np.stack([r[1] for r in rows])
+        mom_stk = np.asarray([r[2] for r in rows], np.float32)
+        b1_stk = np.asarray([r[3] for r in rows], np.float32)
+        b2_stk = np.asarray([r[4] for r in rows], np.float32)
+        clip_s = rows[0][5]
+        steps = self._global_step + 1 + np.arange(n)
+        self._global_step += n
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape["data"]
+
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim >= 2 and x.shape[1] % dp == 0:
+                return jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
+            return jax.device_put(x, pmesh.replicated(self.mesh))
+
+        xs_stk = jax.tree_util.tree_map(put, xs_stk)
+        y_stk = jax.tree_util.tree_map(put, y_stk)
+        mask_stk = put(mask_stk)
+
+        epoch_fn = self._get_epoch_step()
+        self.params, self.state, self.opt_state, self._ema, losses = epoch_fn(
+            self.params, self.state, self.opt_state, self._ema,
+            xs_stk, y_stk, mask_stk, lr_stk, wd_stk, mom_stk, b1_stk, b2_stk,
+            clip_s, steps, self.rng)
+        return np.asarray(losses)
 
     def _get_train_step(self):
         key = (self._trainable(), self.bn_frozen)
@@ -578,8 +678,14 @@ class Learner:
         save_name: Optional[str] = None,
         save_method: Optional[str] = "best",
         swa_freq: Optional[int] = None,
+        fused: bool = False,
     ):
-        """Train with arbitrary per-minibatch schedules (Learner.py:528-678)."""
+        """Train with arbitrary per-minibatch schedules (Learner.py:528-678).
+
+        fused=True runs each epoch's steps inside ONE jitted lax.scan
+        (see `_train_epoch_fused`) — removes per-step dispatch latency when
+        per-step inputs are small (device-cache index batches);
+        `print_batch` is ignored in that mode."""
         if save_name is None:
             save_method = None
         spe = len(self.data.train_dl)  # steps per epoch
@@ -611,22 +717,35 @@ class Learner:
         i = 0
         for n in range(num_epochs):
             start = time.time()
-            # device_prefetch: batch k+1 uploads while batch k computes
-            for j, batch in enumerate(
-                    pmesh.device_prefetch(self.data.train_dl, self.mesh)):
-                self.lr_sched.append(lr_sched[i])
-                mom_i = mom_sched[i] if mom_sched is not None else None
-                betas_i = betas_sched[i] if betas_sched is not None else None
-                if mom_i is not None:
-                    self.mom_sched.append(mom_i)
-                if betas_i is not None:
-                    self.betas_sched.append(betas_i)
-                loss = self.train1minibatch(batch, lr_sched[i], mom_i, betas_i)
-                self.loss_sched.append(loss)
-                i += 1
-                if print_batch is True or (isinstance(print_batch, int) and print_batch and j % print_batch == 0):
-                    debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
-                    print(f"batch {j}: avg_loss {debiased:.5f}  batch_loss {float(loss):.5f}")
+            if fused:
+                lr_slice = lr_sched[i:i + spe]
+                mom_slice = mom_sched[i:i + spe] if mom_sched is not None else None
+                betas_slice = betas_sched[i:i + spe] if betas_sched is not None else None
+                losses = self._train_epoch_fused(lr_slice, mom_slice, betas_slice)
+                self.lr_sched += list(lr_slice)
+                if mom_slice is not None:
+                    self.mom_sched += list(mom_slice)
+                if betas_slice is not None:
+                    self.betas_sched += list(betas_slice)
+                self.loss_sched += list(losses)
+                i += spe
+            else:
+                # device_prefetch: batch k+1 uploads while batch k computes
+                for j, batch in enumerate(
+                        pmesh.device_prefetch(self.data.train_dl, self.mesh)):
+                    self.lr_sched.append(lr_sched[i])
+                    mom_i = mom_sched[i] if mom_sched is not None else None
+                    betas_i = betas_sched[i] if betas_sched is not None else None
+                    if mom_i is not None:
+                        self.mom_sched.append(mom_i)
+                    if betas_i is not None:
+                        self.betas_sched.append(betas_i)
+                    loss = self.train1minibatch(batch, lr_sched[i], mom_i, betas_i)
+                    self.loss_sched.append(loss)
+                    i += 1
+                    if print_batch is True or (isinstance(print_batch, int) and print_batch and j % print_batch == 0):
+                        debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
+                        print(f"batch {j}: avg_loss {debiased:.5f}  batch_loss {float(loss):.5f}")
 
             debiased = float(self._ema) / (1 - _EMA_DECAY ** i)
             self.moving_avg_loss = debiased
@@ -664,7 +783,7 @@ class Learner:
 
     def fit(self, lr, num_epochs, wd=None, bn_wd=None, clip=None, momentum=None,
             betas=None, metrics=(), print_batch=False, save_name=None,
-            save_method="best", swa_freq=None):
+            save_method="best", swa_freq=None, fused=False):
         """Constant-lr training (Learner.py:730-744)."""
         self._check_lr_len(lr)
         self.init_optimizer(wd, bn_wd, clip)
@@ -674,12 +793,14 @@ class Learner:
             [momentum] * N if momentum else None,
             [betas] * N if betas else None,
             metrics, print_batch, save_name, save_method, swa_freq,
+            fused=fused,
         )
 
     def fit_cycles(self, lr_start, lr_end, num_cycles, cycle_type="cos",
                    base_length=1, cycle_mult=1, wd=None, bn_wd=None, clip=None,
                    momentum=None, betas=None, metrics=(), print_batch=False,
-                   save_name=None, save_method="best", swa_freq=None):
+                   save_name=None, save_method="best", swa_freq=None,
+                   fused=False):
         """SGDR annealing with restarts (Learner.py:746-774)."""
         self._check_lr_len(lr_start)
         self._check_lr_len(lr_end)
@@ -692,12 +813,13 @@ class Learner:
             [momentum] * N if momentum else None,
             [betas] * N if betas else None,
             metrics, print_batch, save_name, save_method, swa_freq,
+            fused=fused,
         )
 
     def fit_one_cycle(self, lr_max, num_epochs, div_fac=25, start_pct=0.3,
                       wd=None, bn_wd=None, clip=None, mom_min=0.85, mom_max=0.95,
                       beta_min=0.85, beta_max=0.95, metrics=(), print_batch=False,
-                      save_name=None, save_method="best"):
+                      save_name=None, save_method="best", fused=False):
         """1cycle training (Learner.py:776-802)."""
         self._check_lr_len(lr_max)
         self.init_optimizer(wd, bn_wd, clip)
@@ -709,7 +831,7 @@ class Learner:
             if self.optimizer.uses_betas else None
         )
         self.train_gen_sched(list(s["lr"]), mom_sched, betas_sched, metrics,
-                             print_batch, save_name, save_method)
+                             print_batch, save_name, save_method, fused=fused)
 
     def find_lr(self, lr_min=1e-5, lr_max=1.0, wd=None, bn_wd=None, clip=None,
                 momentum=None, betas=None, length="1epoch", break_fac=3,

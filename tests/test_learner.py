@@ -283,3 +283,43 @@ def test_end_metric_rejected_for_tuple_targets(tmp_path):
     learner.target_type = "bbox"
     with pytest.raises(ValueError, match="end metrics"):
         learner.evaluate("val", metrics=["auc"])
+
+
+def test_fused_epoch_matches_stepwise(tmp_path):
+    """fused=True (whole epoch in one lax.scan) reproduces the step-by-step
+    loop exactly: same rng stream, same schedules, same final params."""
+    runs = {}
+    for fused in (False, True):
+        data = collab_data(N=256, bs=32, seed=0)
+        model = CollabFilterNet.from_dataobj(data, emb_dim=8)
+        learner = Learner(str(tmp_path) + f"/f{fused}", data, model,
+                          optimizer="Adam2", seed=0)
+        learner.fit(1e-2, 2, wd=1e-4, fused=fused)
+        runs[fused] = (learner.params,
+                       [float(l) for l in learner.loss_sched],
+                       learner.evaluate("val")[0])
+    np.testing.assert_allclose(runs[True][1], runs[False][1], rtol=2e-4,
+                               atol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-6),
+        runs[True][0], runs[False][0])
+    assert abs(runs[True][2] - runs[False][2]) < 1e-4
+
+
+def test_fused_one_cycle_runs(tmp_path):
+    data = collab_data(N=256, bs=32, seed=1)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=8)
+    learner = Learner(str(tmp_path), data, model, optimizer="Adam2", seed=0)
+    before = learner.evaluate("val")[0]
+    learner.fit_one_cycle(lr_max=0.05, num_epochs=3, wd=1e-4, fused=True)
+    assert learner.evaluate("val")[0] < before
+
+
+def test_fused_rejects_huge_batches(tmp_path):
+    data = collab_data(N=256, bs=32)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=4)
+    learner = Learner(str(tmp_path), data, model)
+    learner._FUSED_MAX_BYTES = 8  # force the guard
+    with pytest.raises(ValueError, match="fused"):
+        learner.fit(1e-2, 1, fused=True)

@@ -336,3 +336,16 @@ def test_cached_augment_non_square_cache():
         assert out.shape == (2, 32, 48, 3)
     ev = cached_augment_batch(None, cache, idxs, (32, 48), train=False)
     assert ev.shape == (2, 32, 48, 3)
+
+
+def test_device_cache_fused_training(img_root):
+    """Device cache + fused epochs: index batches stack to a few KB, the
+    whole epoch runs in one dispatch, and the model still learns."""
+    data = _dataobj(img_root, sz=32, bs=8)
+    model = ImageClassificationNet.create(data, arch=_tiny_arch())
+    learner = ImageLearner("/tmp/nnl_test_devcache_fused", data, model,
+                           optimizer="Adam")
+    learner.enable_device_cache(margin=8, include_val=True)
+    learner.fit(5e-3, 6, fused=True)
+    loss, acc = learner.evaluate("val")[:2]
+    assert acc > 0.9
