@@ -323,3 +323,31 @@ def test_fused_rejects_huge_batches(tmp_path):
     learner._FUSED_MAX_BYTES = 8  # force the guard
     with pytest.raises(ValueError, match="fused"):
         learner.fit(1e-2, 1, fused=True)
+
+
+def test_fused_respects_freeze_and_checkpoints(tmp_path):
+    """Fused epochs recompile per trainability mask (cache key) and
+    interoperate with freeze/save/load."""
+    data = collab_data(N=256, bs=32, seed=2)
+    model = CollabFilterNet.from_dataobj(data, emb_dim=8)
+    learner = Learner(str(tmp_path), data, model, optimizer="Adam2", seed=0)
+    learner.fit(1e-2, 1, fused=True)
+    # freeze(): collab has no 'head' prefix, so ALL leaves freeze — a fused
+    # epoch must leave every frozen leaf bit-identical (exercises the
+    # trainability-keyed scan-cache recompile)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        learner.freeze()
+    before = jax.tree_util.tree_map(np.asarray, learner.params)
+    learner.fit(1e-2, 1, fused=True)
+    jax.tree_util.tree_map(
+        lambda b, a: np.testing.assert_array_equal(b, np.asarray(a)),
+        before, learner.params)
+    learner.unfreeze()
+    learner.save("fz")
+    v1 = learner.evaluate("val")[0]
+    learner.fit(1e-2, 1, fused=True)
+    learner.load("fz")
+    assert np.isclose(learner.evaluate("val")[0], v1, rtol=1e-6)
