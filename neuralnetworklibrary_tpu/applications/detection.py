@@ -639,9 +639,9 @@ class ComputeMaxOverlaps:
 #     (retinanet.py:498-813)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("img_hw", "top_k", "out_k"))
+@partial(jax.jit, static_argnames=("img_hw", "top_k", "out_k", "return_counts"))
 def _predict_device(reg, clas, anchors, img_hw, thresh=0.05, max_overlap=0.5,
-                    top_k=1000, out_k=20):
+                    top_k=1000, out_k=20, return_counts=False):
     """Batched decode + threshold + greedy NMS on device."""
     boxes = decode_boxes(reg, anchors, img_hw)  # (bs, N, 4)
     scores = jnp.max(clas, axis=-1)
@@ -649,16 +649,23 @@ def _predict_device(reg, clas, anchors, img_hw, thresh=0.05, max_overlap=0.5,
     pos_area = ((boxes[..., 2] - boxes[..., 0]) > 0) & ((boxes[..., 3] - boxes[..., 1]) > 0)
     s = jnp.where((scores > thresh) & pos_area, scores, 0.0)
     return batched_nms(boxes, classes, s, max_overlap=max_overlap,
-                       top_k=top_k, out_k=out_k)
+                       top_k=top_k, out_k=out_k, return_counts=return_counts)
 
 
 def nms_post_passes(boxes, classes, scores, rel_thresh=None, inc=None,
-                    dup=None, max_boxes=20):
+                    dup=None, max_boxes=20, print_it=False):
     """Host-side prune modes on NMS survivors (retinanet.py:613-704).
 
     boxes (k,4)/classes (k,)/scores (k,) numpy, sorted by descending score.
     Returns (list of box arrays, list of int classes, list of float scores).
+    print_it traces the box count after each prune stage, the reference's
+    nms(print_it=True) diagnostic (retinanet.py:578-708).
     """
+    def _trace(stage):
+        if print_it:
+            print(f"after {stage}")
+            print(len(scores))
+
     keep = np.ones(len(scores), bool)
 
     if rel_thresh is not None and len(scores):
@@ -673,6 +680,7 @@ def nms_post_passes(boxes, classes, scores, rel_thresh=None, inc=None,
                     keep[j] = False
         boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
         keep = np.ones(len(scores), bool)
+    _trace("relative threshold")
 
     if inc is not None and len(scores):
         inc_thresh, inc_classes = inc
@@ -699,6 +707,7 @@ def nms_post_passes(boxes, classes, scores, rel_thresh=None, inc=None,
                 keep[j] = False
         boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
         keep = np.ones(len(scores), bool)
+    _trace("filtering single inclusions")
 
     if dup is not None and len(scores):
         dup_thresh, dup_pairs = dup
@@ -727,8 +736,10 @@ def nms_post_passes(boxes, classes, scores, rel_thresh=None, inc=None,
                 if changed:
                     break
         boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
+    _trace("filtering duplicate predictions of different classes")
 
     boxes, classes, scores = boxes[:max_boxes], classes[:max_boxes], scores[:max_boxes]
+    _trace("restrict to max_boxes")
     return list(boxes), [int(c) for c in classes], [float(s) for s in scores]
 
 
@@ -741,18 +752,34 @@ class BBoxPredictor:
         self.mean, self.std = mean, std
 
     def __call__(self, img_hw, reg, clas, anchors, thresh=0.05, max_overlap=0.5,
-                 rel_thresh=None, top_k=1000, max_boxes=20, dup=None, inc=None):
+                 rel_thresh=None, top_k=1000, max_boxes=20, dup=None, inc=None,
+                 print_it=False):
         post = rel_thresh is not None or dup is not None or inc is not None
         out_k = max(100, max_boxes) if post else max_boxes
-        b, c, s = _predict_device(reg, clas, anchors, tuple(int(d) for d in img_hw),
-                                  thresh=thresh, max_overlap=max_overlap,
-                                  top_k=top_k, out_k=out_k)
+        out = _predict_device(reg, clas, anchors, tuple(int(d) for d in img_hw),
+                              thresh=thresh, max_overlap=max_overlap,
+                              top_k=top_k, out_k=out_k, return_counts=print_it)
+        if print_it:
+            b, c, s, counts = out
+            counts = np.asarray(counts)
+        else:
+            b, c, s = out
         b, c, s = np.asarray(b), np.asarray(c), np.asarray(s)
         PredBoxes, PredClasses, ConfScores = [], [], []
         for i in range(b.shape[0]):
             valid = s[i] > 0
             bi, ci, si = b[i][valid], c[i][valid], s[i][valid]
-            bi, ci, si = nms_post_passes(bi, ci, si, rel_thresh, inc, dup, max_boxes)
+            if print_it:
+                # the reference's nms(print_it=True) per-stage box-count
+                # trace (retinanet.py:578-612); device stages first
+                print("after top_k")
+                print(int(counts[i][0]))
+                print("after non-max-supress")
+                print(int(counts[i][1]))
+            bi, ci, si = nms_post_passes(bi, ci, si, rel_thresh, inc, dup,
+                                         max_boxes, print_it=print_it)
+            if print_it:
+                print("")
             PredBoxes.append(bi)
             PredClasses.append(ci)
             ConfScores.append(si)
@@ -868,7 +895,7 @@ class ObjectDetectionLearner(Learner):
 
     def predict(self, dl="val", thresh=0.05, max_overlap=0.5, rel_thresh=None,
                 top_k=1000, max_boxes=20, dup=None, inc=None, rescale=True,
-                **_):
+                print_it=False, **_):
         """Detection predictions (Learner.py:286-393, bbox branch): returns
         (PredBoxes, PredClasses, ConfScores) with boxes rescaled back to
         original image coordinates by 1/scale (Learner.py:378-380)."""
@@ -895,7 +922,8 @@ class ObjectDetectionLearner(Learner):
             img_hw = batch.xs[0].shape[1:3]
             pb, pc, cs = self.predictor(img_hw, reg, clas, anchors, thresh,
                                         max_overlap, rel_thresh, top_k,
-                                        max_boxes, dup, inc)
+                                        max_boxes, dup, inc,
+                                        print_it=print_it)
             for i in range(batch.n_valid):
                 ds_idx = groups[j][i] if groups is not None else seq
                 seq += 1
@@ -959,6 +987,17 @@ class ObjectDetectionLearner(Learner):
                                             max_overlap, rel_thresh, top_k,
                                             max_boxes, dup, inc)
                 rand_scale, row_jit, col_jit = dl.geometry_log[j]
+                # record[j*bs + k] ↔ row k of batch j holds only while the
+                # loader invokes the transform exactly bs times per batch
+                # (pad duplicates included) — fail loudly if that ever
+                # changes.  device_prefetch builds batches ahead of
+                # consumption, so the record may be AHEAD of batch j but
+                # never behind and always a multiple of bs.
+                assert (len(tfm.record) >= (j + 1) * dl.bs
+                        and len(tfm.record) % dl.bs == 0), (
+                    f"transform record count {len(tfm.record)} is not a "
+                    f"bs-multiple covering batch {j} (bs={dl.bs}); TTA flip "
+                    "records would be misattributed")
                 for k in range(batch.n_valid):
                     ds_idx = dl.groups[j][k]
                     boxes, classes, scores = pb[k], pc[k], cs[k]

@@ -832,6 +832,23 @@ class ImageLearner(Learner):
         vds = data.val_ds if include_val else None
         n_train = len(ds)
         n_total = n_train + (len(vds) if vds else 0)
+        need = n_total * S[0] * S[1] * 3
+        limit = None
+        try:  # backends without memory_stats (CPU) skip the budget check
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            in_use = stats.get("bytes_in_use", 0)
+        except Exception:
+            pass
+        if limit and need > 0.8 * (limit - in_use):
+            raise MemoryError(
+                f"enable_device_cache would put {need / 1e9:.2f} GB of images "
+                f"({n_total} x {S[0]}x{S[1]}x3 uint8) into device memory, but "
+                f"only {(limit - in_use) / 1e9:.2f} GB of {limit / 1e9:.2f} GB "
+                "HBM is free (guard keeps a 20% headroom for the model and "
+                "activations).  Use a smaller margin/size, include_val=False, "
+                "or the host pipeline (ImageDataset(cache_images=True) keeps "
+                "decoded images in host RAM instead).")
         imgs = np.empty((n_total, S[0], S[1], 3), np.uint8)
         for i in range(n_train):
             raw = ds._cache[i] if (ds.cache_images and ds._cache[i] is not None) \

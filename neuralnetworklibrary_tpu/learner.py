@@ -140,6 +140,7 @@ class Learner:
         self._step_cache: dict = {}
         self._eval_cache: dict = {}
         self._global_step = 0
+        self._warned_end_metric_mem = False
         self._accepts_bn_frozen = "bn_frozen" in inspect.signature(model.__call__).parameters
         try:
             self._loss_accepts_mask = "mask" in inspect.signature(self.loss_func).parameters or (
@@ -386,20 +387,28 @@ class Learner:
         Requires uniform batch shapes and a stacked epoch under
         ``_FUSED_MAX_BYTES`` (the device-cache index loader trivially
         qualifies).  Returns per-step losses as a numpy array."""
-        batches = list(self.data.train_dl)
+        # Estimate the stacked-epoch size from the FIRST batch and reject
+        # before materializing anything (a large pixel epoch must not be
+        # fully allocated just to be refused).
+        it = iter(self.data.train_dl)
+        first = next(it)
+        n = len(self.data.train_dl)
+        per_batch = (sum(np.asarray(x).nbytes for x in first.xs)
+                     + sum(np.asarray(l).nbytes
+                           for l in jax.tree_util.tree_leaves(first.y)))
+        total = per_batch * n
+        if total > self._FUSED_MAX_BYTES:
+            raise ValueError(
+                f"fused epoch would stack ~{total / 1e6:.0f} MB of batch data; "
+                "fused training is meant for small per-step inputs (e.g. "
+                "enable_device_cache index batches) — use fused=False")
+        batches = [first] + list(it)
         n = len(batches)
         xs_stk = tuple(np.stack([np.asarray(b.xs[k]) for b in batches])
                        for k in range(len(batches[0].xs)))
         y_stk = jax.tree_util.tree_map(lambda *ys: np.stack(ys),
                                        *[b.y for b in batches])
         mask_stk = np.stack([b.mask for b in batches])
-        total = sum(a.nbytes for a in xs_stk) + sum(
-            a.nbytes for a in jax.tree_util.tree_leaves(y_stk))
-        if total > self._FUSED_MAX_BYTES:
-            raise ValueError(
-                f"fused epoch would stack {total / 1e6:.0f} MB of batch data; "
-                "fused training is meant for small per-step inputs (e.g. "
-                "enable_device_cache index batches) — use fused=False")
 
         rows = [self._hyper_row(lr_slice[j], batches[j].n_valid,
                                 mom_slice[j] if mom_slice is not None else None,
@@ -571,6 +580,16 @@ class Learner:
                     p, l = prep(yp, yy) if prep is not None else (yp, yy)
                     ps.append(p)
                     ls.append(l)
+                    if (prep is None and not self._warned_end_metric_mem
+                            and sum(len(np.atleast_1d(x)) for x in ps) > 1_000_000):
+                        import warnings
+
+                        warnings.warn(
+                            f"end metric {getattr(fn, '__name__', fn)!r} has no "
+                            "prepare(y_pred, y) reduction and has buffered over "
+                            "1e6 prediction rows in host RAM; define prepare() "
+                            "to bound memory (see core.metrics.AUC)")
+                        self._warned_end_metric_mem = True
 
         total = h_total + float(total)
         count = h_count + float(count)

@@ -280,18 +280,30 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     idxs: (B,) int32 rows to train on this step.
     out_hw: (oh, ow) output size (the model's training resolution).
 
-    train=True, geometry="batch" (default): per-image random integer crop
-    (vmapped dynamic_slice, cheap) + ONE shared rotate-zoom for the batch
-    via the MXU two-pass warp (~20x faster than per-pixel gathers; the
-    reference's own detection collater draws batch-shared geometry the same
-    way, Vision.py:586-589).  geometry="image": per-image rotate-zoom via
-    the exact gather warp (~115 ms/batch on v5e — use only when per-image
-    angles matter).  Then flip/lighting/noise/normalize, all per image.
+    train=True: per-image random integer crop to a window halfway between
+    out and source size (vmapped dynamic_slice, cheap), then rotate-zoom:
+
+    - geometry="image" (reference-faithful, Vision.py:449-456: an
+      independent angle/zoom per image): per-image affines via the batched
+      MXU two-pass warp (:func:`warp_affine_two_pass`),
+    - geometry="batch": ONE shared rotate-zoom for the whole batch — the
+      cheapest mode; the reference's own detection collater draws
+      batch-shared geometry the same way (Vision.py:586-589),
+    - geometry="gather": per-image rotate-zoom via the exact per-pixel
+      gather warp (~115 ms/batch on v5e; reflect borders, continuous crop
+      centers — the bit-faithful-but-slow fallback).
+
+    Then flip/lighting/noise/normalize, all per image.
     train=False: deterministic center crop + normalize (the classic
     resize-S/center-crop-sz eval protocol).
     """
-    if geometry not in ("batch", "image"):
-        raise ValueError(f"geometry must be 'batch' or 'image', got {geometry!r}")
+    if geometry not in ("batch", "image", "gather"):
+        raise ValueError(
+            f"geometry must be 'batch', 'image' or 'gather', got {geometry!r}")
+    if geometry in ("batch", "image") and max_deg and max_deg > 45:
+        raise ValueError(
+            f"max_deg={max_deg} exceeds the two-pass warp's rotation range; "
+            "use geometry='gather' for large rotations")
     B = idxs.shape[0]
     Sh, Sw = cache.shape[1], cache.shape[2]  # cache may be non-square
     oh, ow = out_hw
@@ -306,7 +318,7 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     k_geo, k_rest = jax.random.split(key)
     kd, kz, kx, ky = jax.random.split(k_geo, 4)
 
-    if geometry == "batch":
+    if geometry in ("batch", "image"):
         # per-image integer crop window, halfway between out and source size
         wh = oh + (Sh - oh) // 2
         ww = ow + (Sw - ow) // 2
@@ -316,17 +328,21 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
         win = jax.vmap(
             lambda im, r, c: jax.lax.dynamic_slice(im, (r, c, 0), (wh, ww, im.shape[-1]))
         )(imgs, r0, c0).astype(jnp.float32) / 255.0
-        deg = (jax.random.uniform(kd, (), minval=-max_deg, maxval=max_deg)
-               if max_deg else jnp.zeros(()))
-        zoom = (jax.random.uniform(kz, (), minval=1.0, maxval=max_zoom)
-                if max_zoom else jnp.ones(()))
+        shp = () if geometry == "batch" else (B,)
+        deg = (jax.random.uniform(kd, shp, minval=-max_deg, maxval=max_deg)
+               if max_deg else jnp.zeros(shp))
+        zoom = (jax.random.uniform(kz, shp, minval=1.0, maxval=max_zoom)
+                if max_zoom else jnp.ones(shp))
         th = -deg * (np.pi / 180.0)
         s = 1.0 / zoom
         cos, sin = jnp.cos(th) * s, jnp.sin(th) * s
-        A = jnp.stack([jnp.stack([cos, sin]), jnp.stack([-sin, cos])])
+        A = jnp.stack([jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2)
         out_c = jnp.asarray([ow / 2, oh / 2], jnp.float32)
         src_c = jnp.asarray([ww / 2, wh / 2], jnp.float32)
-        b = src_c - A @ out_c
+        if geometry == "batch":
+            b = src_c - A @ out_c
+        else:
+            b = src_c[None] - jnp.einsum("bij,j->bi", A, out_c)
         x = warp_affine_two_pass(win, A, b, (oh, ow))
     else:
         imgs = jnp.take(cache, idxs, axis=0).astype(jnp.float32) / 255.0
@@ -364,37 +380,77 @@ def _interp_matrix(src_coords: jax.Array, Wsrc: int) -> jax.Array:
 
 def warp_affine_two_pass(imgs: jax.Array, A: jax.Array, b: jax.Array,
                          out_hw) -> jax.Array:
-    """SHARED-geometry affine warp as two interpolation-matrix contractions.
+    """Affine warp as two interpolation-matrix contractions (MXU path).
 
     Per-pixel gather warps are index-overhead-bound on TPU (~115 ms for a
     64x256->224 batch); expressing the same 1-D resamples as two-band sparse
-    matrices turns the warp into two MXU einsums (~3 ms measured on v5e).
-    Restriction: ONE affine for the whole batch (A (2,2), b (2,) — the
-    out-pixel → src-pixel map q = A @ p + b, x-col/y-row order as in
-    :func:`warp_affine_batch`).
+    matrices turns the warp into MXU-friendly einsum contractions (~3 ms
+    measured on v5e for the shared case).  Two forms:
+
+    - shared: A (2, 2), b (2,) — ONE affine for the whole batch,
+    - per-image: A (B, 2, 2), b (B, 2) — independent affines; the interp
+      matrices gain a batch dimension ((B, H, W, ow) / (B, ow, H, oh)
+      float32 intermediates — sized for warp windows, not huge sources).
+
+    The map is out-pixel → src-pixel q = A @ p + b, x-col/y-row order as in
+    :func:`warp_affine_batch`.
 
     Decomposition: [[a, b],[c, d]] = Hx([p, q]) . Vy([c, d]) with q = b/d,
     p = a − b·c/d — an x-pass (per-source-row 1-D affine resample) followed
     by a y-pass (per-output-column 1-D affine resample).  Two-pass bilinear
     ≈ one-pass bilinear with ≤|b/d| sub-pixel skew (~0.2 px at 10°);
-    borders clamp instead of reflect.
+    borders clamp instead of reflect.  The decomposition degenerates as
+    A[1,1] → 0 (rotations approaching 90°): concrete A with |A[1,1]| < 0.2
+    (≈ rotations beyond ~78°) is rejected — use :func:`warp_affine_batch`
+    there.
     """
     B, H, W, C = imgs.shape
     oh, ow = out_hw
-    a_, b_ = A[0, 0], A[0, 1]
-    c_, d_ = A[1, 0], A[1, 1]
-    q_ = b_ / d_
-    p_ = a_ - b_ * c_ / d_
-    t_ = b[0] - q_ * b[1]
+    A = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if not isinstance(A, jax.core.Tracer):
+        d_con = np.asarray(A)[..., 1, 1]
+        if np.any(np.abs(d_con) < 0.2):
+            raise ValueError(
+                "warp_affine_two_pass: |A[1,1]| < 0.2 (rotation too close to "
+                "90°) degenerates the two-pass decomposition — use "
+                "warp_affine_batch for large rotations")
 
     xs = jnp.arange(ow, dtype=jnp.float32)
     ys = jnp.arange(oh, dtype=jnp.float32)
     rows = jnp.arange(H, dtype=jnp.float32)
-    # x-pass: t1[h, x'] = src[h, p·x' + q·h + t]
-    sx = p_ * xs[None, :] + q_ * rows[:, None] + t_          # (H, ow)
-    Mx = _interp_matrix(sx, W)                               # (H, W, ow)
-    t1 = jnp.einsum("hwo,bhwc->bhoc", Mx, imgs)              # (B, H, ow, C)
-    # y-pass: out[y', x'] = t1[c·x' + d·y' + b_y, x']
-    sy = d_ * ys[:, None] + c_ * xs[None, :] + b[1]          # (oh, ow)
-    My = _interp_matrix(sy.T, H)                             # (ow, H, oh)
-    return jnp.einsum("xhy,bhxc->byxc", My, t1)              # (B, oh, ow, C)
+
+    if A.ndim == 2:
+        a_, b_ = A[0, 0], A[0, 1]
+        c_, d_ = A[1, 0], A[1, 1]
+        q_ = b_ / d_
+        p_ = a_ - b_ * c_ / d_
+        t_ = b[0] - q_ * b[1]
+        # x-pass: t1[h, x'] = src[h, p·x' + q·h + t]
+        sx = p_ * xs[None, :] + q_ * rows[:, None] + t_      # (H, ow)
+        Mx = _interp_matrix(sx, W)                           # (H, W, ow)
+        t1 = jnp.einsum("hwo,bhwc->bhoc", Mx, imgs)          # (B, H, ow, C)
+        # y-pass: out[y', x'] = t1[c·x' + d·y' + b_y, x']
+        sy = d_ * ys[:, None] + c_ * xs[None, :] + b[1]      # (oh, ow)
+        My = _interp_matrix(sy.T, H)                         # (ow, H, oh)
+        return jnp.einsum("xhy,bhxc->byxc", My, t1)          # (B, oh, ow, C)
+
+    # per-image affines: same decomposition with (B,) coefficients
+    a_, b_ = A[:, 0, 0], A[:, 0, 1]
+    c_, d_ = A[:, 1, 0], A[:, 1, 1]
+    q_ = b_ / d_
+    p_ = a_ - b_ * c_ / d_
+    t_ = b[:, 0] - q_ * b[:, 1]
+    # x-pass: t1[b, h, x'] = src[b, h, p_b·x' + q_b·h + t_b]
+    sx = (p_[:, None, None] * xs[None, None, :]
+          + q_[:, None, None] * rows[None, :, None]
+          + t_[:, None, None])                               # (B, H, ow)
+    Mx = _interp_matrix(sx.reshape(B * H, ow), W).reshape(B, H, W, ow)
+    t1 = jnp.einsum("bhwo,bhwc->bhoc", Mx, imgs)             # (B, H, ow, C)
+    # y-pass: out[b, y', x'] = t1[b, c_b·x' + d_b·y' + b_y_b, x']
+    sy = (d_[:, None, None] * ys[None, :, None]
+          + c_[:, None, None] * xs[None, None, :]
+          + b[:, 1, None, None])                             # (B, oh, ow)
+    My = _interp_matrix(sy.transpose(0, 2, 1).reshape(B * ow, oh),
+                        H).reshape(B, ow, H, oh)
+    return jnp.einsum("bxhy,bhxc->byxc", My, t1)             # (B, oh, ow, C)

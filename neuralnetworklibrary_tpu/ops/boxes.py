@@ -71,8 +71,9 @@ def decode_boxes(reg, anchors, img_hw, mean=BOX_MEAN, std=BOX_STD):
     return jnp.stack([x0, y0, x1, y1], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("top_k", "out_k"))
-def nms_fixed(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20):
+@partial(jax.jit, static_argnames=("top_k", "out_k", "return_counts"))
+def nms_fixed(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20,
+              return_counts=False):
     """Greedy class-aware NMS with fixed output size (single image).
 
     boxes (N,4), classes (N,) int, scores (N,) — anchors whose score is <= 0
@@ -81,6 +82,10 @@ def nms_fixed(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20):
     score; empty slots have score 0.  Semantics match the reference's greedy
     loop: the top survivor kills same-class boxes with IoU > max_overlap
     (retinanet.py:590-602).
+
+    return_counts=True appends an int32 (2,) vector [n_candidates, n_alive]
+    (boxes entering the greedy sweep, boxes surviving it) — the counts the
+    reference's nms(print_it=True) traces (retinanet.py:578-612).
     """
     N = boxes.shape[0]
     k = min(top_k, N)
@@ -102,10 +107,15 @@ def nms_fixed(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20):
 
     kept_scores = jnp.where(alive, top_scores, 0.0)
     out_scores, oidx = lax.top_k(kept_scores, min(out_k, k))
+    if return_counts:
+        counts = jnp.stack([valid.sum(), alive.sum()]).astype(jnp.int32)
+        return b[oidx], c[oidx], out_scores, counts
     return b[oidx], c[oidx], out_scores
 
 
-def batched_nms(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20):
+def batched_nms(boxes, classes, scores, max_overlap=0.5, top_k=1000, out_k=20,
+                return_counts=False):
     """vmap of :func:`nms_fixed` over a leading batch dim."""
-    fn = partial(nms_fixed, max_overlap=max_overlap, top_k=top_k, out_k=out_k)
+    fn = partial(nms_fixed, max_overlap=max_overlap, top_k=top_k, out_k=out_k,
+                 return_counts=return_counts)
     return jax.vmap(fn)(boxes, classes, scores)

@@ -164,7 +164,8 @@ def load_sharded(path: str) -> dict[str, Any]:
             for skey in data.files:
                 if _SEP + "@" in skey:
                     key, loc = skey.rsplit(_SEP + "@", 1)
-                    starts = [int(v) for v in loc.split("_")]
+                    # 0-d leaves have no start coordinates: loc is "".
+                    starts = [int(v) for v in loc.split("_")] if loc else []
                 else:
                     key, starts = skey, [0] * data[skey].ndim
                 info = leaves[key]

@@ -165,3 +165,89 @@ class TestTwoPassWarp:
         # interior only (clamp-vs-reflect borders); <= |b/d| sub-pixel skew
         np.testing.assert_allclose(two[:, 4:-4, 4:-4], one[:, 4:-4, 4:-4],
                                    atol=0.04)
+
+    def test_per_image_matches_shared_when_affines_equal(self):
+        from neuralnetworklibrary_tpu.ops.augment import warp_affine_two_pass
+
+        img = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (3, 48, 48, 3)).astype(np.float32))
+        A, b = self._shared(S=48, O=32)
+        shared = np.asarray(warp_affine_two_pass(img, A, b, (32, 32)))
+        Ab = jnp.broadcast_to(A, (3, 2, 2))
+        bb = jnp.broadcast_to(b, (3, 2))
+        batched = np.asarray(warp_affine_two_pass(img, Ab, bb, (32, 32)))
+        np.testing.assert_allclose(batched, shared, atol=1e-5)
+
+    def test_per_image_close_to_gather_warp(self):
+        from neuralnetworklibrary_tpu.ops.augment import (
+            warp_affine_batch,
+            warp_affine_two_pass,
+        )
+
+        S, O, B = 48, 32, 4
+        ys, xs = np.mgrid[0:S, 0:S].astype(np.float32)
+        img = jnp.asarray(np.stack(
+            [np.sin(xs / 6 + i) * np.cos(ys / 7 - i) for i in range(B)]
+        )[..., None].astype(np.float32))
+        degs = [-9.0, -3.0, 4.0, 8.5]
+        zooms = [1.0, 1.02, 1.04, 1.05]
+        As, bs = [], []
+        for d, z in zip(degs, zooms):
+            A, b = self._shared(deg=d, zoom=z, S=S, O=O)
+            As.append(np.asarray(A))
+            bs.append(np.asarray(b))
+        A = jnp.asarray(np.stack(As))
+        b = jnp.asarray(np.stack(bs))
+        two = np.asarray(warp_affine_two_pass(img, A, b, (O, O)))
+        one = np.asarray(warp_affine_batch(img, A, b, out_hw=(O, O)))
+        np.testing.assert_allclose(two[:, 4:-4, 4:-4], one[:, 4:-4, 4:-4],
+                                   atol=0.04)
+
+    def test_degenerate_rotation_rejected(self):
+        from neuralnetworklibrary_tpu.ops.augment import warp_affine_two_pass
+
+        img = jnp.zeros((1, 16, 16, 1))
+        A, b = self._shared(deg=89.0, zoom=1.0, S=16, O=16)
+        with pytest.raises(ValueError, match="90"):
+            warp_affine_two_pass(img, A, b, (16, 16))
+
+
+class TestCachedAugment:
+    def test_geometry_modes_shapes_and_determinism(self):
+        from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+        rng = np.random.default_rng(0)
+        cache = jnp.asarray(rng.integers(0, 256, (10, 40, 40, 3), dtype=np.uint8))
+        idxs = jnp.asarray([0, 3, 7], np.int32)
+        for geometry in ("batch", "image", "gather"):
+            k = jax.random.PRNGKey(5)
+            o1 = cached_augment_batch(k, cache, idxs, (32, 32), train=True,
+                                      stats=None, geometry=geometry)
+            o2 = cached_augment_batch(k, cache, idxs, (32, 32), train=True,
+                                      stats=None, geometry=geometry)
+            assert o1.shape == (3, 32, 32, 3)
+            np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_image_mode_varies_per_image(self):
+        # per-image geometry: two images with the same pixels must get
+        # different warps within one batch (the point of geometry="image")
+        from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+        rng = np.random.default_rng(2)
+        one = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        cache = jnp.asarray(np.stack([one, one]))
+        idxs = jnp.asarray([0, 1], np.int32)
+        out = np.asarray(cached_augment_batch(
+            jax.random.PRNGKey(3), cache, idxs, (32, 32), train=True,
+            bal_range=None, cont_range=None, tfm_type="Basic", stats=None,
+            geometry="image"))
+        assert np.abs(out[0] - out[1]).max() > 1e-3
+
+    def test_large_rotation_requires_gather(self):
+        from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
+
+        cache = jnp.zeros((4, 40, 40, 3), np.uint8)
+        idxs = jnp.asarray([0, 1], np.int32)
+        with pytest.raises(ValueError, match="gather"):
+            cached_augment_batch(jax.random.PRNGKey(0), cache, idxs, (32, 32),
+                                 train=True, max_deg=60, geometry="image")

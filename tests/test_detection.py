@@ -263,6 +263,29 @@ def test_nms_post_passes_rel_thresh():
     np.testing.assert_allclose(s, [0.9, 0.5], rtol=1e-6)
 
 
+def test_nms_print_it_traces_counts(capsys):
+    """print_it box-count tracing (retinanet.py:578-708 parity)."""
+    from neuralnetworklibrary_tpu.ops.boxes import nms_fixed
+
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 10, 10], [20, 20, 30, 30]],
+                       np.float32)
+    classes = np.asarray([0, 0, 1], np.int32)
+    scores = np.asarray([0.9, 0.8, 0.5], np.float32)
+    b, c, s, counts = nms_fixed(jnp.asarray(boxes), jnp.asarray(classes),
+                                jnp.asarray(scores), max_overlap=0.5,
+                                top_k=3, out_k=3, return_counts=True)
+    # 3 candidates enter; box 1 (same class, IoU>0.5 with box 0) dies
+    assert list(np.asarray(counts)) == [3, 2]
+
+    nms_post_passes(boxes, classes, scores, rel_thresh=(0.1, 0.5),
+                    max_boxes=2, print_it=True)
+    out = capsys.readouterr().out
+    assert "after relative threshold" in out
+    assert "after restrict to max_boxes" in out
+    # final stage reports the max_boxes-capped count
+    assert out.strip().splitlines()[-1] == "2"
+
+
 # ---------------------------------------------------------------- mAP
 
 def test_mAP1_perfect():

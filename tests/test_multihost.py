@@ -53,6 +53,9 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     params = {
         "emb": {"kernel": rng.normal(size=(40, 512)).astype(np.float32)},
         "head": {"bias": rng.normal(size=(7,)).astype(np.float32)},
+        # 0-d leaves (opt-state step counters, EMA decay scalars) must
+        # round-trip too — their shard key has no start coordinates.
+        "step": np.float32(17.5),
     }
     sharded = shard_params(params, mesh, default_param_rule(mesh))
     assert not sharded["emb"]["kernel"].sharding.is_fully_replicated
@@ -64,6 +67,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                params["emb"]["kernel"])
     np.testing.assert_allclose(out["params"]["head"]["bias"],
                                params["head"]["bias"])
+    np.testing.assert_allclose(out["params"]["step"], 17.5)
 
 
 def test_dataloader_host_shard_single_process():
