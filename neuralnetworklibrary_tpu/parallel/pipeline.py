@@ -117,16 +117,26 @@ def shard_stage_params(params_list, mesh: Mesh, axis: str = "stage"):
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x,
                    n_microbatches: int, mesh: Optional[Mesh] = None,
-                   axis: str = "stage", remat: bool = False):
+                   axis: str = "stage", remat: bool = False,
+                   stage_state=None):
     """Differentiable GPipe schedule: ``x`` through S stages, M microbatches.
 
-    stage_fn(params_s, h) -> h' — one stage's computation (homogeneous width).
+    stage_fn(params_s, h) -> h' — one stage's computation.  The inter-stage
+    activation BUFFER has one static shape (B, *rest) — heterogeneous-width
+    stages zero-pad their params to a common max width and mask/slice inside
+    the stage (see :class:`PipelinedLMEncoder` for the pattern).
     stacked_params: pytree with leading axis S; shard it P('{axis}') so each
         stage device holds its own slice (see :func:`pipeline_param_spec`).
-    x: (B, width); B must divide by n_microbatches.
+    x: (B, *rest); B must divide by n_microbatches.
     mesh: when given, sharding constraints pin the rolling activation buffer
         to the stage axis so GSPMD lowers the shift to a collective-permute;
         without it, propagation from the params usually suffices.
+
+    stage_state: optional per-(stage, microbatch) recurrent state — a pytree
+        of (S, M, mb, ...) arrays (e.g. LSTM (h, c) carried across BPTT
+        windows).  stage_fn then takes and returns it:
+        ``stage_fn(params_s, h, state_sm) -> (h', state_sm')``; at tick t
+        stage s reads/writes slot [s, t−s].  Returns (out, new_stage_state).
 
     The schedule runs M + S − 1 ticks.  At tick t, stage s holds microbatch
     t − s (live when 0 ≤ t−s < M); all S stages compute in parallel (a vmap
@@ -143,12 +153,13 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x,
     if remat:
         stage_fn = jax.checkpoint(stage_fn)
     S = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    B, width = x.shape
+    B = x.shape[0]
+    rest = x.shape[1:]
     M = n_microbatches
     if B % M:
         raise ValueError(f"batch {B} must divide into {M} microbatches")
     mb = B // M
-    xs = x.reshape(M, mb, width)
+    xs = x.reshape(M, mb, *rest)
 
     def constrain(h):
         if mesh is not None and axis in mesh.axis_names:
@@ -156,28 +167,60 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x,
                 h, NamedSharding(mesh, P(axis)))
         return h
 
-    state0 = jnp.zeros((S, mb, width), x.dtype)   # row s: act entering stage s
-    outs0 = jnp.zeros((M, mb, width), x.dtype)
+    state0 = jnp.zeros((S, mb) + rest, x.dtype)   # row s: act entering stage s
+    outs0 = jnp.zeros((M, mb) + rest, x.dtype)
+    zeros_nd = (0,) * (len(rest) + 1)
 
     def tick(carry, t):
-        state, outs = carry
+        if stage_state is not None:
+            state, outs, sstate = carry
+        else:
+            state, outs = carry
         # stage 0 ingests microbatch t while any remain
         inj = xs[jnp.clip(t, 0, M - 1)]
         row0 = jnp.where(t < M, inj, state[0])
-        state = jax.lax.dynamic_update_slice(state, row0[None], (0, 0, 0))
-        h = constrain(jax.vmap(stage_fn)(stacked_params, constrain(state)))
+        state = jax.lax.dynamic_update_slice(state, row0[None], (0,) + zeros_nd)
+        if stage_state is not None:
+            # stage s works on microbatch t−s: gather its state slot
+            mb_idx = jnp.clip(t - jnp.arange(S), 0, M - 1)      # (S,)
+
+            def take(a):  # (S, M, mb, ...) → (S, mb, ...)
+                return jax.vmap(lambda row, i: row[i])(a, mb_idx)
+
+            cur = jax.tree_util.tree_map(take, sstate)
+            h, new = jax.vmap(stage_fn)(stacked_params, constrain(state), cur)
+            h = constrain(h)
+            # scatter updated slots back — only for live stages (0 ≤ t−s < M)
+            live = ((t - jnp.arange(S)) >= 0) & ((t - jnp.arange(S)) < M)
+
+            def put(a, n):
+                def one(row, i, nrow, lv):
+                    upd = jax.lax.dynamic_update_slice(
+                        row, nrow[None], (i,) + (0,) * (row.ndim - 1))
+                    return jnp.where(lv, upd, row)
+                return jax.vmap(one)(a, mb_idx, n, live)
+
+            sstate = jax.tree_util.tree_map(put, sstate, new)
+        else:
+            h = constrain(jax.vmap(stage_fn)(stacked_params, constrain(state)))
         # the last stage finishes microbatch t − (S−1)
         out_idx = t - (S - 1)
         rec = (out_idx >= 0) & (out_idx < M)
         updated = jax.lax.dynamic_update_slice(
-            outs, h[S - 1][None], (jnp.clip(out_idx, 0, M - 1), 0, 0))
+            outs, h[S - 1][None], (jnp.clip(out_idx, 0, M - 1),) + zeros_nd)
         outs = jnp.where(rec, updated, outs)
         # shift: stage s's result becomes stage s+1's input
         state = jnp.roll(h, 1, axis=0)
+        if stage_state is not None:
+            return (state, outs, sstate), None
         return (state, outs), None
 
+    if stage_state is not None:
+        (_, outs, sstate), _ = jax.lax.scan(
+            tick, (state0, outs0, stage_state), jnp.arange(M + S - 1))
+        return outs.reshape(B, *rest), sstate
     (_, outs), _ = jax.lax.scan(tick, (state0, outs0), jnp.arange(M + S - 1))
-    return outs.reshape(B, width)
+    return outs.reshape(B, *rest)
 
 
 def pipeline_param_spec(axis: str = "stage"):
@@ -257,12 +300,233 @@ class PipelinedMLP:
 
 
 def pipelined_param_rule(mesh: Mesh, axis: str = "stage"):
-    """Learner ``param_sharding`` rule for :class:`PipelinedMLP`: the stacked
-    block params shard over the stage axis, everything else replicates.
-    (Rules return PartitionSpecs; opt-state moment paths embed the param
-    path, so a substring check covers both trees.)"""
+    """Learner ``param_sharding`` rule for :class:`PipelinedMLP` /
+    :class:`PipelinedLanguageModelNet`: the stacked block params shard over
+    the stage axis, everything else replicates.  (Rules return
+    PartitionSpecs; opt-state moment paths embed the param path, so a
+    substring check covers both trees.)"""
     def rule(path, leaf):
         if getattr(leaf, "ndim", 0) >= 1 and any("stack" in str(p) for p in path):
             return P(axis)
         return P()
     return rule
+
+
+# ---------------------------------------------------------------------------
+# Pipelined AWD-LSTM language model (heterogeneous-width stages)
+# ---------------------------------------------------------------------------
+
+class PipelinedLanguageModelNet:
+    """The AWD-LSTM language model with its LSTM layers as pipeline stages.
+
+    Same computation as applications.text.LanguageModelNet (embedding-dropout
+    word embedding → num_layers weight-dropped LSTMs with carried state →
+    tied-weight decoder; Text.py:611-651) but the layer stack runs through
+    the differentiable GPipe schedule — the reference's biggest model,
+    pipelined over a 'stage' mesh axis.
+
+    Heterogeneous widths (400 → 1150 → 1150 → 400) are handled by zero-
+    padding every stage's weights to the max width P: because pad lanes of
+    the input, biases and weight rows are all zero, an LSTM's pad lanes stay
+    exactly zero through the recurrence (g = tanh(0) = 0 ⇒ c_pad = h_pad = 0),
+    so padded stages compute bit-identical values to the unpadded layers on
+    the real lanes with NO masking in the loop.
+
+    LSTM (h, c) state is carried across BPTT windows per (stage, microbatch)
+    slot via ``pipeline_apply(stage_state=...)`` and detached, exactly like
+    the flax encoder's 'carry' collection (Text.py:547-550).
+
+    Dropout caveat: locked/weight dropout masks are drawn per stage (all
+    microbatches of a window share the mask) — variational-dropout semantics
+    at microbatch granularity; set drops to 0 for exact parity tests.
+
+    Learner contract: plain init/apply (like :class:`PipelinedMLP`),
+    layer_group_prefixes [[enc_stack], [word_embed]], head = the tied
+    embedding (Text.py:645-647).
+    """
+
+    def __init__(self, vocab_size: int, pad_token: int = 1,
+                 emb_dim: int = 400, hidden_size: int = 1150,
+                 num_layers: int = 3, n_microbatches: int = 4,
+                 enc_drops: tuple = (0.05, 0.25, 0.2, 0.15),
+                 dec_drop: float = 0.1, drop_scaling: float = 0.7,
+                 mesh: Optional[Mesh] = None, axis: str = "stage",
+                 remat: bool = False):
+        self.vocab_size, self.pad_token = vocab_size, pad_token
+        self.emb_dim, self.hidden_size = emb_dim, hidden_size
+        self.S, self.M = num_layers, n_microbatches
+        self.sizes = [emb_dim] + [hidden_size] * (num_layers - 1) + [emb_dim]
+        self.P = max(self.sizes)
+        d = [v * drop_scaling for v in enc_drops]
+        self.emb_drop1, self.emb_drop2, self.weight_drop, self.hidden_drop = d
+        self.dec_drop = dec_drop * drop_scaling
+        self.mesh, self.axis, self.remat = mesh, axis, remat
+        self.layer_group_prefixes = [["enc_stack"], ["word_embed"]]
+        self.head_prefixes = ("word_embed",)
+
+    def __call__(self, x, train=False):
+        raise TypeError("PipelinedLanguageModelNet is driven via init()/apply()")
+
+    @classmethod
+    def from_dataobj(cls, data, **kw):
+        return cls(vocab_size=len(data.stoi), pad_token=data.stoi["_pad_"], **kw)
+
+    def init(self, rngs, *xs, train=False):
+        key = rngs["params"] if isinstance(rngs, dict) else rngs
+        S, P = self.S, self.P
+        k_emb, *stage_keys = jax.random.split(key, S + 1)
+        emb = jax.random.uniform(k_emb, (self.vocab_size, self.emb_dim),
+                                 jnp.float32, -0.1, 0.1)
+        emb = emb.at[self.pad_token].set(0.0)
+
+        w_ih = np.zeros((S, P, 4 * P), np.float32)
+        w_hh = np.zeros((S, P, 4 * P), np.float32)
+        b_ih = np.zeros((S, 4 * P), np.float32)
+        b_hh = np.zeros((S, 4 * P), np.float32)
+        for s in range(S):
+            I, H = self.sizes[s], self.sizes[s + 1]
+            k = 1.0 / np.sqrt(H)
+            ks = jax.random.split(stage_keys[s], 4)
+            wi = np.asarray(jax.random.uniform(ks[0], (I, 4 * H), jnp.float32, -k, k))
+            wh = np.asarray(jax.random.uniform(ks[1], (H, 4 * H), jnp.float32, -k, k))
+            bi = np.asarray(jax.random.uniform(ks[2], (4 * H,), jnp.float32, -k, k))
+            bh = np.asarray(jax.random.uniform(ks[3], (4 * H,), jnp.float32, -k, k))
+            for g in range(4):  # gate blocks at [g*P : g*P + H]
+                w_ih[s, :I, g * P: g * P + H] = wi[:, g * H:(g + 1) * H]
+                w_hh[s, :H, g * P: g * P + H] = wh[:, g * H:(g + 1) * H]
+                b_ih[s, g * P: g * P + H] = bi[g * H:(g + 1) * H]
+                b_hh[s, g * P: g * P + H] = bh[g * H:(g + 1) * H]
+
+        B = xs[0].shape[0]
+        mb = B // self.M
+        carry = {
+            "h": jnp.zeros((S, self.M, mb, P)),
+            "c": jnp.zeros((S, self.M, mb, P)),
+        }
+        return {
+            "params": {
+                "word_embed": {"weight": emb},
+                "enc_stack": {"w_ih": jnp.asarray(w_ih), "w_hh": jnp.asarray(w_hh),
+                              "b_ih": jnp.asarray(b_ih), "b_hh": jnp.asarray(b_hh)},
+            },
+            "carry": carry,
+        }
+
+    def set_stage_weights(self, params, layers):
+        """Write per-layer torch-layout LSTM weights (w_ih (4H, I), w_hh
+        (4H, H), b_ih, b_hh — e.g. converted wt103 weights) into the padded
+        stacked params; returns the updated param tree."""
+        S, P = self.S, self.P
+        st = {k: np.asarray(params["enc_stack"][k]).copy()
+              for k in ("w_ih", "w_hh", "b_ih", "b_hh")}
+        for s, layer in enumerate(layers):
+            I, H = self.sizes[s], self.sizes[s + 1]
+            wi, wh = np.asarray(layer["w_ih"]).T, np.asarray(layer["w_hh"]).T
+            bi, bh = np.asarray(layer["b_ih"]), np.asarray(layer["b_hh"])
+            for g in range(4):
+                st["w_ih"][s, :I, g * P: g * P + H] = wi[:, g * H:(g + 1) * H]
+                st["w_hh"][s, :H, g * P: g * P + H] = wh[:, g * H:(g + 1) * H]
+                st["b_ih"][s, g * P: g * P + H] = bi[g * H:(g + 1) * H]
+                st["b_hh"][s, g * P: g * P + H] = bh[g * H:(g + 1) * H]
+        new = dict(params)
+        new["enc_stack"] = {k: jnp.asarray(v) for k, v in st.items()}
+        return new
+
+    def _stage_fn_factory(self, train, dropout_key):
+        hidden_drop = self.hidden_drop if train else 0.0
+        weight_drop = self.weight_drop if train else 0.0
+
+        def stage_fn(p, x, state):
+            w_ih, w_hh, b_ih, b_hh, s_idx = p
+            h0, c0 = state
+            if weight_drop > 0.0:
+                kw = jax.random.fold_in(dropout_key, 2 * s_idx)
+                keep = jax.random.bernoulli(kw, 1.0 - weight_drop, w_hh.shape)
+                w_hh = w_hh * keep.astype(w_hh.dtype) / (1.0 - weight_drop)
+            xp = jnp.einsum("bti,ih->bth", x, w_ih) + b_ih + b_hh
+
+            def step(carry, xp_t):
+                h, c = carry
+                gates = xp_t + h @ w_hh
+                i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f_g) * c + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+                h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+                return (h, c), h
+
+            (hT, cT), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xp, 0, 1))
+            ys = jnp.swapaxes(ys, 0, 1)
+            if hidden_drop > 0.0:
+                kd = jax.random.fold_in(dropout_key, 2 * s_idx + 1)
+                keep = jax.random.bernoulli(
+                    kd, 1.0 - hidden_drop, (ys.shape[0], 1, ys.shape[2]))
+                ys = ys * keep.astype(ys.dtype) / (1.0 - hidden_drop)
+            # detach: truncated BPTT carries state across windows w/o grads
+            return ys, (jax.lax.stop_gradient(hT), jax.lax.stop_gradient(cT))
+
+        return stage_fn
+
+    def apply(self, variables, *xs, train=False, rngs=None, mutable=None,
+              pipelined: bool = True):
+        params = variables["params"]
+        carry = variables.get("carry")
+        x = xs[0]
+        B, T = x.shape
+        key = (rngs or {}).get("dropout") if isinstance(rngs, dict) else rngs
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_emb1, k_emb2, k_stage, k_dec = jax.random.split(key, 4)
+
+        emb_w = params["word_embed"]["weight"]
+        weight = emb_w
+        if train and self.emb_drop1 > 0.0:
+            keep = jax.random.bernoulli(k_emb1, 1.0 - self.emb_drop1,
+                                        (self.vocab_size, 1))
+            weight = weight * keep.astype(weight.dtype) / (1.0 - self.emb_drop1)
+        h = jnp.take(weight, x, axis=0)  # (B, T, E)
+        if train and self.emb_drop2 > 0.0:
+            keep = jax.random.bernoulli(k_emb2, 1.0 - self.emb_drop2,
+                                        (B, 1, self.emb_dim))
+            h = h * keep.astype(h.dtype) / (1.0 - self.emb_drop2)
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, self.P - self.emb_dim)))
+
+        st = params["enc_stack"]
+        stacked = (st["w_ih"], st["w_hh"], st["b_ih"], st["b_hh"],
+                   jnp.arange(self.S))
+        stage_fn = self._stage_fn_factory(train, k_stage)
+        if carry is None:
+            mb = B // self.M
+            carry = {"h": jnp.zeros((self.S, self.M, mb, self.P), h.dtype),
+                     "c": jnp.zeros((self.S, self.M, mb, self.P), h.dtype)}
+        if pipelined:
+            out, sstate = pipeline_apply(
+                stage_fn, stacked, h, self.M, mesh=self.mesh, axis=self.axis,
+                remat=self.remat, stage_state=(carry["h"], carry["c"]))
+        else:  # sequential oracle: same math, stages applied in order
+            mb = B // self.M
+            hs = h.reshape(self.M, mb, T, self.P)
+            new_h = [];  new_c = []
+            outs = []
+            for m in range(self.M):
+                hm = hs[m]
+                nh = []; nc = []
+                for s in range(self.S):
+                    p_s = tuple(a[s] for a in stacked)
+                    hm, (hT, cT) = stage_fn(p_s, hm,
+                                            (carry["h"][s, m], carry["c"][s, m]))
+                    nh.append(hT); nc.append(cT)
+                outs.append(hm)
+                new_h.append(jnp.stack(nh)); new_c.append(jnp.stack(nc))
+            out = jnp.concatenate(outs, axis=0)
+            sstate = (jnp.stack(new_h, axis=1), jnp.stack(new_c, axis=1))
+
+        enc_out = out[..., : self.emb_dim]
+        dec_in = enc_out
+        if train and self.dec_drop > 0.0:
+            keep = jax.random.bernoulli(k_dec, 1.0 - self.dec_drop,
+                                        (B, 1, self.emb_dim))
+            dec_in = dec_in * keep.astype(dec_in.dtype) / (1.0 - self.dec_drop)
+        logits = jnp.einsum("bte,ve->btv", dec_in, emb_w)
+        y = (logits, enc_out)
+        if mutable:
+            return y, {"carry": {"h": sstate[0], "c": sstate[1]}}
+        return y

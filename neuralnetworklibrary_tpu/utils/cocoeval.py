@@ -407,8 +407,10 @@ class COCOeval:
 
     def _summarize(self, ap=1, iouThr=None, areaRng="all", maxDets=100):
         p = self.params
-        aind = p.areaRngLbl.index(areaRng)
-        mind = p.maxDets.index(maxDets)
+        # pycocotools filters (cocoeval.py:437-438): an absent maxDets/area
+        # label selects an empty slice and reports -1, it does not raise
+        aind = [i for i, l in enumerate(p.areaRngLbl) if l == areaRng]
+        mind = [i for i, m in enumerate(p.maxDets) if m == maxDets]
         if ap:
             s = self.eval["precision"]
             if iouThr is not None:
