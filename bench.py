@@ -42,6 +42,8 @@ N_IMAGES = 512
 BS = 64
 SZ = 224
 BASELINE = 95.0  # P6000 Dogbreed senet154 @224 frozen fit incl. eval (BASELINE.md)
+# NNL_BENCH_SMOKE=1: tiny shapes for a CPU logic check of the bench itself
+SMOKE = os.environ.get("NNL_BENCH_SMOKE", "") == "1"
 
 
 def make_dataset():
@@ -131,6 +133,159 @@ def bench_e2e(learner, epochs, include_eval):
     return rates
 
 
+def bench_lm(epochs=3):
+    """AWD-LSTM LM e2e epochs (real LM loader, carried state, AR/TAR loss,
+    per-epoch eval pass) → tokens/s.  Reference: IMDB ~22.7 min epochs on the
+    P6000 ≈ 21k tokens/s incl. eval (BASELINE.md / PERF.md).  wt103 dims
+    (400-1150-3, vocab 30k), bs 64, bptt 75 — the notebook's settings."""
+    import jax
+
+    from neuralnetworklibrary_tpu.applications.text import (
+        LanguageModelDataObj,
+        LanguageModelNet,
+        RegSeqCrossEntropyLoss,
+        TextDataset,
+    )
+    from neuralnetworklibrary_tpu.learner import Learner
+
+    BSL, BPTT, VOCAB = (8, 20, 300) if SMOKE else (64, 75, 30000)
+    rng = np.random.default_rng(0)
+
+    def make_ds(n_tokens):
+        ds = object.__new__(TextDataset)
+        ds.stoi = {f"w{i}": i for i in range(VOCAB)}
+        ds.stoi["_pad_"] = 1
+        docs = [rng.integers(0, VOCAB, 2000).tolist()
+                for _ in range(n_tokens // 2000 + 1)]
+        ds.texts = docs
+        ds.num_tokens = sum(len(t) for t in docs)
+        ds.labels = [0] * len(docs)
+        ds.label_dict = {0: 0}
+        return ds
+
+    steps = 4 if SMOKE else 40  # per epoch
+    train_ds = make_ds(BSL * (steps * BPTT + BPTT))
+    val_ds = make_ds(BSL * (6 * BPTT + BPTT))
+    data = LanguageModelDataObj(train_ds, val_ds, None, BSL, BPTT)
+    if SMOKE:
+        model = LanguageModelNet(vocab_size=len(data.stoi), pad_token=1,
+                                 emb_dim=16, hidden_size=24, num_layers=3)
+    else:
+        model = LanguageModelNet.from_dataobj(data)
+    learner = Learner("/tmp/nnl_bench_lm/", data, model, optimizer="Adam2",
+                      loss_func=RegSeqCrossEntropyLoss(alpha=2.0, beta=1.0))
+    learner.init_optimizer(wd=1e-6)
+
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
+
+    # warmup epoch: compile train + eval
+    for b in device_prefetch(learner.data.train_dl, learner.mesh):
+        loss = learner.train1minibatch(b, lr_batch=1e-3)
+    _sync(loss)
+    learner.evaluate("val")
+
+    rates = []
+    for _ in range(epochs):
+        n_tok, t0 = 0, time.perf_counter()
+        for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
+            loss = learner.train1minibatch(b, lr_batch=1e-3)
+            n_tok += b.xs[0].size
+        learner.evaluate("val")
+        n_tok += len(learner.data.val_dl) * BSL * BPTT
+        _sync(loss)
+        rates.append(n_tok / (time.perf_counter() - t0))
+    del learner
+    gc.collect()
+    return rates
+
+
+DET_ROOT = "/tmp/nnl_bench_pascal"
+
+
+def bench_detection(epochs=3):
+    """Synthetic Pascal-shaped detection workload: retinanet50 train img/s and
+    batched predict img/s with on-device NMS.  All images share one aspect
+    ratio so exactly ONE padded shape compiles (granularity discipline per
+    CLAUDE.md).  The reference's equivalents are its python SSD_loss loop and
+    per-image CPU NMS (retinanet.py:583-602) — unmeasured there; these
+    numbers pin ours."""
+    import json as _json
+
+    import cv2
+    import jax
+
+    H0, W0, N, BSD = (60, 80, 8, 2) if SMOKE else (375, 500, 64, 8)
+    if not os.path.isdir(os.path.join(DET_ROOT, "train")):
+        os.makedirs(os.path.join(DET_ROOT, "train"), exist_ok=True)
+        rng = np.random.default_rng(1)
+        images, anns = [], []
+        aid = 0
+        for i in range(N):
+            img = rng.integers(0, 80, (H0, W0, 3), dtype=np.uint8)
+            nbox = int(rng.integers(1, 6))
+            bmax = min(80, H0 // 2, W0 // 2)
+            for _ in range(nbox):
+                x, y = int(rng.integers(0, W0 - bmax)), int(rng.integers(0, H0 - bmax))
+                w, h = int(rng.integers(bmax // 2, bmax)), int(rng.integers(bmax // 2, bmax))
+                col = rng.integers(120, 256, 3)
+                img[y:y + h, x:x + w] = col
+                anns.append({"id": aid, "image_id": i,
+                             "bbox": [x, y, w, h],
+                             "category_id": int(rng.integers(1, 21))})
+                aid += 1
+            cv2.imwrite(os.path.join(DET_ROOT, "train", f"im{i}.jpg"), img)
+            images.append({"id": i, "file_name": f"im{i}.jpg",
+                           "width": W0, "height": H0})
+        j = {"images": images, "annotations": anns,
+             "categories": [{"id": c, "name": f"c{c}"} for c in range(1, 21)]}
+        with open(os.path.join(DET_ROOT, "train.json"), "w") as f:
+            _json.dump(j, f)
+
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataObj,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
+
+    tfms = get_transforms_bbox("SideOn", jitter=0, scale_range=(1, 1))
+    ars = (64, 128) if SMOKE else (512, 1024)
+    gran = 32 if SMOKE else 128
+    data = BBoxDataObj.from_json_bbox(DET_ROOT, tfms, bs=BSD, val_frac=0.25,
+                                      get_ARS=ars, granularity=gran, seed=0)
+    model = ObjectDetectionNet(num_classes=20,
+                               backbone="resnet18" if SMOKE else "resnet50",
+                               feature_size=32 if SMOKE else 256)
+    learner = ObjectDetectionLearner(DET_ROOT, data, model, "Adam2")
+    learner.init_optimizer(wd=1e-4, clip=1.0)
+
+    # warmup: compile the (single padded shape) train step
+    for b in device_prefetch(learner.data.train_dl, learner.mesh):
+        loss = learner.train1minibatch(b, lr_batch=1e-4)
+    _sync(loss)
+
+    train_rates = []
+    for _ in range(epochs):
+        n, t0 = 0, time.perf_counter()
+        for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
+            loss = learner.train1minibatch(b, lr_batch=1e-4)
+            n += b.n_valid
+        _sync(loss)
+        train_rates.append(n / (time.perf_counter() - t0))
+
+    # batched predict with on-device NMS (decode+upload+forward+NMS e2e)
+    learner.predict("val", thresh=0.05, max_boxes=20)  # compile predict path
+    pred_rates = []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        pb, _, _ = learner.predict("val", thresh=0.05, max_boxes=20)
+        pred_rates.append(len(pb) / (time.perf_counter() - t0))
+    del learner
+    gc.collect()
+    return train_rates, pred_rates
+
+
 def main():
     make_dataset()
 
@@ -156,9 +311,14 @@ def main():
     del learner
     gc.collect()
 
+    # --- AWD-LSTM LM + RetinaNet detection (VERDICT r2 items 2 & 4) -------
+    lm_rates = bench_lm()
+    det_train_rates, det_pred_rates = bench_detection()
+
     senet_e2e = float(np.median(senet_rates))
     senet_host = float(np.median(senet_host_rates))
     r34_e2e = float(np.median(r34_rates))
+    lm_e2e = float(np.median(lm_rates))
     print(json.dumps({
         "metric": "senet154_finetune_img_per_sec_224_incl_eval",
         "value": round(senet_e2e, 2),
@@ -175,6 +335,16 @@ def main():
                                  round(max(r34_rates), 1)],
         "resnet34_device_cache_e2e": round(float(np.median(r34_cache_rates)), 2),
         "resnet34_device_only": round(r34_dev, 2),
+        "lm_tokens_per_sec": round(lm_e2e, 0),
+        "lm_epoch_range": [round(min(lm_rates), 0), round(max(lm_rates), 0)],
+        "lm_baseline": 21000.0,
+        "lm_vs_baseline": round(lm_e2e / 21000.0, 2),
+        "detection_train_img_per_sec": round(float(np.median(det_train_rates)), 2),
+        "detection_train_range": [round(min(det_train_rates), 1),
+                                  round(max(det_train_rates), 1)],
+        "detection_predict_img_per_sec": round(float(np.median(det_pred_rates)), 2),
+        "detection_predict_range": [round(min(det_pred_rates), 1),
+                                    round(max(det_pred_rates), 1)],
         "baseline": BASELINE,
         "note": "median per-epoch img/s; baseline = P6000 Dogbreed "
                 "senet154@224 bs64 frozen fit incl. eval pass (BASELINE.md). "
@@ -183,7 +353,14 @@ def main():
                 "- the framework's TPU input-pipeline mode). hostpath_e2e = "
                 "per-epoch host decode/augment + uint8 upload, bound by the "
                 "shared tunnel's ~50 MB/s upload on this box; device_only = "
-                "pre-staged batch, pure train-step throughput.",
+                "pre-staged batch, pure train-step throughput. lm_* = "
+                "AWD-LSTM wt103-dims LM (bs64 bptt75 vocab30k) e2e epochs "
+                "incl. eval vs the P6000's ~21k tokens/s (IMDB ~22.7 min "
+                "epochs). detection_* = retinanet50 on a Pascal-shaped "
+                "synthetic set (375x500 imgs, min-side-512 scaling, one "
+                "padded shape, bs8): masked-batched SSD-loss train steps and "
+                "batched predict with on-device NMS, both e2e through the "
+                "real loaders.",
     }))
 
 
