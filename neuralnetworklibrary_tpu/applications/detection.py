@@ -296,6 +296,63 @@ class BBoxDataLoader:
         self.epoch += 1
 
 
+class CachedBBoxLoader:
+    """Index loader over an HBM-resident detection canvas cache.
+
+    Yields Batch(xs=(cache_rows (bs,) int32, flip (bs,) int32), y=(bb, cc),
+    mask); the Learner's device pipeline gathers the canvases and applies
+    flip/photometric/normalize on device.  Boxes are pre-scaled to canvas
+    coordinates; a flipped row's boxes mirror about the CANVAS width (the
+    flipped canvas is right-aligned content — translation-equivalent to the
+    reference's in-place flip, Vision.py:591-603, with identical box↔pixel
+    correspondence).
+    """
+
+    def __init__(self, ds, groups, row_offset, boxes, cats, canvas_w, bs,
+                 train, seed=0):
+        self.ds = ds
+        self.groups = [list(g) for g in groups]  # dataset indices per batch
+        self.row_offset = row_offset             # ds_idx + offset = cache row
+        self.boxes, self.cats = boxes, cats      # (N, M, 4), (N, M) canvas coords
+        self.canvas_w = canvas_w
+        self.bs, self.train, self.seed = bs, train, seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.groups)
+
+    def _make_batch(self, g, rng) -> Batch:
+        n_valid = len(g)
+        idxs = list(g) + [g[-1]] * (self.bs - n_valid)
+        rows = np.asarray(idxs, np.int32) + self.row_offset
+        flip = (rng.integers(0, 2, self.bs).astype(np.int32)
+                if self.train else np.zeros(self.bs, np.int32))
+        bb = self.boxes[np.asarray(idxs)].copy()
+        cc = self.cats[np.asarray(idxs)].copy()
+        W = float(self.canvas_w)
+        for i in range(self.bs):
+            if flip[i]:
+                valid = bb[i, :, 0] >= 0
+                x0 = W - bb[i, valid, 2]
+                x1 = W - bb[i, valid, 0]
+                bb[i, valid, 0], bb[i, valid, 2] = x0, x1
+        mask = np.zeros(self.bs, np.float32)
+        mask[:n_valid] = 1.0
+        return Batch(xs=(rows, flip), y=(bb, cc), mask=mask, n_valid=n_valid)
+
+    def peek(self) -> Batch:
+        return self._make_batch(self.groups[0], np.random.default_rng(0))
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        groups = list(self.groups)
+        if self.train:
+            rng.shuffle(groups)
+        for g in groups:
+            yield self._make_batch(g, rng)
+        self.epoch += 1
+
+
 class BBoxDataObj:
     """Detection data object (the bbox mode of ImageDataObj, Vision.py:814-899).
 
@@ -893,6 +950,126 @@ class ObjectDetectionLearner(Learner):
         """Eval forward via the base class's cached jit wrapper."""
         return self.predict1minibatch(xs)
 
+    def enable_device_cache(self, include_val: bool = False):
+        """HBM-resident training set for detection: decode + scale + pad every
+        train image ONCE into a single granularity-snapped canvas array in
+        device memory; train batches then ship only (bs,) cache rows + flip
+        flags + box targets, and flip/photometric/normalize run inside the
+        jitted step (the detection analogue of
+        ImageLearner.enable_device_cache).
+
+        Protocol notes (documented deviations — use the host loaders when
+        they matter): the per-batch random scale jitter and corner jitter
+        (Vision.py:586-589) are OFF (deterministic scale-only framing);
+        LR flips mirror the whole canvas, so flipped images are
+        right-aligned — translation-equivalent augmentation with exact
+        box↔pixel correspondence.  predict/TTA_bbox/compute_mAP keep the
+        exact host path; include_val=True accelerates evaluate('val') only.
+        """
+        data = self.data
+        ds = data.train_ds
+        vds = data.val_ds if include_val else None
+        tfm_aug = data.transforms[1]
+        M = data.max_objects
+        gran = data.granularity
+
+        import cv2
+
+        sets = [(ds, True)] + ([(vds, False)] if vds else [])
+        # global canvas (one compiled step for every cached batch): decode
+        # once, track the max scaled dims, then fill
+        Hc = Wc = 0
+        decoded = []
+        for d, _ in sets:
+            for im in d.images:
+                img = open_image(d.IMG_PATH + im["img"])
+                s = float(im["scale"])
+                r, c = img.shape[:2]
+                img = cv2.resize(img, (int(c * s), int(r * s)))
+                decoded.append(img)
+                Hc = max(Hc, img.shape[0])
+                Wc = max(Wc, img.shape[1])
+        Hc, Wc = _snap_up(Hc, gran), _snap_up(Wc, gran)
+        N = len(decoded)
+        need = N * Hc * Wc * 3
+        limit = None
+        try:
+            stats_d = jax.devices()[0].memory_stats() or {}
+            limit = stats_d.get("bytes_limit")
+            in_use = stats_d.get("bytes_in_use", 0)
+        except Exception:
+            pass
+        if limit and need > 0.8 * (limit - in_use):
+            raise MemoryError(
+                f"detection device cache would need {need / 1e9:.2f} GB "
+                f"({N} x {Hc}x{Wc}x3 uint8) but only "
+                f"{(limit - in_use) / 1e9:.2f} GB of HBM is free; use the "
+                "host loaders or a smaller max_side/granularity")
+
+        stats = data.transforms[0].stats
+        mean = np.asarray(stats[0], np.float32) if stats is not None else np.zeros(3)
+        pad_u8 = (mean * 255.0 + 0.5).astype(np.uint8)
+        imgs = np.broadcast_to(pad_u8, (N, Hc, Wc, 3)).copy()
+        for i, im in enumerate(decoded):
+            h, w = min(im.shape[0], Hc), min(im.shape[1], Wc)
+            imgs[i, :h, :w] = (np.clip(im[:h, :w], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        del decoded
+
+        def targets(d):
+            L = len(d.images)
+            bb = np.full((L, M, 4), -1.0, np.float32)
+            cc = np.full((L, M), -1, np.int32)
+            for i, im in enumerate(d.images):
+                t = im["target"]
+                if t == 0 or (hasattr(t, "__len__") and len(t) == 0):
+                    continue
+                b, c = convert_bbox_list(t)
+                s = float(im["scale"])
+                m = min(len(b), M)
+                bb[i, :m] = np.clip(b[:m] * s, 0, [Wc, Hc, Wc, Hc])
+                cc[i, :m] = c[:m]
+            return bb, cc
+
+        cache = jax.device_put(imgs, pmesh.replicated(self.mesh))
+        bb_t, cc_t = targets(ds)
+        data.train_dl = CachedBBoxLoader(
+            ds, data.train_dl.groups, 0, bb_t, cc_t, Wc, data.bs, train=True,
+            seed=data.seed if hasattr(data, "seed") else 0)
+        if vds:
+            self._host_val_dl = data.val_dl
+            bb_v, cc_v = targets(vds)
+            data.val_dl = CachedBBoxLoader(
+                vds, data.val_dl.groups, len(ds.images), bb_v, cc_v, Wc,
+                data.val_bs if hasattr(data, "val_bs") else data.bs,
+                train=False)
+
+        from neuralnetworklibrary_tpu.ops.augment import normalize_batch
+
+        bal = tfm_aug.bal_range
+        cont = tfm_aug.cont_range
+
+        def pipeline(key, xs, train):
+            if xs[0].ndim == 1:  # cache-row batch
+                x = jnp.take(cache, xs[0], axis=0).astype(jnp.float32) / 255.0
+                flip = xs[1][:, None, None, None].astype(bool)
+                x = jnp.where(flip, x[:, :, ::-1, :], x)
+                if train and bal is not None:
+                    kb, kc = jax.random.split(
+                        key if key is not None else jax.random.PRNGKey(0))
+                    B = x.shape[0]
+                    b_ = jax.random.uniform(kb, (B, 1, 1, 1), minval=bal[0],
+                                            maxval=bal[1])
+                    c_ = jax.random.uniform(kc, (B, 1, 1, 1), minval=cont[0],
+                                            maxval=cont[1])
+                    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+                    x = jnp.clip((x - mu) * c_ + b_ + mu, 0.0, 1.0)
+                return (normalize_batch(x, stats),)
+            return (normalize_batch(xs[0], stats),) + tuple(xs[1:])
+
+        self.set_input_pipeline(pipeline)
+        self._device_cache_nbytes = imgs.nbytes
+        return self
+
     def predict(self, dl="val", thresh=0.05, max_overlap=0.5, rel_thresh=None,
                 top_k=1000, max_boxes=20, dup=None, inc=None, rescale=True,
                 print_it=False, **_):
@@ -906,6 +1083,10 @@ class ObjectDetectionLearner(Learner):
                 # reference imposes the same restriction (Learner.py:339-340)
                 raise ValueError("bbox predict requires dl in {'val', 'test'}")
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
+            if isinstance(dl, CachedBBoxLoader):
+                # predict keeps the exact host pixel path; the cached val
+                # loader only accelerates evaluate('val')
+                dl = self._host_val_dl
         # batched eval: the loader's .groups map each batch row to its
         # dataset index, so predictions land in dataset order whatever the
         # (aspect-bucketed) batch composition.  Loaders without .groups fall

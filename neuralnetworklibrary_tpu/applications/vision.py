@@ -801,7 +801,7 @@ class ImageLearner(Learner):
         return pipeline
 
     def enable_device_cache(self, margin: int = 32, include_val: bool = False,
-                            geometry: str = "batch"):
+                            geometry: str = "image"):
         """Device-resident training dataset: decode every train image ONCE to
         a margin-sized uint8 array resident in HBM; train batches then ship
         only (bs,) int32 indices and the whole augmentation chain — random

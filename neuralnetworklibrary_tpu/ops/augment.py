@@ -268,7 +268,7 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
                          *, train: bool, tfm_type="SideOn", max_deg=10,
                          max_zoom=1.05, bal_range=(-0.05, 0.05),
                          cont_range=(0.95, 1.05), max_noise=None,
-                         stats=imagenet_stats, geometry="batch"):
+                         stats=imagenet_stats, geometry="image"):
     """Device-resident-dataset augmentation: index → augmented batch, all on
     device.  The only per-step host→device transfer is ``idxs`` (a few hundred
     bytes), vs ~150 KB/image for shipped pixels — the input-pipeline mode for
@@ -283,14 +283,15 @@ def cached_augment_batch(key, cache: jax.Array, idxs: jax.Array, out_hw,
     train=True: per-image random integer crop to a window halfway between
     out and source size (vmapped dynamic_slice, cheap), then rotate-zoom:
 
-    - geometry="image" (reference-faithful, Vision.py:449-456: an
+    - geometry="image" (DEFAULT; reference-faithful, Vision.py:449-456: an
       independent angle/zoom per image): per-image affines via the batched
-      MXU two-pass warp (:func:`warp_affine_two_pass`),
+      MXU two-pass warp (:func:`warp_affine_two_pass`) — 16.8 ms/batch on
+      v5e for 64x256→224,
     - geometry="batch": ONE shared rotate-zoom for the whole batch — the
-      cheapest mode; the reference's own detection collater draws
-      batch-shared geometry the same way (Vision.py:586-589),
+      cheapest mode (3.0 ms/batch); the reference's own detection collater
+      draws batch-shared geometry the same way (Vision.py:586-589),
     - geometry="gather": per-image rotate-zoom via the exact per-pixel
-      gather warp (~115 ms/batch on v5e; reflect borders, continuous crop
+      gather warp (115 ms/batch on v5e; reflect borders, continuous crop
       centers — the bit-faithful-but-slow fallback).
 
     Then flip/lighting/noise/normalize, all per image.

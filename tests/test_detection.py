@@ -666,3 +666,64 @@ def test_batched_tta_bbox_matches_val_bs1(tmp_path_factory):
         if len(b4):
             np.testing.assert_allclose(np.stack(b4), np.stack(b1), rtol=1e-4,
                                        atol=1e-3)
+
+
+# ------------------------------------------- device-resident detection cache
+
+def test_detection_device_cache_trains(tiny_detection_data):
+    """enable_device_cache: index batches, on-device flip/photometric, loss
+    decreases; predict keeps the host path; flipped targets mirror about the
+    canvas width."""
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataObj,
+        CachedBBoxLoader,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+
+    tfms = get_transforms_bbox("SideOn", jitter=4, scale_range=(0.9, 1.1))
+    data = BBoxDataObj.from_json_bbox(
+        str(tiny_detection_data), tfms, bs=2, val_frac=0.34,
+        get_ARS=(64, 128), granularity=32, seed=0)
+    model = ObjectDetectionNet(num_classes=2, backbone="resnet18",
+                               feature_size=32)
+    learner = ObjectDetectionLearner(str(tiny_detection_data), data, model,
+                                     "Adam2")
+    learner.enable_device_cache(include_val=True)
+    assert isinstance(data.train_dl, CachedBBoxLoader)
+    assert isinstance(data.val_dl, CachedBBoxLoader)
+
+    batch = data.train_dl.peek()
+    assert batch.xs[0].ndim == 1 and batch.xs[1].ndim == 1  # rows + flips
+    bb, cc = batch.y
+    assert bb.shape[1] == data.max_objects
+
+    # flipped rows mirror their valid boxes about the canvas width
+    dl = data.train_dl
+    rng = np.random.default_rng(3)
+    b = dl._make_batch(dl.groups[0], rng)
+    base = dl.boxes[np.asarray(dl.groups[0] + [dl.groups[0][-1]] * 0)]
+    for i in range(b.n_valid):
+        valid = b.y[0][i, :, 0] >= 0
+        if b.xs[1][i]:
+            np.testing.assert_allclose(
+                b.y[0][i, valid, 0], dl.canvas_w - base[i][valid][:, 2],
+                atol=1e-5)
+        else:
+            np.testing.assert_allclose(b.y[0][i, valid], base[i][valid],
+                                       atol=1e-5)
+
+    learner.init_optimizer(wd=1e-4, clip=1.0)
+    losses = []
+    for epoch in range(4):
+        for bt in data.train_dl:
+            losses.append(float(learner.train1minibatch(bt, lr_batch=3e-4)))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    # evaluate('val') through the cached path; predict through host pixels
+    val_loss = learner.evaluate("val")
+    assert np.isfinite(val_loss[0] if isinstance(val_loss, list) else val_loss)
+    pb, pc, cs = learner.predict("val", thresh=0.01, max_boxes=5)
+    assert len(pb) == len(data.val_ds)
