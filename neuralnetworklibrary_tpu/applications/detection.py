@@ -816,12 +816,12 @@ class BBoxPredictor:
         out = _predict_device(reg, clas, anchors, tuple(int(d) for d in img_hw),
                               thresh=thresh, max_overlap=max_overlap,
                               top_k=top_k, out_k=out_k, return_counts=print_it)
+        # ONE bundled fetch: separate np.asarray calls cost a blocking RPC
+        # round-trip each (~30 ms apiece on the tunneled backend)
         if print_it:
-            b, c, s, counts = out
-            counts = np.asarray(counts)
+            b, c, s, counts = jax.device_get(out)
         else:
-            b, c, s = out
-        b, c, s = np.asarray(b), np.asarray(c), np.asarray(s)
+            b, c, s = jax.device_get(out)
         PredBoxes, PredClasses, ConfScores = [], [], []
         for i in range(b.shape[0]):
             valid = s[i] > 0
