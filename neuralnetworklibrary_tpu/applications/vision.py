@@ -814,11 +814,10 @@ class ImageLearner(Learner):
         keep the exact host path).  Memory: N x (sz+margin)^2 x 3 bytes —
         25k DogsCats images at 256px is ~4.9 GB of HBM.
 
-        include_val=True additionally caches the validation set (appended
-        rows of the same array): per-epoch eval then uploads nothing and
-        uses the resize-(sz+margin)/center-crop-sz protocol on device —
-        deterministic, but NOT pixel-identical to the host eval transform
-        (which resizes straight to sz), so it is opt-in.
+        include_val=True additionally caches the validation set in a SECOND
+        array holding the exact host eval-transform output (uint8, eval
+        size): per-epoch eval then uploads nothing and is PIXEL-IDENTICAL
+        to the host eval path (the host loader ships the same uint8 pixels).
 
         Re-run after :meth:`data_resize` (the cache is size-specific).
         """
@@ -831,8 +830,8 @@ class ImageLearner(Learner):
         ds = data.train_ds
         vds = data.val_ds if include_val else None
         n_train = len(ds)
-        n_total = n_train + (len(vds) if vds else 0)
-        need = n_total * S[0] * S[1] * 3
+        n_val = len(vds) if vds else 0
+        need = n_train * S[0] * S[1] * 3 + n_val * sz[0] * sz[1] * 3
         limit = None
         try:  # backends without memory_stats (CPU) skip the budget check
             stats = jax.devices()[0].memory_stats() or {}
@@ -843,27 +842,29 @@ class ImageLearner(Learner):
         if limit and need > 0.8 * (limit - in_use):
             raise MemoryError(
                 f"enable_device_cache would put {need / 1e9:.2f} GB of images "
-                f"({n_total} x {S[0]}x{S[1]}x3 uint8) into device memory, but "
-                f"only {(limit - in_use) / 1e9:.2f} GB of {limit / 1e9:.2f} GB "
+                f"({n_train} x {S[0]}x{S[1]}x3 + {n_val} x {sz[0]}x{sz[1]}x3 "
+                f"uint8) into device memory, but only "
+                f"{(limit - in_use) / 1e9:.2f} GB of {limit / 1e9:.2f} GB "
                 "HBM is free (guard keeps a 20% headroom for the model and "
                 "activations).  Use a smaller margin/size, include_val=False, "
                 "or the host pipeline (ImageDataset(cache_images=True) keeps "
                 "decoded images in host RAM instead).")
-        imgs = np.empty((n_total, S[0], S[1], 3), np.uint8)
+        imgs = np.empty((n_train, S[0], S[1], 3), np.uint8)
         for i in range(n_train):
             raw = ds._cache[i] if (ds.cache_images and ds._cache[i] is not None) \
                 else ds._decode(i)
             imgs[i] = src_tfm(raw)
-        if vds:
-            for i in range(len(vds)):
-                raw = (vds._cache[i]
-                       if (vds.cache_images and vds._cache[i] is not None)
-                       else vds._decode(i))
-                imgs[n_train + i] = src_tfm(raw)
         from neuralnetworklibrary_tpu.data.loader import ArrayDataset
         from neuralnetworklibrary_tpu.parallel import mesh as pmesh
 
         cache = jax.device_put(imgs, pmesh.replicated(self.mesh))
+        vcache = None
+        if vds:
+            # the dataset's own eval output — pixel-identical to the host path
+            vimgs = np.empty((n_val, sz[0], sz[1], 3), np.uint8)
+            for i in range(n_val):
+                vimgs[i] = vds[i][0]
+            vcache = jax.device_put(vimgs, pmesh.replicated(self.mesh))
 
         def labels(d):
             y = np.asarray(d.y)
@@ -872,27 +873,51 @@ class ImageLearner(Learner):
         idx_ds = ArrayDataset(np.arange(n_train, dtype=np.int32), labels(ds))
         data.train_dl = DataLoader(idx_ds, data.bs, shuffle=True, seed=data.seed)
         if vds:
-            vidx = ArrayDataset(np.arange(n_train, n_total, dtype=np.int32),
-                                labels(vds))
+            vidx = ArrayDataset(
+                np.arange(n_train, n_train + n_val, dtype=np.int32), labels(vds))
             data.val_dl = DataLoader(vidx, data.bs, shuffle=False)
 
         from neuralnetworklibrary_tpu.ops.augment import cached_augment_batch
 
         base = self._build_pipeline(data)
 
+        def eval_cached(idxs):
+            # evaluate('train') rows use the center-crop cache protocol;
+            # evaluate('val') rows read the exact host-eval pixels.  Batches
+            # are homogeneous (one loader each), so branch on the first row.
+            def train_rows(i):
+                return cached_augment_batch(
+                    None, cache, i, sz, train=False, stats=tfm_aug.stats,
+                    geometry=geometry)
+
+            if vcache is None:
+                return train_rows(idxs)
+
+            def val_rows(i):
+                g = jnp.take(vcache, jnp.clip(i - n_train, 0, n_val - 1), axis=0)
+                from neuralnetworklibrary_tpu.ops.augment import normalize_batch
+
+                return normalize_batch(g, tfm_aug.stats)
+
+            return jax.lax.cond(idxs[0] >= n_train, val_rows, train_rows, idxs)
+
         def pipeline(key, xs, train):
             if xs[0].ndim == 1:  # index batch → resident-cache path
-                img = cached_augment_batch(
-                    key, cache, xs[0], sz, train=train,
-                    tfm_type=tfm_aug.tfm_type, max_deg=tfm_aug.max_deg,
-                    max_zoom=tfm_aug.max_zoom, bal_range=tfm_aug.bal_range,
-                    cont_range=tfm_aug.cont_range, max_noise=tfm_aug.max_noise,
-                    stats=tfm_aug.stats, geometry=geometry)
+                if train:
+                    img = cached_augment_batch(
+                        key, cache, xs[0], sz, train=True,
+                        tfm_type=tfm_aug.tfm_type, max_deg=tfm_aug.max_deg,
+                        max_zoom=tfm_aug.max_zoom, bal_range=tfm_aug.bal_range,
+                        cont_range=tfm_aug.cont_range,
+                        max_noise=tfm_aug.max_noise, stats=tfm_aug.stats,
+                        geometry=geometry)
+                else:
+                    img = eval_cached(xs[0])
                 return (img,) + tuple(xs[1:])
             return base(key, xs, train)  # pixel batches: val/test/TTA/predict
 
         self.set_input_pipeline(pipeline)
-        self._device_cache_nbytes = imgs.nbytes
+        self._device_cache_nbytes = imgs.nbytes + (vimgs.nbytes if vds else 0)
         return self
 
     def data_resize(self, sz, bs=None):

@@ -85,3 +85,23 @@ def test_device_cache_modes_match_host_accuracy(blob_root):
         assert acc >= 0.85, f"{mode} failed to converge: {accs}"
     spread = max(accs.values()) - min(accs.values())
     assert spread <= 0.1, f"augmentation modes diverge in accuracy: {accs}"
+
+
+def test_cached_val_eval_pixel_identical(blob_root):
+    """include_val=True caches the EXACT host eval-transform pixels, so
+    evaluate('val') must produce the identical loss/accuracy either way."""
+    data = ImageDataObj.from_folders(
+        blob_root, get_transforms("SideOn", sz=32), bs=16, val_frac=0.25,
+        seed=0)
+    model = ImageClassificationNet.create(
+        data, arch=(SmallBody(), 16, (("c1", "bn1"), ("c2", "bn2"))))
+    learner = ImageLearner("/tmp/nnl_fid_valexact", data, model,
+                           optimizer="Adam2", seed=0)
+    host = learner.evaluate("val")
+    learner.enable_device_cache(margin=8, include_val=True)
+    cached = learner.evaluate("val")
+    np.testing.assert_allclose(cached[0], host[0], rtol=1e-6)
+    np.testing.assert_allclose(cached[1], host[1], rtol=1e-6)
+    # evaluate('train') still runs (center-crop cache protocol, other branch)
+    tr = learner.evaluate("train")
+    assert np.isfinite(tr)
