@@ -28,6 +28,12 @@ import json
 import os
 import time
 
+# persistent XLA compilation cache: retinanet50/senet154 compiles take
+# minutes through the tunnel the first time and milliseconds after (set
+# JAX_COMPILATION_CACHE_DIR="" to disable).  Must be set before jax inits.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nnl_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 
