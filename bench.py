@@ -205,6 +205,54 @@ def bench_lm(epochs=3):
     return rates
 
 
+def bench_structured(epochs=3):
+    """StructuredDataNet e2e epochs (Rossmann-shaped: 200k rows, 20 cat +
+    20 cont cols, [1000, 500, 1] head, bs 1024) → rows/s incl. the eval
+    pass.  Reference: ~844k-row epochs in ~31 s ≈ 27k rows/s (BASELINE.md)."""
+    import pandas as pd
+
+    from neuralnetworklibrary_tpu.applications.structured import (
+        StructuredDataNet,
+        StructuredDataObj,
+    )
+    from neuralnetworklibrary_tpu.data.split import SplitTrainVal
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
+
+    n = 4096 if SMOKE else 200_000
+    bs = 256 if SMOKE else 1024
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({f"cat{i}": rng.integers(0, 50, n) for i in range(20)})
+    for i in range(20):
+        df[f"cont{i}"] = rng.normal(size=n).astype(np.float32)
+    df["y"] = rng.normal(size=n).astype(np.float32)
+    cat_vars = [f"cat{i}" for i in range(20)]
+    cont_vars = [f"cont{i}" for i in range(20)] + ["y"]
+    train_df, val_df = SplitTrainVal(df, val_frac=0.1, seed=0)
+    data = StructuredDataObj.from_dataframes(train_df, val_df, cat_vars,
+                                             cont_vars, "y", bs=bs, seed=0)
+    model = StructuredDataNet.from_dataobj(data, fc_layer_sizes=[1000, 500, 1])
+    learner = Learner("/tmp/nnl_bench_struct/", data, model, optimizer="Adam2")
+    learner.init_optimizer(wd=1e-4)
+    for b in device_prefetch(learner.data.train_dl, learner.mesh):
+        loss = learner.train1minibatch(b, lr_batch=1e-3)
+    _sync(loss)
+    learner.evaluate("val")
+    rates = []
+    for _ in range(epochs):
+        nrows, t0 = 0, time.perf_counter()
+        for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
+            loss = learner.train1minibatch(b, lr_batch=1e-3)
+            nrows += b.n_valid
+        learner.evaluate("val")
+        nrows += len(learner.data.val_ds)
+        _sync(loss)
+        rates.append(nrows / (time.perf_counter() - t0))
+    del learner
+    gc.collect()
+    return rates
+
+
 DET_ROOT = "/tmp/nnl_bench_pascal"
 
 
@@ -339,6 +387,7 @@ def main():
     # --- AWD-LSTM LM + RetinaNet detection (VERDICT r2 items 2 & 4) -------
     lm_rates = bench_lm()
     det_train_rates, det_pred_rates, det_cached_rates = bench_detection()
+    struct_rates = bench_structured()
 
     senet_e2e = float(np.median(senet_rates))
     senet_host = float(np.median(senet_host_rates))
@@ -373,6 +422,10 @@ def main():
                                     round(max(det_pred_rates), 1)],
         "detection_train_cached_img_per_sec": round(
             float(np.median(det_cached_rates)), 2),
+        "structured_rows_per_sec": round(float(np.median(struct_rates)), 0),
+        "structured_baseline": 27000.0,
+        "structured_vs_baseline": round(
+            float(np.median(struct_rates)) / 27000.0, 2),
         "baseline": BASELINE,
         "note": "median per-epoch img/s; baseline = P6000 Dogbreed "
                 "senet154@224 bs64 frozen fit incl. eval pass (BASELINE.md). "
