@@ -30,9 +30,18 @@ import time
 
 # persistent XLA compilation cache: retinanet50/senet154 compiles take
 # minutes through the tunnel the first time and milliseconds after (set
-# JAX_COMPILATION_CACHE_DIR="" to disable).  Must be set before jax inits.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nnl_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# JAX_COMPILATION_CACHE_DIR="" to disable).  The env var alone does NOT
+# engage on the axon plugin (verified: 0 cache entries after a full run);
+# jax.config.update before backend init does.
+import jax
+
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/nnl_jax_cache")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import numpy as np
 
