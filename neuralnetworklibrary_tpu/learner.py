@@ -92,6 +92,7 @@ class Learner:
         input_pipeline=None,
         param_sharding="default",
         matmul_precision=None,
+        compute_dtype=None,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -119,6 +120,14 @@ class Learner:
         # (params stay f32; only the dot/conv compute precision changes);
         # None keeps the backend default
         self.matmul_precision = matmul_precision
+        # Mixed precision (the TPU-native training recipe): compute_dtype=
+        # 'bfloat16' casts params and float inputs to bf16 INSIDE the jitted
+        # steps, so the whole forward/backward runs in bf16 (halving HBM
+        # traffic for the memory-bound ops).  Master params, optimizer state,
+        # BatchNorm running statistics, the loss, and all metrics stay
+        # float32 — gradients arrive f32 automatically through the cast — and
+        # bf16 keeps float32's exponent range, so no loss scaling is needed.
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         if data.bs % self.mesh.shape["data"] != 0:
             raise ValueError(
                 f"batch size {data.bs} must be divisible by the data-parallel "
@@ -268,6 +277,54 @@ class Learner:
 
     # ------------------------------------------------------------ the step
 
+    # ------------------------------------------------- mixed precision casts
+
+    def set_compute_dtype(self, dtype):
+        """Switch mixed precision on ('bfloat16') or off (None); invalidates
+        compiled steps so the next batch traces with the new dtype."""
+        self.compute_dtype = jnp.dtype(dtype) if dtype else None
+        self._step_cache.clear()
+        self._eval_cache.clear()
+        if hasattr(self, "_p1m_jit"):
+            del self._p1m_jit
+
+    def _cast_compute(self, tree):
+        """Cast float leaves to the compute dtype (no-op when not set)."""
+        dt = self.compute_dtype
+        if dt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(jnp.result_type(a), jnp.floating) else a, tree)
+
+    def _cast_f32(self, tree):
+        """Undo :meth:`_cast_compute` on outputs (loss/metrics stay f32)."""
+        dt = self.compute_dtype
+        if dt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.result_type(a) == dt else a, tree)
+
+    def _cast_state(self, state):
+        """Compute-dtype view of the non-param collections.  BatchNorm
+        running statistics are deliberately kept f32: flax still emits
+        compute-dtype activations around f32 stats, and the running-stat
+        EMA must not accumulate in bf16."""
+        if self.compute_dtype is None:
+            return state
+        return {k: (v if k == "batch_stats" else self._cast_compute(v))
+                for k, v in state.items()}
+
+    def _uncast_state(self, state):
+        """f32 storage view of mutated collections (carried LSTM state etc.
+        comes back in compute dtype; quantizing it once per step is the
+        bf16-activation semantics, but storage stays f32)."""
+        if self.compute_dtype is None:
+            return state
+        return {k: (v if k == "batch_stats" else self._cast_f32(v))
+                for k, v in state.items()}
+
     def _with_precision(self, fn):
         """Scope ``matmul_precision`` (when set) around a traced callable."""
         if self.matmul_precision is None:
@@ -309,23 +366,25 @@ class Learner:
             if pipeline is not None:
                 rng, aug_key = jax.random.split(rng)
                 xs = pipeline(aug_key, xs, True)
+            xs = self._cast_compute(xs)
 
             def loss_fn(p):
                 flat = flatten_params(p)
                 for path, t in zip(part.paths, trainable):
                     if not t:
                         flat[path] = jax.lax.stop_gradient(flat[path])
-                p = unflatten_params(flat)
-                variables = {"params": p, **state}
+                p = self._cast_compute(unflatten_params(flat))
+                variables = {"params": p, **self._cast_state(state)}
                 if state_keys:
                     y_pred, mut = model.apply(
                         variables, *xs, rngs={"dropout": rng},
                         mutable=list(state_keys), **kwargs
                     )
-                    new_state = {**state, **dict(mut)}
+                    new_state = self._uncast_state({**state, **dict(mut)})
                 else:
                     y_pred = model.apply(variables, *xs, rngs={"dropout": rng}, **kwargs)
                     new_state = state
+                y_pred = self._cast_f32(y_pred)
                 return self._apply_loss(y_pred, y, mask), new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -354,7 +413,7 @@ class Learner:
         matters (e.g. embedding epochs inside a larger jitted program), not
         for throughput.
         """
-        key = ("fused", self._trainable(), self.bn_frozen)
+        key = ("fused", self._trainable(), self.bn_frozen, self.compute_dtype)
         if key not in self._step_cache:
             body = self._train_body(self._trainable(), self.bn_frozen)
 
@@ -445,9 +504,9 @@ class Learner:
         return np.asarray(losses)
 
     def _get_train_step(self):
-        key = (self._trainable(), self.bn_frozen)
+        key = (self._trainable(), self.bn_frozen, self.compute_dtype)
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_train_step(*key)
+            self._step_cache[key] = self._make_train_step(key[0], key[1])
         return self._step_cache[key]
 
     def _hyper_row(self, lr_row, n_valid, mom=None, betas=None):
@@ -497,13 +556,16 @@ class Learner:
         def ebody(params, state, xs, y, mask, rng):
             if pipeline is not None:
                 xs = pipeline(rng, xs, False)
-            variables = {"params": params, **state}
+            xs = self._cast_compute(xs)
+            variables = {"params": self._cast_compute(params),
+                         **self._cast_state(state)}
             if carry_keys:
                 y_pred, mut = model.apply(variables, *xs, mutable=list(carry_keys), **kwargs)
-                mut = dict(mut)
+                mut = self._uncast_state(dict(mut))
             else:
                 y_pred = model.apply(variables, *xs, **kwargs)
                 mut = {}
+            y_pred = self._cast_f32(y_pred)
             n = jnp.sum(mask)
             loss_sum = self._apply_loss(y_pred, y, mask) * n
             # metrics see the FULL model output (tuple outputs included — e.g.
@@ -523,7 +585,7 @@ class Learner:
         return jax.jit(self._with_precision(ebody))
 
     def _get_eval_step(self, metrics=()):
-        key = (tuple(id(m) for m in metrics), self.bn_frozen)
+        key = (tuple(id(m) for m in metrics), self.bn_frozen, self.compute_dtype)
         if key not in self._eval_cache:
             self._eval_cache[key] = self._make_eval_step(key, tuple(metrics))
         return self._eval_cache[key]
@@ -634,8 +696,16 @@ class Learner:
             xs = self.input_pipeline(self.rng, xs, False)
         variables = {"params": self.params, **self.state}
         if not hasattr(self, "_p1m_jit"):  # one wrapper → shape-keyed cache
-            self._p1m_jit = jax.jit(self._with_precision(
-                partial(self.model.apply, **self._model_kwargs(False))))
+            mkw = self._model_kwargs(False)
+
+            def p1m(variables, *xs):
+                variables = {"params": self._cast_compute(variables["params"]),
+                             **self._cast_state({k: v for k, v in variables.items()
+                                                 if k != "params"})}
+                return self._cast_f32(
+                    self.model.apply(variables, *self._cast_compute(xs), **mkw))
+
+            self._p1m_jit = jax.jit(self._with_precision(p1m))
         return self._p1m_jit(variables, *xs)
 
     def predict(self, dl, correct_probs: bool = True, **bbox_kwargs):
