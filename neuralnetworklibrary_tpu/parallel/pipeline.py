@@ -223,6 +223,140 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x,
     return outs.reshape(B, *rest)
 
 
+def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
+                  n_microbatches: int, mesh: Optional[Mesh] = None,
+                  axis: str = "stage"):
+    """One-forward-one-backward (1F1B) pipeline schedule: loss AND gradients
+    from a single interleaved scan.
+
+    GPipe via ``jax.grad(pipeline_apply)`` runs all M forward micro-steps,
+    then all M backward micro-steps — autodiff stores the (S, mb, …)
+    activation buffer of every schedule tick, so stored activations grow
+    O(M·S).  1F1B interleaves: once stage S−1 finishes microbatch m's
+    forward, m's backward immediately chases back down the pipeline while
+    later microbatches are still flowing forward.  A residual is only needed
+    from a microbatch's forward at stage s until its backward returns to
+    stage s — at most 2S−1 ticks — so a ring buffer of 2S slots per stage
+    replaces autodiff's full tick history: stored activations are O(S²),
+    INDEPENDENT of M.  Larger M then shrinks the bubble fraction
+    ((S−1)/(M+S−1)) at no activation-memory cost — the classic 1F1B trade
+    (PipeDream-flush / Megatron).  Compute per microbatch is one forward +
+    one vjp-with-recompute, the same total as GPipe-with-remat.
+
+    Because forward and backward must share one schedule, this function
+    computes gradients itself (``jax.grad`` cannot reorder its two phases):
+
+    - stage_fn(params_s, h) -> h' — one stage, as in :func:`pipeline_apply`.
+    - loss_fn(aux, m, out_mb) -> scalar — microbatch m's ADDITIVE loss
+      contribution from the final-stage output (index labels by ``m`` from a
+      closed-over (M, mb, …) stack); the total loss is their sum.  ``aux``
+      is a pytree of extra differentiated inputs (e.g. head params applied
+      inside the loss).
+    - Returns ``(loss, stage_grads, aux_grads, x_grad)``.
+
+    Schedule (t = 0 … M+2S−2): stage s runs microbatch t−s's forward and
+    microbatch t−(2S−1−s)'s backward in the same tick.  The last stage turns
+    outputs into cotangents one tick after producing them; cotangents roll
+    stage s → s−1 as activations roll s → s+1 — both lower to ICI
+    collective-permutes when the buffers shard over the '{axis}' mesh axis.
+    Numerics are exactly ``jax.grad`` of the sequential model (same sums, no
+    approximation); stage state (carried LSTM (h, c)) is not yet supported.
+    """
+    S = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    B = x.shape[0]
+    rest = x.shape[1:]
+    M = n_microbatches
+    if B % M:
+        raise ValueError(f"batch {B} must divide into {M} microbatches")
+    mb = B // M
+    xs = x.reshape(M, mb, *rest)
+    R = 2 * S  # ring depth: a residual lives ≤ 2S−1 ticks (write t=m+s,
+    #            read t=m+2S−1−s); 2S also clears the s=0 same-tick reuse
+
+    def constrain(h):
+        if mesh is not None and axis in mesh.axis_names:
+            return jax.lax.with_sharding_constraint(
+                h, NamedSharding(mesh, P(axis)))
+        return h
+
+    s_idx = jnp.arange(S)
+    zeros_nd = (0,) * (len(rest) + 1)
+    A0 = jnp.zeros((S, mb) + rest, x.dtype)       # incoming activations
+    G0 = jnp.zeros((S, mb) + rest, x.dtype)       # incoming cotangents
+    resid0 = jnp.zeros((S, R, mb) + rest, x.dtype)
+    outs0 = jnp.zeros((M, mb) + rest, x.dtype)
+    xg0 = jnp.zeros((M, mb) + rest, x.dtype)
+    pg0 = jax.tree_util.tree_map(jnp.zeros_like, stacked_params)
+    auxg0 = jax.tree_util.tree_map(jnp.zeros_like, aux)
+
+    def bmask(flags, like):
+        return flags.reshape((S,) + (1,) * (like.ndim - 1))
+
+    def tick(carry, t):
+        A, G, resid, outs, xg, pg, auxg, loss = carry
+
+        # ---------------- forward half (identical to pipeline_apply) ------
+        inj = xs[jnp.clip(t, 0, M - 1)]
+        row0 = jnp.where(t < M, inj, A[0])
+        A = jax.lax.dynamic_update_slice(A, row0[None], (0,) + zeros_nd)
+        mf = t - s_idx                       # (S,) forward microbatch ids
+        live_f = (mf >= 0) & (mf < M)
+        slot_f = jnp.mod(jnp.clip(mf, 0, None), R)
+
+        def write_resid(r_s, a_s, sl, lv):   # save this stage's INPUT
+            upd = jax.lax.dynamic_update_slice(
+                r_s, a_s[None], (sl,) + (0,) * (r_s.ndim - 1))
+            return jnp.where(lv, upd, r_s)
+
+        resid = jax.vmap(write_resid)(resid, A, slot_f, live_f)
+        h = constrain(jax.vmap(stage_fn)(stacked_params, constrain(A)))
+        out_idx = t - (S - 1)
+        rec = (out_idx >= 0) & (out_idx < M)
+        upd_outs = jax.lax.dynamic_update_slice(
+            outs, h[S - 1][None], (jnp.clip(out_idx, 0, M - 1),) + zeros_nd)
+        outs = jnp.where(rec, upd_outs, outs)
+        A = jnp.roll(h, 1, axis=0)
+
+        # ---------------- backward half -----------------------------------
+        mbk = t - (2 * S - 1 - s_idx)        # (S,) backward microbatch ids
+        live_b = (mbk >= 0) & (mbk < M)
+        # the last stage converts the output it finished LAST tick into a
+        # cotangent (and the loss value + aux grads) this tick
+        m_last = jnp.clip(t - S, 0, M - 1)
+        lval, (daux, dlast) = jax.value_and_grad(loss_fn, argnums=(0, 2))(
+            aux, m_last, outs[m_last])
+        live_last = live_b[S - 1]
+        loss = loss + jnp.where(live_last, lval, 0.0)
+        auxg = jax.tree_util.tree_map(
+            lambda acc, d: acc + jnp.where(live_last, d, 0), auxg, daux)
+        Gin = jax.lax.dynamic_update_slice(
+            G, dlast[None], (S - 1,) + zeros_nd)
+
+        slot_b = jnp.mod(jnp.clip(mbk, 0, None), R)
+        rs = jax.vmap(lambda r_s, sl: r_s[sl])(resid, slot_b)
+
+        def one_bwd(p_s, r_s, g_s):          # recompute fwd, then vjp
+            _, vjp = jax.vjp(stage_fn, p_s, r_s)
+            return vjp(g_s)
+
+        dp, dh = jax.vmap(one_bwd)(stacked_params, rs, Gin)
+        dp = jax.tree_util.tree_map(
+            lambda a: jnp.where(bmask(live_b, a), a, 0), dp)
+        dh = jnp.where(bmask(live_b, dh), dh, 0)
+        pg = jax.tree_util.tree_map(jnp.add, pg, dp)
+        m0 = t - (2 * S - 1)                 # stage 0 finishes microbatch m0
+        upd_xg = jax.lax.dynamic_update_slice(
+            xg, dh[0][None], (jnp.clip(m0, 0, M - 1),) + zeros_nd)
+        xg = jnp.where((m0 >= 0) & (m0 < M), upd_xg, xg)
+        G = constrain(jnp.roll(dh, -1, axis=0))  # stage s's dh → stage s−1
+        return (A, G, resid, outs, xg, pg, auxg, loss), None
+
+    init = (A0, G0, resid0, outs0, xg0, pg0, auxg0, jnp.zeros((), jnp.float32))
+    (A, G, resid, outs, xg, pg, auxg, loss), _ = jax.lax.scan(
+        tick, init, jnp.arange(M + 2 * S - 1))
+    return loss, pg, auxg, xg.reshape(B, *rest)
+
+
 def pipeline_param_spec(axis: str = "stage"):
     """Sharding rule for stacked stage params: leading axis over '{axis}'."""
     def rule(path, leaf):

@@ -125,6 +125,84 @@ def test_pipeline_apply_grads_match_sequential():
         g_pipe, g_seq)
 
 
+# --------------------------------------------- 1F1B interleaved schedule
+
+from neuralnetworklibrary_tpu.parallel.pipeline import pipeline_1f1b  # noqa: E402
+
+
+def _1f1b_problem(S, M, width, mb, seed=0):
+    stacked = _stacked(S, width, seed)
+    rng = np.random.default_rng(seed + 1)
+    B = M * mb
+    x = jnp.asarray(rng.normal(0, 1, (B, width)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 1, (M, mb)).astype(np.float32))
+    aux = {"head": jnp.asarray(rng.normal(0, 0.3, (width,)).astype(np.float32))}
+
+    def loss_fn(aux, m, out_mb):  # additive per-microbatch contribution
+        pred = out_mb @ aux["head"]
+        return jnp.sum((pred - y[m]) ** 2) / B
+
+    def loss_seq(p, aux, x):  # oracle: sequential model, total loss
+        h = x
+        for s in range(S):
+            h = _stage_fn({"w": p["w"][s], "b": p["b"][s]}, h)
+        pred = h.reshape(M, mb, width) @ aux["head"]
+        return jnp.sum((pred - y) ** 2) / B
+
+    return stacked, aux, x, loss_fn, loss_seq
+
+
+@pytest.mark.parametrize("S,M", [(2, 4), (4, 4), (4, 8), (3, 5)])
+def test_1f1b_matches_grad_of_sequential(S, M):
+    """The interleaved 1F1B schedule produces the EXACT loss and gradients
+    (stage params, aux, input) of jax.grad on the sequential model."""
+    width, mb = 16, 4
+    stacked, aux, x, loss_fn, loss_seq = _1f1b_problem(S, M, width, mb)
+
+    loss, pg, auxg, xg = jax.jit(
+        lambda p, a, x: pipeline_1f1b(_stage_fn, p, x, loss_fn, a, M)
+    )(stacked, aux, x)
+    ref_loss, (ref_pg, ref_auxg, ref_xg) = jax.jit(
+        jax.value_and_grad(loss_seq, argnums=(0, 1, 2))
+    )(stacked, aux, x)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        (pg, auxg, xg), (ref_pg, ref_auxg, ref_xg))
+
+
+def test_1f1b_on_stage_mesh():
+    """Same numerics when the buffers carry stage-axis sharding constraints
+    (the config the schedule exists for)."""
+    S, M, width, mb = 4, 8, 16, 4
+    mesh = get_mesh(S, axis_names=("stage",))
+    stacked, aux, x, loss_fn, loss_seq = _1f1b_problem(S, M, width, mb, seed=3)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("stage"))),
+        stacked)
+
+    loss, pg, auxg, xg = jax.jit(
+        lambda p, a, x: pipeline_1f1b(_stage_fn, p, x, loss_fn, a, M, mesh=mesh)
+    )(stacked, aux, x)
+    ref_loss, (ref_pg, ref_xg) = jax.value_and_grad(loss_seq, argnums=(0, 2))(
+        stacked, aux, x)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        (pg, xg), (ref_pg, ref_xg))
+
+
+def test_1f1b_bad_microbatch_count():
+    stacked = _stacked(2, 8)
+    with pytest.raises(ValueError):
+        pipeline_1f1b(_stage_fn, stacked, jnp.zeros((10, 8)),
+                      lambda a, m, o: jnp.sum(o), {}, n_microbatches=4)
+
+
 # --------------------------------------------- Learner integration (dp x stage)
 
 import types  # noqa: E402
