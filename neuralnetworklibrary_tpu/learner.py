@@ -362,6 +362,13 @@ class Learner:
         kwargs = self._model_kwargs(train=True)
         pipeline = self.input_pipeline
 
+        # Models may own their loss+grad computation (e.g. the 1F1B pipeline
+        # schedule, where backward must interleave with forward inside one
+        # scan — jax.grad cannot reorder its two phases).  Contract:
+        # loss_and_grad(params, state, xs, y, mask, rng=, loss_func=)
+        # -> ((loss, new_state), grads); frozen-group grads are zeroed here.
+        custom_vag = getattr(model, "loss_and_grad", None)
+
         def body(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
             if pipeline is not None:
                 rng, aug_key = jax.random.split(rng)
@@ -387,7 +394,17 @@ class Learner:
                 y_pred = self._cast_f32(y_pred)
                 return self._apply_loss(y_pred, y, mask), new_state
 
-            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if custom_vag is not None:
+                (loss, new_state), grads = custom_vag(
+                    params, state, xs, y, mask, rng=rng,
+                    loss_func=self.loss_func)
+                flat = flatten_params(grads)
+                for path, t in zip(part.paths, trainable):
+                    if not t:
+                        flat[path] = jnp.zeros_like(flat[path])
+                grads = unflatten_params(flat)
+            else:
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             params, opt_state = opt.apply(
                 params, grads, opt_state, part, trainable,
                 lr_groups=lr_g, wd_groups=wd_g, mom=mom, beta1=b1, beta2=b2, clip=clip,

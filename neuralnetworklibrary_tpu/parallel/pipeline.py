@@ -225,7 +225,7 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x,
 
 def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
                   n_microbatches: int, mesh: Optional[Mesh] = None,
-                  axis: str = "stage"):
+                  axis: str = "stage", stage_state=None):
     """One-forward-one-backward (1F1B) pipeline schedule: loss AND gradients
     from a single interleaved scan.
 
@@ -260,7 +260,16 @@ def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
     stage s → s−1 as activations roll s → s+1 — both lower to ICI
     collective-permutes when the buffers shard over the '{axis}' mesh axis.
     Numerics are exactly ``jax.grad`` of the sequential model (same sums, no
-    approximation); stage state (carried LSTM (h, c)) is not yet supported.
+    approximation).
+
+    stage_state: optional per-(stage, microbatch) recurrent state — a pytree
+    of (S, M, mb, ...) arrays, same contract as :func:`pipeline_apply`:
+    ``stage_fn(params_s, h, state_sm) -> (h', state_sm')``.  The residual
+    ring then also records each stage's state INPUT (the slot is overwritten
+    by the forward before the backward revisits it) so the vjp recompute sees
+    the same values.  State inputs must carry no gradient (truncated-BPTT
+    semantics — stage_fn detaches its state output, as the AWD-LSTM stages
+    do); the return gains a trailing ``new_stage_state``.
     """
     S = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     B = x.shape[0]
@@ -286,14 +295,41 @@ def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
     resid0 = jnp.zeros((S, R, mb) + rest, x.dtype)
     outs0 = jnp.zeros((M, mb) + rest, x.dtype)
     xg0 = jnp.zeros((M, mb) + rest, x.dtype)
-    pg0 = jax.tree_util.tree_map(jnp.zeros_like, stacked_params)
+    # differentiate only inexact-dtype param leaves (stage-index or other
+    # integer leaves ride along as constants and get zero "grads")
+    p_leaves, p_def = jax.tree_util.tree_flatten(stacked_params)
+    p_diff = [jnp.issubdtype(jnp.result_type(l), jnp.inexact) for l in p_leaves]
+
+    def _split_p(leaves):
+        return [l for l, d in zip(leaves, p_diff) if d]
+
+    def _rebuild_p(diff_leaves, all_leaves):
+        it = iter(diff_leaves)
+        return p_def.unflatten(
+            [next(it) if d else l for l, d in zip(all_leaves, p_diff)])
+
+    pg0 = _split_p([jnp.zeros_like(l) for l in p_leaves])
     auxg0 = jax.tree_util.tree_map(jnp.zeros_like, aux)
+    has_state = stage_state is not None
+    if has_state:
+        # ring for each stage's state INPUT, mirroring the activation ring:
+        # (S, M, mb, ...) state slots → (S, R, mb, ...) ring
+        sresid0 = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((S, R) + a.shape[2:], a.dtype), stage_state)
 
     def bmask(flags, like):
         return flags.reshape((S,) + (1,) * (like.ndim - 1))
 
+    def ring_write(r_s, v_s, sl, lv):
+        upd = jax.lax.dynamic_update_slice(
+            r_s, v_s[None], (sl,) + (0,) * (r_s.ndim - 1))
+        return jnp.where(lv, upd, r_s)
+
     def tick(carry, t):
-        A, G, resid, outs, xg, pg, auxg, loss = carry
+        if has_state:
+            A, G, resid, outs, xg, pg, auxg, loss, sstate, sresid = carry
+        else:
+            A, G, resid, outs, xg, pg, auxg, loss = carry
 
         # ---------------- forward half (identical to pipeline_apply) ------
         inj = xs[jnp.clip(t, 0, M - 1)]
@@ -303,13 +339,27 @@ def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
         live_f = (mf >= 0) & (mf < M)
         slot_f = jnp.mod(jnp.clip(mf, 0, None), R)
 
-        def write_resid(r_s, a_s, sl, lv):   # save this stage's INPUT
-            upd = jax.lax.dynamic_update_slice(
-                r_s, a_s[None], (sl,) + (0,) * (r_s.ndim - 1))
-            return jnp.where(lv, upd, r_s)
+        resid = jax.vmap(ring_write)(resid, A, slot_f, live_f)
+        if has_state:
+            mb_f = jnp.clip(mf, 0, M - 1)
+            cur = jax.tree_util.tree_map(
+                lambda a: jax.vmap(lambda row, i: row[i])(a, mb_f), sstate)
+            sresid = jax.tree_util.tree_map(
+                lambda r, v: jax.vmap(ring_write)(r, v, slot_f, live_f),
+                sresid, cur)
+            h, new = jax.vmap(stage_fn)(stacked_params, constrain(A), cur)
+            h = constrain(h)
 
-        resid = jax.vmap(write_resid)(resid, A, slot_f, live_f)
-        h = constrain(jax.vmap(stage_fn)(stacked_params, constrain(A)))
+            def put(a, n):
+                def one(row, i, nrow, lv):
+                    upd = jax.lax.dynamic_update_slice(
+                        row, nrow[None], (i,) + (0,) * (row.ndim - 1))
+                    return jnp.where(lv, upd, row)
+                return jax.vmap(one)(a, mb_f, n, live_f)
+
+            sstate = jax.tree_util.tree_map(put, sstate, new)
+        else:
+            h = constrain(jax.vmap(stage_fn)(stacked_params, constrain(A)))
         out_idx = t - (S - 1)
         rec = (out_idx >= 0) & (out_idx < M)
         upd_outs = jax.lax.dynamic_update_slice(
@@ -335,11 +385,25 @@ def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
         slot_b = jnp.mod(jnp.clip(mbk, 0, None), R)
         rs = jax.vmap(lambda r_s, sl: r_s[sl])(resid, slot_b)
 
-        def one_bwd(p_s, r_s, g_s):          # recompute fwd, then vjp
-            _, vjp = jax.vjp(stage_fn, p_s, r_s)
-            return vjp(g_s)
+        if has_state:
+            rst = jax.tree_util.tree_map(
+                lambda r: jax.vmap(lambda r_s, sl: r_s[sl])(r, slot_b), sresid)
 
-        dp, dh = jax.vmap(one_bwd)(stacked_params, rs, Gin)
+            def one_bwd(leaves_s, r_s, g_s, rst_s):  # recompute fwd + vjp
+                def f(diff, h):
+                    return stage_fn(_rebuild_p(diff, leaves_s), h, rst_s)[0]
+                _, vjp = jax.vjp(f, _split_p(leaves_s), r_s)
+                return vjp(g_s)
+
+            dp, dh = jax.vmap(one_bwd)(p_leaves, rs, Gin, rst)
+        else:
+            def one_bwd(leaves_s, r_s, g_s):  # recompute fwd, then vjp
+                def f(diff, h):
+                    return stage_fn(_rebuild_p(diff, leaves_s), h)
+                _, vjp = jax.vjp(f, _split_p(leaves_s), r_s)
+                return vjp(g_s)
+
+            dp, dh = jax.vmap(one_bwd)(p_leaves, rs, Gin)
         dp = jax.tree_util.tree_map(
             lambda a: jnp.where(bmask(live_b, a), a, 0), dp)
         dh = jnp.where(bmask(live_b, dh), dh, 0)
@@ -349,11 +413,19 @@ def pipeline_1f1b(stage_fn: Callable, stacked_params, x, loss_fn, aux,
             xg, dh[0][None], (jnp.clip(m0, 0, M - 1),) + zeros_nd)
         xg = jnp.where((m0 >= 0) & (m0 < M), upd_xg, xg)
         G = constrain(jnp.roll(dh, -1, axis=0))  # stage s's dh → stage s−1
-        return (A, G, resid, outs, xg, pg, auxg, loss), None
+        out = (A, G, resid, outs, xg, pg, auxg, loss)
+        if has_state:
+            out = out + (sstate, sresid)
+        return out, None
 
     init = (A0, G0, resid0, outs0, xg0, pg0, auxg0, jnp.zeros((), jnp.float32))
-    (A, G, resid, outs, xg, pg, auxg, loss), _ = jax.lax.scan(
-        tick, init, jnp.arange(M + 2 * S - 1))
+    if has_state:
+        init = init + (stage_state, sresid0)
+    final, _ = jax.lax.scan(tick, init, jnp.arange(M + 2 * S - 1))
+    loss, pg, auxg, xg = final[7], final[5], final[6], final[4]
+    pg = _rebuild_p(pg, [jnp.zeros_like(l) for l in p_leaves])
+    if has_state:
+        return loss, pg, auxg, xg.reshape(B, *rest), final[8]
     return loss, pg, auxg, xg.reshape(B, *rest)
 
 
@@ -485,7 +557,7 @@ class PipelinedLanguageModelNet:
                  enc_drops: tuple = (0.05, 0.25, 0.2, 0.15),
                  dec_drop: float = 0.1, drop_scaling: float = 0.7,
                  mesh: Optional[Mesh] = None, axis: str = "stage",
-                 remat: bool = False):
+                 remat: bool = False, schedule: str = "gpipe"):
         self.vocab_size, self.pad_token = vocab_size, pad_token
         self.emb_dim, self.hidden_size = emb_dim, hidden_size
         self.S, self.M = num_layers, n_microbatches
@@ -497,6 +569,13 @@ class PipelinedLanguageModelNet:
         self.mesh, self.axis, self.remat = mesh, axis, remat
         self.layer_group_prefixes = [["enc_stack"], ["word_embed"]]
         self.head_prefixes = ("word_embed",)
+        if schedule not in ("gpipe", "1f1b"):
+            raise ValueError(f"schedule must be 'gpipe' or '1f1b', got {schedule!r}")
+        self.schedule = schedule
+        if schedule == "1f1b":
+            # the Learner delegates loss+grads to this hook (1F1B interleaves
+            # backward with forward — unreachable through jax.grad)
+            self.loss_and_grad = self._loss_and_grad_1f1b
 
     def __call__(self, x, train=False):
         raise TypeError("PipelinedLanguageModelNet is driven via init()/apply()")
@@ -565,6 +644,80 @@ class PipelinedLanguageModelNet:
         new = dict(params)
         new["enc_stack"] = {k: jnp.asarray(v) for k, v in st.items()}
         return new
+
+    def _loss_and_grad_1f1b(self, params, state, xs, y, mask, rng, loss_func):
+        """Training loss + gradients via the 1F1B interleaved schedule
+        (:func:`pipeline_1f1b`): stored stage activations are O(S²) instead
+        of GPipe's O(M·S), so more microbatches shrink the bubble for free.
+
+        Exact for losses that are means over batch elements (the LM's
+        RegSeqCrossEntropyLoss on dense windows): the full-batch mean equals
+        the sum over microbatches of per-microbatch means / M.  The decoder
+        (tied embedding) is differentiated as the schedule's ``aux``; the
+        embedding's input-side gradient comes back through the schedule's
+        x-grad and an outer ``jax.vjp`` of the lookup.
+        """
+        x = xs[0]
+        B, T = x.shape
+        M = self.M
+        mb = B // M
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        k_emb1, k_emb2, k_stage, k_dec = jax.random.split(key, 4)
+
+        emb_w = params["word_embed"]["weight"]
+
+        def embed(w):
+            weight = w
+            if self.emb_drop1 > 0.0:
+                keep = jax.random.bernoulli(k_emb1, 1.0 - self.emb_drop1,
+                                            (self.vocab_size, 1))
+                weight = weight * keep.astype(weight.dtype) / (1.0 - self.emb_drop1)
+            h = jnp.take(weight, x, axis=0)
+            if self.emb_drop2 > 0.0:
+                keep = jax.random.bernoulli(k_emb2, 1.0 - self.emb_drop2,
+                                            (B, 1, self.emb_dim))
+                h = h * keep.astype(h.dtype) / (1.0 - self.emb_drop2)
+            return jnp.pad(h, ((0, 0), (0, 0), (0, self.P - self.emb_dim)))
+
+        h, emb_vjp = jax.vjp(embed, emb_w)
+
+        ys = y.reshape(M, mb, T)
+        dec_keep = None
+        if self.dec_drop > 0.0:
+            # one full-batch mask (matching apply()), indexed per microbatch
+            dec_keep = jax.random.bernoulli(
+                k_dec, 1.0 - self.dec_drop, (B, 1, self.emb_dim)
+            ).reshape(M, mb, 1, self.emb_dim)
+
+        def loss_fn(aux, m, out_mb):
+            enc = out_mb[..., : self.emb_dim]
+            dec_in = enc
+            if dec_keep is not None:
+                dec_in = dec_in * dec_keep[m].astype(dec_in.dtype) / (1.0 - self.dec_drop)
+            logits = jnp.einsum("bte,ve->btv", dec_in, aux["weight"])
+            return loss_func((logits, enc), ys[m]) / M
+
+        st = params["enc_stack"]
+        stacked = (st["w_ih"], st["w_hh"], st["b_ih"], st["b_hh"],
+                   jnp.arange(self.S))
+        stage_fn = self._stage_fn_factory(True, k_stage)
+        carry = (state or {}).get("carry")
+        if carry is None:
+            carry = {"h": jnp.zeros((self.S, M, mb, self.P), h.dtype),
+                     "c": jnp.zeros((self.S, M, mb, self.P), h.dtype)}
+        loss, pg, auxg, xg, sstate = pipeline_1f1b(
+            stage_fn, stacked, h, loss_fn, {"weight": emb_w}, M,
+            mesh=self.mesh, axis=self.axis,
+            stage_state=(carry["h"], carry["c"]))
+        (d_emb,) = emb_vjp(xg)
+        grads = {
+            "word_embed": {"weight": d_emb + auxg["weight"]},
+            "enc_stack": {"w_ih": pg[0], "w_hh": pg[1],
+                          "b_ih": pg[2], "b_hh": pg[3]},
+        }
+        new_state = dict(state or {})
+        new_state["carry"] = {"h": sstate[0], "c": sstate[1]}
+        return (loss, new_state), grads
 
     def _stage_fn_factory(self, train, dropout_key):
         hidden_drop = self.hidden_drop if train else 0.0

@@ -196,6 +196,55 @@ def test_1f1b_on_stage_mesh():
         (pg, xg), (ref_pg, ref_xg))
 
 
+def test_1f1b_stage_state_matches_sequential():
+    """1F1B with carried per-(stage, microbatch) state (the AWD-LSTM
+    contract): loss, grads AND the updated state match the sequential
+    model; state inputs are detached (truncated BPTT)."""
+    S, M, width, mb = 3, 6, 8, 4
+    B = M * mb
+    stacked = _stacked(S, width, seed=11)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (B, width)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 1, (M, mb)).astype(np.float32))
+    aux = {"head": jnp.asarray(rng.normal(0, 0.3, (width,)).astype(np.float32))}
+    st0 = jnp.asarray(rng.normal(0, 0.5, (S, M, mb, width)).astype(np.float32))
+
+    def stage(p, h, st):
+        out = jnp.tanh(h @ p["w"] + p["b"] + 0.5 * st)
+        return out, jax.lax.stop_gradient(out)
+
+    def loss_fn(aux, m, out_mb):
+        return jnp.sum((out_mb @ aux["head"] - y[m]) ** 2) / B
+
+    def loss_seq(p, aux, x):
+        hs = x.reshape(M, mb, width)
+        total, new_st = 0.0, []
+        for m in range(M):
+            h, sts = hs[m], []
+            for s in range(S):
+                h, ns = stage({"w": p["w"][s], "b": p["b"][s]}, h, st0[s, m])
+                sts.append(ns)
+            total = total + jnp.sum((h @ aux["head"] - y[m]) ** 2) / B
+            new_st.append(jnp.stack(sts))
+        return total, jnp.stack(new_st, axis=1)  # (S, M, mb, width)
+
+    loss, pg, auxg, xg, new_state = jax.jit(
+        lambda p, a, x, st: pipeline_1f1b(stage, p, x, loss_fn, a, M,
+                                          stage_state=st)
+    )(stacked, aux, x, st0)
+    (ref_loss, ref_state), (ref_pg, ref_auxg, ref_xg) = jax.jit(
+        jax.value_and_grad(loss_seq, argnums=(0, 1, 2), has_aux=True)
+    )(stacked, aux, x)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state), np.asarray(ref_state),
+                               atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        (pg, auxg, xg), (ref_pg, ref_auxg, ref_xg))
+
+
 def test_1f1b_bad_microbatch_count():
     stacked = _stacked(2, 8)
     with pytest.raises(ValueError):

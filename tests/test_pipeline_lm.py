@@ -134,6 +134,42 @@ def test_grads_pipelined_match_sequential():
         gp, gs)
 
 
+def test_1f1b_loss_and_grad_matches_jax_grad():
+    """schedule='1f1b': the model-owned loss_and_grad hook reproduces the
+    loss, every gradient leaf AND the updated carry of jax.value_and_grad on
+    the sequential model."""
+    from neuralnetworklibrary_tpu.applications.text import RegSeqCrossEntropyLoss
+
+    model = _model(schedule="1f1b")
+    x, y = _batch(7), _batch(8)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    loss_fn = RegSeqCrossEntropyLoss(alpha=0.5, beta=0.3)
+
+    (loss, new_state), grads = jax.jit(
+        lambda p, st: model.loss_and_grad(p, st, (x,), y, None,
+                                          rng=jax.random.PRNGKey(3),
+                                          loss_func=loss_fn)
+    )(variables["params"], {"carry": variables["carry"]})
+
+    def ref(params):
+        out, mut = model.apply({"params": params, "carry": variables["carry"]},
+                               x, mutable=["carry"], pipelined=False)
+        return loss_fn(out, y), mut
+
+    (ref_loss, ref_mut), ref_grads = jax.jit(
+        jax.value_and_grad(ref, has_aux=True))(variables["params"])
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        grads, ref_grads)
+    for k in ("h", "c"):
+        np.testing.assert_allclose(np.asarray(new_state["carry"][k]),
+                                   np.asarray(ref_mut["carry"][k]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 # --------------------------------------------- Learner on a (data, stage) mesh
 
 from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader  # noqa: E402
@@ -162,14 +198,15 @@ class _SequentialPLM(PipelinedLanguageModelNet):
         return super().apply(variables, *xs, **kw)
 
 
-def _train(model_cls, mesh, rule, n_steps=12):
+def _train(model_cls, mesh, rule, n_steps=12, **model_kw):
     from neuralnetworklibrary_tpu.applications.text import RegSeqCrossEntropyLoss
 
     data = _lm_data()
     model = model_cls(vocab_size=V, pad_token=1, emb_dim=E, hidden_size=H,
                       num_layers=S, n_microbatches=M,
                       enc_drops=(0, 0, 0, 0), dec_drop=0.0,
-                      mesh=mesh if model_cls is PipelinedLanguageModelNet else None)
+                      mesh=mesh if model_cls is PipelinedLanguageModelNet else None,
+                      **model_kw)
     learner = Learner("/tmp/test_pipe_lm", data, model, "Adam2",
                       loss_func=RegSeqCrossEntropyLoss(alpha=0.1, beta=0.1),
                       mesh=mesh, seed=0, param_sharding=rule)
@@ -197,6 +234,20 @@ def test_pipelined_lm_learner_matches_sequential(dp, stages):
                  get_mesh_2d(dp, stages, axis_names=("data", "stage")), None)
     np.testing.assert_allclose(pipe, seq, rtol=5e-4, atol=5e-5)
     assert pipe[-1] < pipe[0]
+
+
+def test_1f1b_lm_learner_matches_gpipe():
+    """The Learner trains the staged AWD-LSTM through the 1F1B hook on a
+    (data, stage) mesh; the loss trajectory matches the GPipe schedule
+    (both are exact wrt the sequential model)."""
+    mesh = get_mesh_2d(2, S, axis_names=("data", "stage"))
+    rule = pipelined_param_rule(mesh)
+    onefb = _train(PipelinedLanguageModelNet, mesh, rule, schedule="1f1b")
+    gpipe = _train(PipelinedLanguageModelNet,
+                   get_mesh_2d(2, S, axis_names=("data", "stage")),
+                   pipelined_param_rule(get_mesh_2d(2, S, axis_names=("data", "stage"))))
+    np.testing.assert_allclose(onefb, gpipe, rtol=5e-4, atol=5e-5)
+    assert onefb[-1] < onefb[0]
 
 
 def test_stacked_lm_params_sharded_over_stage_axis():
