@@ -1,0 +1,321 @@
+"""Transformer language model with tensor / sequence / expert parallelism.
+
+Beyond reference parity (the reference's only LM is the AWD-LSTM,
+Applications/Text.py:611-651) — this is the scaling-era model family the
+TPU rebuild adds on top, designed GSPMD-first per the scaling-book recipe:
+annotate weight and activation shardings on a ('data', 'model') mesh and let
+XLA insert the collectives.
+
+- **Tensor parallelism** (Megatron layout): the attention qkv and MLP input
+  kernels shard their OUTPUT features over 'model' (column-parallel), the
+  attention output and MLP output kernels shard their INPUT features
+  (row-parallel) — :func:`transformer_param_rule`.  Between the two matmuls
+  of a block the activations are naturally 'model'-sharded (heads split
+  across devices), so GSPMD's only collective per block pair is the
+  row-parallel reduce-scatter/all-reduce, exactly the Megatron schedule.
+- **Sequence parallelism** (``sp=True``): outside the matmul regions
+  (layernorm, dropout, residual adds) activations carry a
+  P('data', 'model', None) constraint — the TOKEN axis sharded over the
+  model axis — so those memory-bound elementwise ops also split 1/tp per
+  device; GSPMD converts the boundary collectives into the
+  all-gather/reduce-scatter pairs of Megatron-SP.
+- **Expert parallelism**: :class:`MoEMLP` is a GShard-style top-2
+  mixture-of-experts with dense dispatch/combine einsums and a
+  load-balancing auxiliary loss; expert weights (E, ...) shard their leading
+  axis over 'model', so the dispatch einsum lowers to the all-to-all.
+
+The Learner contract (layer_group_prefixes / head_prefixes / from_dataobj,
+tied decoder) mirrors LanguageModelNet; the output is (logits, h[, moe_aux])
+so the text losses apply unchanged (:class:`MoESeqCrossEntropyLoss` adds the
+balance term).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _constrain(h, mesh: Optional[Mesh], spec: P):
+    if mesh is None:
+        return h
+    names = [a for a in jax.tree_util.tree_leaves(tuple(spec)) if a is not None]
+    if not all(n in mesh.axis_names for n in names):
+        return h
+    return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
+
+
+class CausalSelfAttention(nn.Module):
+    """Multi-head causal self-attention (pre-LN blocks call this on the
+    normalized stream).  qkv is one fused column-parallel projection; the
+    output projection is row-parallel."""
+
+    d_model: int
+    n_heads: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, D = x.shape
+        H = self.n_heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, H, hd)
+        v = v.reshape(B, T, H, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        att = jnp.where(mask, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        if train and self.drop > 0.0:
+            att = nn.Dropout(self.drop, deterministic=False)(att)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, D)
+        return nn.Dense(D, name="out")(out)
+
+
+class MLP(nn.Module):
+    d_model: int
+    d_ff: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x))
+        h = nn.Dense(self.d_model, name="fc_out")(h)
+        if train and self.drop > 0.0:
+            h = nn.Dropout(self.drop, deterministic=False)(h)
+        return h
+
+
+class MoEMLP(nn.Module):
+    """GShard-style top-2 mixture-of-experts feed-forward.
+
+    Dense dispatch: every token is routed to its top-2 experts subject to a
+    per-expert capacity C = ceil(2N/E · capacity_factor); overflow tokens
+    lose that expert (their combine weight is zero, the residual carries
+    them).  Dispatch/combine are (N, E, C) einsums — the TPU-native
+    formulation (static shapes, MXU-friendly) — and with the expert axis of
+    the (E, ...) weights sharded over 'model', GSPMD lowers the dispatch to
+    the canonical all-to-all.
+
+    Returns (y, aux) where aux is the Switch/GShard load-balance loss
+    E · Σ_e frac_tokens_e · mean_prob_e (1.0 = perfectly balanced).
+    """
+
+    d_model: int
+    d_ff: int
+    n_experts: int
+    capacity_factor: float = 1.25
+    mesh: Optional[Mesh] = None
+    expert_axis: str = "model"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, D = x.shape
+        E, F = self.n_experts, self.d_ff
+        N = B * T
+        C = max(1, int(math.ceil(2 * N / E * self.capacity_factor)))
+        xf = x.reshape(N, D)
+
+        gate_w = self.param("gate", nn.initializers.lecun_normal(), (D, E))
+        probs = jax.nn.softmax(xf @ gate_w, axis=-1)              # (N, E)
+
+        i1 = jnp.argmax(probs, axis=-1)
+        oh1 = jax.nn.one_hot(i1, E, dtype=probs.dtype)
+        p1 = jnp.sum(probs * oh1, axis=-1)
+        probs2 = probs * (1.0 - oh1)
+        i2 = jnp.argmax(probs2, axis=-1)
+        oh2 = jax.nn.one_hot(i2, E, dtype=probs.dtype)
+        p2 = jnp.sum(probs2 * oh2, axis=-1)
+
+        # first-come-first-served positions; choice-1 fills before choice-2
+        pos1 = jnp.cumsum(oh1, axis=0) - oh1
+        pos2 = jnp.cumsum(oh2, axis=0) - oh2 + jnp.sum(oh1, axis=0)
+        keep1 = oh1 * (pos1 < C)
+        keep2 = oh2 * (pos2 < C)
+
+        denom = p1 * jnp.sum(keep1, -1) + p2 * jnp.sum(keep2, -1) + 1e-9
+        g1 = p1 / denom
+        g2 = p2 / denom
+
+        c1 = jnp.sum(pos1 * keep1, -1).astype(jnp.int32)          # (N,)
+        c2 = jnp.sum(pos2 * keep2, -1).astype(jnp.int32)
+        slot1 = jax.nn.one_hot(c1, C, dtype=probs.dtype)
+        slot2 = jax.nn.one_hot(c2, C, dtype=probs.dtype)
+        combine = (g1[:, None, None] * keep1[:, :, None] * slot1[:, None, :]
+                   + g2[:, None, None] * keep2[:, :, None] * slot2[:, None, :])
+        dispatch = (keep1[:, :, None] * slot1[:, None, :]
+                    + keep2[:, :, None] * slot2[:, None, :])      # (N, E, C)
+
+        w_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        w1 = self.param("w1", w_init, (E, D, F))
+        b1 = self.param("b1", nn.initializers.zeros, (E, F))
+        w2 = self.param("w2", w_init, (E, F, D))
+        b2 = self.param("b2", nn.initializers.zeros, (E, D))
+
+        xin = jnp.einsum("nec,nd->ecd", dispatch, xf)
+        xin = _constrain(xin, self.mesh, P(self.expert_axis, None, None))
+        h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xin, w1) + b1[:, None, :])
+        out = jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
+        out = _constrain(out, self.mesh, P(self.expert_axis, None, None))
+        y = jnp.einsum("nec,ecd->nd", combine, out)
+
+        frac = jnp.mean(oh1, axis=0)                              # tokens/expert
+        mean_prob = jnp.mean(probs, axis=0)
+        aux = E * jnp.sum(frac * mean_prob)
+        return y.reshape(B, T, D), aux
+
+
+class TransformerBlock(nn.Module):
+    d_model: int
+    n_heads: int
+    d_ff: int
+    drop: float = 0.0
+    n_experts: int = 0
+    capacity_factor: float = 1.25
+    mesh: Optional[Mesh] = None
+    sp: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def seq(h):  # sequence-parallel region constraint
+            if self.sp:
+                return _constrain(h, self.mesh, P("data", "model", None))
+            return _constrain(h, self.mesh, P("data", None, None))
+
+        x = seq(x)
+        h = nn.LayerNorm(name="ln1")(x)
+        x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
+                                    name="attn")(h, train=train)
+        x = seq(x)
+        h = nn.LayerNorm(name="ln2")(x)
+        if self.n_experts > 0:
+            y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
+                            self.capacity_factor, self.mesh, name="moe")(
+                                h, train=train)
+        else:
+            y = MLP(self.d_model, self.d_ff, self.drop, name="mlp")(
+                h, train=train)
+            aux = jnp.zeros((), x.dtype)
+        return seq(x + y), aux
+
+
+class TransformerLM(nn.Module):
+    """Decoder-only causal LM: token + learned positional embeddings →
+    n_layers pre-LN blocks (dense MLP, or MoE every ``moe_every``-th block
+    when n_experts > 0) → final LN → tied-embedding decoder.
+
+    Output (logits, h) — or (logits, h, moe_aux) with experts — so
+    SeqCrossEntropyLoss / RegSeqCrossEntropyLoss / MoESeqCrossEntropyLoss
+    drop in.  Learner contract mirrors LanguageModelNet
+    (Applications/Text.py:611-651): head = the tied embedding.
+    """
+
+    vocab_size: int
+    pad_token: int = 1
+    d_model: int = 256
+    n_heads: int = 8
+    n_layers: int = 4
+    d_ff: int = 0                      # 0 → 4·d_model
+    max_len: int = 512
+    drop: float = 0.1
+    n_experts: int = 0
+    moe_every: int = 2
+    capacity_factor: float = 1.25
+    mesh: Optional[Mesh] = None
+    sp: bool = False
+
+    head_prefixes = ("word_embed",)
+
+    @property
+    def layer_group_prefixes(self):
+        blocks = tuple(f"block_{i}" for i in range(self.n_layers))
+        return (("pos_embed", "ln_f") + blocks, ("word_embed",))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T = x.shape
+        if T > self.max_len:
+            raise ValueError(f"sequence length {T} > max_len {self.max_len}")
+        d_ff = self.d_ff or 4 * self.d_model
+
+        emb = self.param("word_embed",
+                         nn.initializers.normal(0.02),
+                         (self.vocab_size, self.d_model))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (self.max_len, self.d_model))
+        h = jnp.take(emb, x, axis=0) + pos[None, :T]
+        if train and self.drop > 0.0:
+            h = nn.Dropout(self.drop, deterministic=False)(h)
+
+        aux_total = jnp.zeros((), h.dtype)
+        for i in range(self.n_layers):
+            is_moe = (self.n_experts > 0
+                      and (i + 1) % max(1, self.moe_every) == 0)
+            h, aux = TransformerBlock(
+                self.d_model, self.n_heads, d_ff, self.drop,
+                n_experts=self.n_experts if is_moe else 0,
+                capacity_factor=self.capacity_factor,
+                mesh=self.mesh, sp=self.sp, name=f"block_{i}")(h, train=train)
+            aux_total = aux_total + aux
+        h = nn.LayerNorm(name="ln_f")(h)
+        logits = jnp.einsum("btd,vd->btv", h, emb)
+        if self.n_experts > 0:
+            return logits, h, aux_total / max(1, self.n_layers // max(1, self.moe_every))
+        return logits, h
+
+    @classmethod
+    def from_dataobj(cls, data, **kw):
+        return cls(vocab_size=len(data.stoi), pad_token=data.stoi["_pad_"], **kw)
+
+
+class MoESeqCrossEntropyLoss:
+    """Sequence CE + balance_weight · MoE load-balance aux (GShard eq. 3)."""
+
+    def __init__(self, balance_weight: float = 0.01):
+        self.balance_weight = balance_weight
+
+    def __call__(self, outputs, target, mask=None):
+        from neuralnetworklibrary_tpu.applications.text import _seq_ce
+
+        logits = outputs[0]
+        loss = _seq_ce(logits, target, mask)
+        if len(outputs) > 2:
+            loss = loss + self.balance_weight * outputs[2]
+        return loss
+
+
+def transformer_param_rule(mesh: Mesh, axis: str = "model"):
+    """Learner ``param_sharding`` rule for :class:`TransformerLM`.
+
+    Megatron layout: qkv / fc_in kernels column-parallel (output features over
+    '{axis}'), attention-out / fc_out kernels row-parallel (input features
+    over '{axis}'); MoE expert weights shard their leading E axis; embeddings,
+    layernorms, biases and the gate replicate.  Substring matching covers the
+    optimizer-moment trees (their paths embed the param path).
+    """
+    col = ("qkv", "fc_in")
+    row = ("out", "fc_out")
+
+    def rule(path, leaf):
+        # path entries are jax KeyPath objects (DictKey('x') → "['x']")
+        parts = [str(p).strip("[].'\"") for p in path]
+        nd = getattr(leaf, "ndim", 0)
+        if "moe" in parts:
+            if parts[-1] in ("w1", "w2", "b1", "b2") and nd >= 2:
+                return P(axis, *([None] * (nd - 1)))
+            return P()
+        if nd == 2 and parts[-1] == "kernel":
+            if any(n in parts for n in col):
+                return P(None, axis)
+            if any(n in parts for n in row):
+                return P(axis, None)
+        return P()
+
+    return rule
