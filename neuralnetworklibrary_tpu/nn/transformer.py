@@ -53,14 +53,25 @@ def _constrain(h, mesh: Optional[Mesh], spec: P):
 class CausalSelfAttention(nn.Module):
     """Multi-head causal self-attention (pre-LN blocks call this on the
     normalized stream).  qkv is one fused column-parallel projection; the
-    output projection is row-parallel."""
+    output projection is row-parallel.
+
+    ``decode=True`` switches to KV-cached autoregressive inference: a
+    static-shape (B, max_len, H, hd) cache lives in the flax 'cache'
+    collection, the incoming T tokens (T=prompt length at prefill, T=1
+    per decode step) are written at ``offset`` via dynamic_update_slice,
+    and attention runs against the FULL cache with a position mask —
+    static shapes throughout, so the one-token step jits once and the
+    decode loop never recompiles.
+    """
 
     d_model: int
     n_heads: int
     drop: float = 0.0
+    max_len: int = 0           # cache length; required for decode=True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, decode: bool = False,
+                 offset=None):
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
@@ -69,6 +80,22 @@ class CausalSelfAttention(nn.Module):
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
+        if decode:
+            if self.max_len <= 0:
+                raise ValueError("decode=True needs max_len > 0")
+            M = self.max_len
+            ck = self.variable("cache", "k", jnp.zeros, (B, M, H, hd), x.dtype)
+            cv = self.variable("cache", "v", jnp.zeros, (B, M, H, hd), x.dtype)
+            off = jnp.asarray(0 if offset is None else offset, jnp.int32)
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, off, 0, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, off, 0, 0))
+            att = jnp.einsum("bqhd,bkhd->bhqk", q, ck.value) / math.sqrt(hd)
+            q_pos = off + jnp.arange(T)                       # (T,)
+            mask = jnp.arange(M)[None, :] <= q_pos[:, None]   # (T, M) causal
+            att = jnp.where(mask[None, None], att, -1e30)
+            att = jax.nn.softmax(att, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", att, cv.value).reshape(B, T, D)
+            return nn.Dense(D, name="out")(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         mask = jnp.tril(jnp.ones((T, T), bool))
         att = jnp.where(mask, att, -1e30)
@@ -181,9 +208,11 @@ class TransformerBlock(nn.Module):
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     sp: bool = False
+    max_len: int = 0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, decode: bool = False,
+                 offset=None):
         def seq(h):  # sequence-parallel region constraint
             if self.sp:
                 return _constrain(h, self.mesh, P("data", "model", None))
@@ -192,7 +221,9 @@ class TransformerBlock(nn.Module):
         x = seq(x)
         h = nn.LayerNorm(name="ln1")(x)
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
-                                    name="attn")(h, train=train)
+                                    max_len=self.max_len,
+                                    name="attn")(h, train=train,
+                                                 decode=decode, offset=offset)
         x = seq(x)
         h = nn.LayerNorm(name="ln2")(x)
         if self.n_experts > 0:
@@ -239,7 +270,7 @@ class TransformerLM(nn.Module):
         return (("pos_embed", "ln_f") + blocks, ("word_embed",))
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, decode: bool = False):
         B, T = x.shape
         if T > self.max_len:
             raise ValueError(f"sequence length {T} > max_len {self.max_len}")
@@ -250,7 +281,18 @@ class TransformerLM(nn.Module):
                          (self.vocab_size, self.d_model))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (self.max_len, self.d_model))
-        h = jnp.take(emb, x, axis=0) + pos[None, :T]
+        offset = None
+        if decode:
+            # one shared position counter; each attention layer writes its
+            # KV cache at this offset (prefill T>1, then T=1 steps)
+            idx = self.variable("cache", "idx",
+                                lambda: jnp.zeros((), jnp.int32))
+            offset = idx.value
+            pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T, axis=0)
+            h = jnp.take(emb, x, axis=0) + pos_t[None]
+            idx.value = offset + T
+        else:
+            h = jnp.take(emb, x, axis=0) + pos[None, :T]
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
 
@@ -262,7 +304,9 @@ class TransformerLM(nn.Module):
                 self.d_model, self.n_heads, d_ff, self.drop,
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
-                mesh=self.mesh, sp=self.sp, name=f"block_{i}")(h, train=train)
+                mesh=self.mesh, sp=self.sp, max_len=self.max_len,
+                name=f"block_{i}")(h, train=train, decode=decode,
+                                   offset=offset)
             aux_total = aux_total + aux
         h = nn.LayerNorm(name="ln_f")(h)
         logits = jnp.einsum("btd,vd->btv", h, emb)
@@ -289,6 +333,87 @@ class MoESeqCrossEntropyLoss:
         if len(outputs) > 2:
             loss = loss + self.balance_weight * outputs[2]
         return loss
+
+
+def init_cache(model: TransformerLM, bs: int):
+    """Allocate the static-shape KV cache ((B, max_len, H, hd) per layer +
+    the shared position counter) for autoregressive decoding."""
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((bs, 1), jnp.int32), decode=True))
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  variables["cache"])
+
+
+def generate(model: TransformerLM, params, prompt, n: int, k: int = 5,
+             temperature: float = 1.0, seed: int = 0,
+             exclude_tokens: int = 0):
+    """Top-k sampled continuation: ONE prefill pass over the whole prompt
+    fills every layer's KV cache, then a jitted ``lax.scan`` emits n tokens
+    with one-token cached steps — no recompilation, no quadratic re-decode.
+
+    Reference semantics (Applications/Text.py:655-676 predict_from_string):
+    sample from the renormalized top-k of the next-token distribution;
+    ``exclude_tokens`` masks the first E vocab ids (special tokens).
+
+    prompt: (B, Tp) int32.  Returns (B, n) int32 sampled tokens.
+    """
+    B, Tp = prompt.shape
+    if Tp + n > model.max_len:
+        raise ValueError(
+            f"prompt ({Tp}) + generated ({n}) tokens exceed max_len "
+            f"{model.max_len}; raise max_len or shorten the prompt")
+
+    def sample(key, logits):
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if exclude_tokens > 0:
+            logits = logits.at[..., :exclude_tokens].set(-jnp.inf)
+        vals, idxs = jax.lax.top_k(logits, k)
+        # categorical over the k logits == sampling the renormalized top-k
+        choice = jax.random.categorical(key, vals)
+        return jnp.take_along_axis(idxs, choice[..., None], -1)[..., 0]
+
+    @jax.jit
+    def run(params, cache, prompt, key):
+        out, mut = model.apply({"params": params, "cache": cache}, prompt,
+                               decode=True, mutable=["cache"])
+        last = out[0][:, -1]
+
+        def step(carry, key):
+            cache, last = carry
+            tok = sample(key, last)
+            out, mut = model.apply({"params": params, "cache": cache},
+                                   tok[:, None], decode=True,
+                                   mutable=["cache"])
+            return (mut["cache"], out[0][:, -1]), tok
+
+        (_, _), toks = jax.lax.scan(step, (mut["cache"], last),
+                                    jax.random.split(key, n))
+        return toks.T                                      # (B, n)
+
+    cache = init_cache(model, B)
+    return run(params, cache, jnp.asarray(prompt, jnp.int32),
+               jax.random.PRNGKey(seed))
+
+
+def transformer_predict_from_string(learner, s: str, n: int, k: int = 5,
+                                    temperature: float = 1.0, seed: int = 0):
+    """String-level continuation for a Learner-trained TransformerLM —
+    the transformer counterpart of applications.text.predict_from_string
+    (same tokenize → top-k sample → join contract, special tokens 0-3
+    excluded), but via the KV-cached decode loop."""
+    from neuralnetworklibrary_tpu.applications.text import (
+        numericalize,
+        tokenize,
+    )
+
+    model, stoi = learner.model, learner.data.stoi
+    itos = {i: t for t, i in stoi.items()}
+    toks = numericalize(tokenize([s]), stoi=stoi)[0][0]
+    out = generate(model, learner.params,
+                   jnp.asarray([toks], jnp.int32), n, k=k,
+                   temperature=temperature, seed=seed, exclude_tokens=4)
+    return " ".join(itos[int(t)] for t in list(toks) + list(out[0]))
 
 
 def transformer_param_rule(mesh: Mesh, axis: str = "model"):

@@ -12,7 +12,10 @@ from neuralnetworklibrary_tpu.nn.transformer import (
     MoEMLP,
     MoESeqCrossEntropyLoss,
     TransformerLM,
+    generate,
+    init_cache,
     transformer_param_rule,
+    transformer_predict_from_string,
 )
 
 V, D, HEADS, L, B, T = 40, 32, 4, 2, 8, 10
@@ -168,6 +171,81 @@ def test_moe_learner_trains_and_ep_matches_replicated():
     w1 = learner.params["block_0"]["moe"]["w1"]
     assert not w1.sharding.is_fully_replicated
     assert rep_losses[-1] < rep_losses[0]
+
+
+# --------------------------------------------- KV-cached decoding
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_decode_matches_full_forward(moe):
+    """Prefill + one-token cached steps reproduce the full (quadratic)
+    forward exactly — every position's logits, both dense and MoE blocks."""
+    kw = dict(n_experts=4, moe_every=1, capacity_factor=8.0) if moe else {}
+    model = _model(**kw)
+    x = _batch(3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(variables, x)[0]                      # (B, T, V)
+
+    cache = init_cache(model, B)
+    # prefill on the first 4 tokens, then single-token steps
+    out, mut = model.apply({**variables, "cache": cache}, x[:, :4],
+                           decode=True, mutable=["cache"])
+    got = [out[0]]
+    cache = mut["cache"]
+    for t in range(4, T):
+        out, mut = model.apply({**variables, "cache": cache}, x[:, t:t + 1],
+                               decode=True, mutable=["cache"])
+        got.append(out[0])
+        cache = mut["cache"]
+    got = jnp.concatenate(got, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_generate_topk_and_determinism():
+    model = _model()
+    x = _batch(5)[:, :5]
+    variables = model.init(jax.random.PRNGKey(1), x)
+    toks = generate(model, variables["params"], x, n=12, k=5, seed=7)
+    toks2 = generate(model, variables["params"], x, n=12, k=5, seed=7)
+    assert toks.shape == (B, 12)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+    assert np.asarray(toks).min() >= 0 and np.asarray(toks).max() < V
+    # greedy (k=1) equals the argmax of an incremental full forward
+    g1 = generate(model, variables["params"], x, n=3, k=1, seed=0)
+    seq = np.asarray(x)
+    for t in range(3):
+        logits = model.apply(variables, jnp.asarray(seq))[0][:, -1]
+        nxt = np.asarray(jnp.argmax(logits, -1))
+        assert (np.asarray(g1)[:, t] == nxt).all()
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+
+def test_generate_rejects_overflow():
+    model = _model(max_len=16)
+    x = _batch(0)[:, :10]
+    variables = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="max_len"):
+        generate(model, variables["params"], x, n=10)
+
+
+def test_predict_from_string():
+    """String-level continuation round-trips tokenize/numericalize and
+    never emits special tokens (reference predict_from_string contract)."""
+    words = [f"tok{chr(97 + i)}" for i in range(26)]
+    stoi = {t: i for i, t in enumerate(
+        ["_unk_", "_pad_", "_bos_", "_eos_"] + words)}
+    data = _lm_data()
+    data.stoi = stoi
+    model = _model(vocab_size=len(stoi))
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.applications.text import SeqCrossEntropyLoss
+    learner = Learner("/tmp/test_tfm_gen", data, model, "Adam2",
+                      loss_func=SeqCrossEntropyLoss(), seed=0)
+    out = transformer_predict_from_string(learner, "toka tokb tokc", n=6, k=5)
+    parts = out.split()
+    assert parts[:3] == ["toka", "tokb", "tokc"] and len(parts) == 9
+    assert not any(p.startswith("_") for p in parts)
 
 
 def test_checkpoint_roundtrip():
