@@ -68,6 +68,7 @@ class CausalSelfAttention(nn.Module):
     n_heads: int
     drop: float = 0.0
     max_len: int = 0           # cache length; required for decode=True
+    flash: bool = False        # pallas flash-attention kernel (no T×T tensor)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -80,6 +81,17 @@ class CausalSelfAttention(nn.Module):
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
+        # flash path: only for full-sequence (training/scoring) attention;
+        # attention-prob dropout has no flash equivalent, so an active drop
+        # keeps the einsum path (output numerics would differ otherwise)
+        if (self.flash and not decode and T % 128 == 0
+                and not (train and self.drop > 0.0)):
+            from neuralnetworklibrary_tpu.ops.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(q, k, v).reshape(B, T, D)
+            return nn.Dense(D, name="out")(out)
         if decode:
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
@@ -209,6 +221,7 @@ class TransformerBlock(nn.Module):
     mesh: Optional[Mesh] = None
     sp: bool = False
     max_len: int = 0
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -221,7 +234,7 @@ class TransformerBlock(nn.Module):
         x = seq(x)
         h = nn.LayerNorm(name="ln1")(x)
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
-                                    max_len=self.max_len,
+                                    max_len=self.max_len, flash=self.flash,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
@@ -261,6 +274,7 @@ class TransformerLM(nn.Module):
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     sp: bool = False
+    flash_attention: bool = False   # or env NNL_FLASH_ATTENTION=1
 
     head_prefixes = ("word_embed",)
 
@@ -296,6 +310,10 @@ class TransformerLM(nn.Module):
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
 
+        import os
+
+        flash = self.flash_attention or bool(
+            int(os.environ.get("NNL_FLASH_ATTENTION", "0") or 0))
         aux_total = jnp.zeros((), h.dtype)
         for i in range(self.n_layers):
             is_moe = (self.n_experts > 0
@@ -305,6 +323,7 @@ class TransformerLM(nn.Module):
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
+                flash=flash,
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux

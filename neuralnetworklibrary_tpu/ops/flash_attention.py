@@ -1,0 +1,305 @@
+"""Flash attention for TPU (pallas): causal multi-head attention that never
+materializes the (T, T) score matrix.
+
+Beyond reference parity (the reference has no transformer/attention at all)
+— this is the long-context compute path for :class:`nn.transformer`.  The
+standard einsum attention XLA compiles is MXU-efficient but writes the
+(B, H, T, T) probability tensor to HBM twice (fwd + residual for bwd):
+at T=2048 that is 4·B·H·T² bytes each way, and HBM bandwidth — not FLOPs —
+bounds the op.  The flash formulation streams K/V blocks through VMEM with
+an online softmax (running max m and normalizer l), so HBM traffic is
+O(T·d) per head and the O(T²) work stays on the MXU.
+
+Layout: inputs are (BH, T, d) — batch·heads flattened into the grid's first
+axis, a (block_q, d) query tile per grid step, K/V resident in VMEM for the
+whole row of blocks (T·d floats — ~1 MB at T=2048 d=128, well under the
+~16 MB/core VMEM).  The causal structure skips every block strictly above
+the diagonal (a fori_loop bound, not a mask), masks only the diagonal
+block, and the backward pass is the standard two-kernel flash backward
+(dk/dv with a q-loop, dq with a k-loop) off the saved (o, logsumexp)
+residuals — no (T, T) tensor in either direction.
+
+Exactness: forward/backward match the einsum reference to float32
+round-off (differential-tested in tests/test_flash_attention.py, interpret
+mode on CPU).  Opt-in from the transformer via
+``TransformerLM(flash_attention=True)`` or NNL_FLASH_ATTENTION=1 — same
+honesty contract as ops/pallas_lstm.py: measure before defaulting.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_q,
+                block_k, seq_len):
+    i = pl.program_id(1)
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0] * sm_scale                                   # (bq, d)
+
+    q_pos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]          # (bk, d)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(q_pos >= k_pos, s, _NEG_INF)            # causal
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                                # (bq, bk)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    # causal: only blocks up to (and including) the diagonal contribute
+    n_blocks = (i * block_q + block_q - 1) // block_k + 1
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
+    BH, T, d = q.shape
+    grid = (BH, _cdiv(T, block_q))
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k, seq_len=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+#
+# With P = softmax(QKᵀ·scale) (row-wise, causal), O = PV and the saved
+# row logsumexp L:  p_ij = exp(s_ij - L_i);
+#   dV = Pᵀ dO
+#   dP = dO Vᵀ ;  delta_i = Σ_j p_ij dp_ij = Σ_j do_ij o_ij
+#   dS = P ∘ (dP - delta)
+#   dQ = dS K · scale ;  dK = dSᵀ Q · scale
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, sm_scale, block_q, block_k):
+    i = pl.program_id(1)
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                                          # (bq, 1)
+    delta = delta_ref[0]
+    q_pos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        p = jnp.where(q_pos >= k_pos, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    n_blocks = (i * block_q + block_q - 1) // block_k + 1
+    dq = jax.lax.fori_loop(0, n_blocks,
+                           body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, sm_scale, block_q, block_k, seq_len):
+    j = pl.program_id(1)
+    bk, d = k_ref.shape[1], k_ref.shape[2]
+    k = k_ref[0]
+    v = v_ref[0]
+    k_pos = j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+
+    def body(ii, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(ii * block_q, block_q), :]
+        do = do_ref[0, pl.ds(ii * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(ii * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(ii * block_q, block_q), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        q_pos = ii * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        p = jnp.where(q_pos >= k_pos, jnp.exp(s - lse), 0.0)   # (bq, bk)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    # causal: only query blocks at or below this key block contribute
+    first_i = (j * block_k) // block_q
+    n_q = _cdiv(seq_len, block_q)
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(first_i, n_q, body, (dk0, dv0))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(sm_scale, block_q, block_k, res, g):
+    q, k, v, o, lse = res
+    do, _ = g
+    BH, T, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)                   # (BH, T, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
+                          block_q=block_q, block_k=block_k),
+        grid=(BH, _cdiv(T, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
+                          block_q=block_q, block_k=block_k, seq_len=T),
+        grid=(BH, _cdiv(T, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def _interpret():
+    return jax.devices()[0].platform == "cpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, sm_scale, block_q, block_k):
+    o, _ = _flash_fwd(q, k, v, sm_scale, block_q, block_k)
+    return o
+
+
+def _flash_core_fwd(q, k, v, sm_scale, block_q, block_k):
+    o, lse = _flash_fwd(q, k, v, sm_scale, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(sm_scale, block_q, block_k, res, g):
+    return _flash_bwd(sm_scale, block_q, block_k, res, (g, None))
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(q, k, v, sm_scale=None, block_q=128, block_k=128):
+    """Causal flash attention.  q/k/v: (B, T, H, hd) → (B, T, H, hd).
+
+    T must be a multiple of the block sizes (the transformer pads/validates);
+    sm_scale defaults to 1/sqrt(hd).  Differentiable (custom flash backward).
+    """
+    B, T, H, hd = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(hd)
+    block_q = min(block_q, T)
+    block_k = min(block_k, T)
+    if T % block_q or T % block_k:
+        raise ValueError(
+            f"flash_attention needs seq_len {T} divisible by block sizes "
+            f"({block_q}, {block_k})")
+
+    def to_bh(x):  # (B, T, H, hd) -> (B*H, T, hd)
+        return x.transpose(0, 2, 1, 3).reshape(B * H, T, hd)
+
+    o = _flash_core(to_bh(q), to_bh(k), to_bh(v), sm_scale, block_q, block_k)
+    return o.reshape(B, H, T, hd).transpose(0, 2, 1, 3)
+
+
+def reference_attention(q, k, v, sm_scale=None):
+    """The einsum path (materializes (B, H, T, T)) — differential oracle."""
+    B, T, H, hd = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * sm_scale
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)

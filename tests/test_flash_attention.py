@@ -1,0 +1,128 @@
+"""Flash attention (ops/flash_attention.py): differential-tested against the
+einsum oracle — forward, all three gradients, multiple shapes/dtypes — and
+the TransformerLM flash=True integration (CPU interpret mode)."""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralnetworklibrary_tpu.ops.flash_attention import (
+    flash_attention,
+    reference_attention,
+)
+
+
+def _qkv(B, T, H, hd, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.normal(0, 1, (B, T, H, hd)), dtype)
+                 for _ in range(3))
+
+
+@pytest.mark.parametrize("T,hd,bq,bk", [
+    (128, 64, 128, 128),
+    (256, 64, 128, 128),
+    (256, 32, 128, 64),     # uneven q/k blocks, small head dim
+    (384, 128, 128, 128),   # T not a power of two
+])
+def test_forward_matches_reference(T, hd, bq, bk):
+    q, k, v = _qkv(2, T, 2, hd)
+    o = flash_attention(q, k, v, block_q=bq, block_k=bk)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_reference():
+    q, k, v = _qkv(2, 256, 4, 64, seed=1)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g_flash = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(reference_attention), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name} diverges from the einsum oracle")
+
+
+def test_bfloat16_forward():
+    q, k, v = _qkv(1, 256, 2, 64, seed=2, dtype=jnp.bfloat16)
+    o = flash_attention(q, k, v)
+    ref = reference_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    assert o.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_rejects_indivisible_seq_len():
+    q, k, v = _qkv(1, 192, 2, 64)
+    with pytest.raises(ValueError, match="divisible"):
+        flash_attention(q, k, v, block_q=128, block_k=128)
+
+
+def test_causality():
+    """Token t's output must not depend on tokens > t."""
+    q, k, v = _qkv(1, 256, 2, 64, seed=3)
+    o1 = flash_attention(q, k, v)
+    k2 = k.at[:, 200:].set(99.0)
+    v2 = v.at[:, 200:].set(-99.0)
+    o2 = flash_attention(q, k2, v2)
+    np.testing.assert_allclose(np.asarray(o1[:, :200]),
+                               np.asarray(o2[:, :200]), atol=1e-6)
+    assert np.abs(np.asarray(o1[:, 200:]) - np.asarray(o2[:, 200:])).max() > 1
+
+
+# --------------------------------------------- TransformerLM integration
+
+
+from neuralnetworklibrary_tpu.nn.transformer import TransformerLM  # noqa: E402
+
+V = 50
+
+
+def test_transformer_flash_matches_einsum():
+    """flash_attention=True changes the compute path, not the numerics —
+    logits and parameter gradients match the einsum model."""
+    x = jnp.asarray(np.random.default_rng(0).integers(0, V, (2, 128)),
+                    jnp.int32)
+    kw = dict(vocab_size=V, pad_token=1, d_model=64, n_heads=2, n_layers=2,
+              max_len=128, drop=0.0)
+    m_ein = TransformerLM(**kw)
+    m_fla = TransformerLM(**kw, flash_attention=True)
+    variables = m_ein.init(jax.random.PRNGKey(0), x)
+    l_ein = m_ein.apply(variables, x)[0]
+    l_fla = m_fla.apply(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(l_fla), np.asarray(l_ein),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(model):
+        def f(params):
+            logits = model.apply({"params": params}, x)[0]
+            return jnp.mean((logits - 1.0) ** 2)
+        return f
+
+    g_ein = jax.grad(loss(m_ein))(variables["params"])
+    g_fla = jax.grad(loss(m_fla))(variables["params"])
+    flat_e, _ = jax.flatten_util.ravel_pytree(g_ein)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fla)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_e),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_transformer_flash_fallback_on_short_seq():
+    """T not divisible by 128 silently keeps the einsum path — identical
+    numerics, no error."""
+    x = jnp.asarray(np.random.default_rng(1).integers(0, V, (2, 10)),
+                    jnp.int32)
+    kw = dict(vocab_size=V, pad_token=1, d_model=32, n_heads=2, n_layers=1,
+              max_len=64, drop=0.0)
+    m_ein = TransformerLM(**kw)
+    m_fla = TransformerLM(**kw, flash_attention=True)
+    variables = m_ein.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m_fla.apply(variables, x)[0]),
+                               np.asarray(m_ein.apply(variables, x)[0]),
+                               atol=0)
