@@ -93,6 +93,7 @@ class Learner:
         param_sharding="default",
         matmul_precision=None,
         compute_dtype=None,
+        zero_sharding: bool = False,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -115,6 +116,15 @@ class Learner:
         self.param_sharding = (
             pmesh.default_param_rule(self.mesh) if param_sharding == "default"
             else param_sharding
+        )
+        # ZeRO-1: shard the optimizer moments over the 'data' mesh axis (on
+        # top of any tensor-parallel spec) — 1/dp moment memory per device;
+        # numerics identical (tests/test_zero.py), XLA inserts the one
+        # update all-gather per step the ZeRO schedule calls for
+        self.zero_sharding = bool(zero_sharding)
+        self.opt_rule = (
+            pmesh.zero_rule(self.mesh, self.param_sharding)
+            if self.zero_sharding else self.param_sharding
         )
         # 'bfloat16' trades a little matmul/conv precision for MXU speed
         # (params stay f32; only the dot/conv compute precision changes);
@@ -221,7 +231,7 @@ class Learner:
             self.state = pmesh.replicate_tree(trees["state"], self.mesh)
         if saved_optimizer and "opt_state" in trees:
             self.opt_state = pmesh.shard_params(trees["opt_state"], self.mesh,
-                                                self.param_sharding)
+                                                self.opt_rule)
 
     # ---------------------------------------------------- freeze / unfreeze
 
@@ -236,7 +246,31 @@ class Learner:
         come back committed, so an uncommitted initial state changes the call
         signature after the first step and costs one full recompile."""
         return pmesh.shard_params(self.optimizer.init(self.params), self.mesh,
-                                  self.param_sharding)
+                                  self.opt_rule)
+
+    def _constrain_update(self, params, opt_state):
+        """Pin the post-update trees to their intended shardings inside the
+        jitted step: moments keep the ZeRO 'data' sharding, params return to
+        the param rule (XLA would otherwise propagate the moment sharding
+        into the params output, turning every later forward into a gather).
+        Also keeps the step's output commitment == the init commitment, so
+        the second step never recompiles."""
+        if not self.zero_sharding:
+            return params, opt_state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def con(rule):
+            def put(path, x):
+                spec = rule(path, x) if rule is not None else P()
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec))
+            return put
+
+        params = jax.tree_util.tree_map_with_path(
+            con(self.param_sharding), params)
+        opt_state = jax.tree_util.tree_map_with_path(
+            con(self.opt_rule), opt_state)
+        return params, opt_state
 
     def _zero_ema(self):
         return pmesh.replicate_tree(jnp.zeros(()), self.mesh)
@@ -409,6 +443,7 @@ class Learner:
                 params, grads, opt_state, part, trainable,
                 lr_groups=lr_g, wd_groups=wd_g, mom=mom, beta1=b1, beta2=b2, clip=clip,
             )
+            params, opt_state = self._constrain_update(params, opt_state)
             ema = ema * _EMA_DECAY + loss * (1.0 - _EMA_DECAY)
             return params, new_state, opt_state, ema, loss
 

@@ -448,14 +448,16 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
     row = ("out", "fc_out")
 
     def rule(path, leaf):
-        # path entries are jax KeyPath objects (DictKey('x') → "['x']")
+        # path entries are jax KeyPath objects (DictKey('x') → "['x']");
+        # membership (not last-element) checks cover the optimizer-moment
+        # trees, whose paths append 'm'/'v' below the param path
         parts = [str(p).strip("[].'\"") for p in path]
         nd = getattr(leaf, "ndim", 0)
         if "moe" in parts:
-            if parts[-1] in ("w1", "w2", "b1", "b2") and nd >= 2:
+            if any(n in parts for n in ("w1", "w2", "b1", "b2")) and nd >= 2:
                 return P(axis, *([None] * (nd - 1)))
             return P()
-        if nd == 2 and parts[-1] == "kernel":
+        if nd == 2 and "kernel" in parts:
             if any(n in parts for n in col):
                 return P(None, axis)
             if any(n in parts for n in row):

@@ -60,6 +60,35 @@ def default_param_rule(mesh: Mesh, min_size: int = 512):
     return rule
 
 
+def zero_rule(mesh: Mesh, base=None, axis: str = "data", min_size: int = 4096):
+    """ZeRO-1 optimizer-state sharding rule (beyond reference parity —
+    the reference is single-GPU).
+
+    On top of whatever tensor-parallel spec ``base`` assigns a leaf, shard
+    the first still-unsharded axis that divides the '{axis}' mesh dimension
+    over it — so the Adam moments occupy 1/dp of their replicated footprint
+    per device.  Data-parallel gradients are replicated after GSPMD's psum,
+    each device updates only its moment shard, and XLA inserts exactly one
+    all-gather of the (sharded) param update per step — the ZeRO-1
+    schedule, derived from shardings rather than hand-written collectives.
+    Small leaves (< min_size elements) replicate: a collective per tiny
+    bias costs more than it saves.
+    """
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+
+    def rule(path, leaf) -> P:
+        nd = getattr(leaf, "ndim", 0)
+        spec = tuple(base(path, leaf)) if base is not None else ()
+        spec = spec + (None,) * (nd - len(spec))
+        if dp > 1 and getattr(leaf, "size", 0) >= min_size:
+            for i in range(nd):
+                if spec[i] is None and leaf.shape[i] % dp == 0:
+                    return P(*spec[:i], axis, *spec[i + 1:])
+        return P(*spec)
+
+    return rule
+
+
 def shard_params(tree: Any, mesh: Mesh, rule=None):
     """device_put a param/opt pytree with per-leaf shardings from ``rule``
     (None or a 1-sized/absent 'model' axis → fully replicated)."""
