@@ -58,7 +58,14 @@ BS = 64
 SZ = 224
 BASELINE = 95.0  # P6000 Dogbreed senet154 @224 frozen fit incl. eval (BASELINE.md)
 # NNL_BENCH_SMOKE=1: tiny shapes for a CPU logic check of the bench itself
+# (forces the cpu platform — JAX_PLATFORMS env alone is ignored by the
+# axon plugin, and a smoke check must never touch the real chip)
 SMOKE = os.environ.get("NNL_BENCH_SMOKE", "") == "1"
+if SMOKE:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def make_dataset():
@@ -207,6 +214,63 @@ def bench_lm(epochs=3):
             n_tok += b.xs[0].size
         learner.evaluate("val")
         n_tok += len(learner.data.val_dl) * BSL * BPTT
+        _sync(loss)
+        rates.append(n_tok / (time.perf_counter() - t0))
+    del learner
+    gc.collect()
+    return rates
+
+
+def bench_transformer(epochs=3):
+    """TransformerLM e2e epochs (beyond-parity model family): 6-layer
+    d512/h8/ff2048 decoder-only LM, bs 16, T 512, vocab 30k, mixed
+    precision (compute_dtype=bfloat16) → tokens/s incl. a per-epoch eval
+    pass.  No reference baseline (the reference has no transformer);
+    reported for the record alongside lm_tokens_per_sec."""
+    import types
+
+    from neuralnetworklibrary_tpu.applications.text import SeqCrossEntropyLoss
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
+
+    V, BT, TT = (64, 4, 32) if SMOKE else (30000, 16, 512)
+    steps = 4 if SMOKE else 30
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, V, (steps * BT, TT)).astype(np.int32)
+    ys = np.roll(xs, -1, axis=1).astype(np.int32)
+    tr = ArrayDataset(xs, ys)
+    va = ArrayDataset(xs[: 6 * BT], ys[: 6 * BT])
+    data = types.SimpleNamespace(
+        target_type="lm", bs=BT,
+        train_dl=DataLoader(tr, BT, shuffle=False, prefetch=0),
+        val_dl=DataLoader(va, BT, prefetch=0), train_ds=tr, val_ds=va)
+    if SMOKE:
+        model = TransformerLM(vocab_size=V, pad_token=1, d_model=32,
+                              n_heads=2, n_layers=2, max_len=TT, drop=0.1)
+    else:
+        model = TransformerLM(vocab_size=V, pad_token=1, d_model=512,
+                              n_heads=8, n_layers=6, d_ff=2048, max_len=TT,
+                              drop=0.1)
+    learner = Learner("/tmp/nnl_bench_tfm/", data, model, optimizer="Adam2",
+                      loss_func=SeqCrossEntropyLoss(),
+                      compute_dtype="bfloat16")
+    learner.init_optimizer(wd=1e-6)
+
+    for b in device_prefetch(learner.data.train_dl, learner.mesh):
+        loss = learner.train1minibatch(b, lr_batch=1e-4)
+    _sync(loss)
+    learner.evaluate("val")
+
+    rates = []
+    for _ in range(epochs):
+        n_tok, t0 = 0, time.perf_counter()
+        for b in device_prefetch(learner.data.train_dl, learner.mesh, size=3):
+            loss = learner.train1minibatch(b, lr_batch=1e-4)
+            n_tok += b.xs[0].size
+        learner.evaluate("val")
+        n_tok += len(learner.data.val_dl) * BT * TT
         _sync(loss)
         rates.append(n_tok / (time.perf_counter() - t0))
     del learner
@@ -397,6 +461,7 @@ def main():
     lm_rates = bench_lm()
     det_train_rates, det_pred_rates, det_cached_rates = bench_detection()
     struct_rates = bench_structured()
+    tfm_rates = bench_transformer()
 
     senet_e2e = float(np.median(senet_rates))
     senet_host = float(np.median(senet_host_rates))
@@ -431,6 +496,9 @@ def main():
                                     round(max(det_pred_rates), 1)],
         "detection_train_cached_img_per_sec": round(
             float(np.median(det_cached_rates)), 2),
+        "transformer_tokens_per_sec": round(float(np.median(tfm_rates)), 0),
+        "transformer_epoch_range": [round(min(tfm_rates), 0),
+                                    round(max(tfm_rates), 0)],
         "structured_rows_per_sec": round(float(np.median(struct_rates)), 0),
         "structured_baseline": 27000.0,
         "structured_vs_baseline": round(
@@ -452,7 +520,10 @@ def main():
                 "synthetic set (375x500 imgs, min-side-512 scaling, one "
                 "padded shape, bs8): masked-batched SSD-loss train steps and "
                 "batched predict with on-device NMS, both e2e through the "
-                "real loaders.",
+                "real loaders. transformer_tokens_per_sec = 6-layer "
+                "d512 decoder-only TransformerLM (bs16 T512 vocab30k, "
+                "bf16 mixed precision) e2e epochs incl. eval — "
+                "beyond-parity family, no reference baseline.",
     }))
 
 

@@ -71,7 +71,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_q,
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -128,7 +128,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     i = pl.program_id(1)
     bq, d = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = lse_ref[0]                                          # (bq, 1)
     delta = delta_ref[0]
     q_pos = i * block_q + jax.lax.broadcasted_iota(
@@ -146,7 +146,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     n_blocks = (i * block_q + block_q - 1) // block_k + 1
@@ -167,7 +167,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def body(ii, carry):
         dk, dv = carry
         q = q_ref[0, pl.ds(ii * block_q, block_q), :]
-        do = do_ref[0, pl.ds(ii * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(ii * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(ii * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(ii * block_q, block_q), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -175,12 +175,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_pos = ii * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         p = jnp.where(q_pos >= k_pos, jnp.exp(s - lse), 0.0)   # (bq, bk)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dk = dk + jax.lax.dot_general(ds.astype(q.dtype), q,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -270,21 +272,36 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def flash_attention(q, k, v, sm_scale=None, block_q=128, block_k=128):
+def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512):
     """Causal flash attention.  q/k/v: (B, T, H, hd) → (B, T, H, hd).
 
     T must be a multiple of the block sizes (the transformer pads/validates);
     sm_scale defaults to 1/sqrt(hd).  Differentiable (custom flash backward).
+
+    Default blocks are 512: measured on v5e (bf16, fwd+bwd), 128-blocks
+    UNDER-utilize the MXU and lose to XLA's einsum (0.8x), while 512-blocks
+    win 1.8-2.0x at T=2048-4096 (see PERF.md "Flash attention").
     """
     B, T, H, hd = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
-    if T % block_q or T % block_k:
-        raise ValueError(
-            f"flash_attention needs seq_len {T} divisible by block sizes "
-            f"({block_q}, {block_k})")
+    def fit(block):
+        # the requested block if it divides T, else the largest 128-multiple
+        # divisor of T below it (sub-128 blocks must divide T exactly)
+        b = min(block, T)
+        if T % b == 0:
+            return b
+        b -= b % 128
+        while b >= 128 and T % b:
+            b -= 128
+        if b < 128:
+            raise ValueError(
+                f"flash_attention: no valid block size ≤ {block} divides "
+                f"seq_len {T} (T must be a multiple of 128)")
+        return b
+
+    block_q = fit(block_q)
+    block_k = fit(block_k)
 
     def to_bh(x):  # (B, T, H, hd) -> (B*H, T, hd)
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, hd)

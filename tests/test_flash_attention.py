@@ -59,9 +59,20 @@ def test_bfloat16_forward():
 
 
 def test_rejects_indivisible_seq_len():
+    # T=192 is not a multiple of 128 and no 128-multiple block divides it
     q, k, v = _qkv(1, 192, 2, 64)
-    with pytest.raises(ValueError, match="divisible"):
+    with pytest.raises(ValueError, match="no valid block size"):
         flash_attention(q, k, v, block_q=128, block_k=128)
+
+
+def test_block_fit_fallback():
+    """T=1280: the 512 default doesn't divide it; fit() falls back to the
+    largest 128-multiple divisor (256) instead of erroring."""
+    q, k, v = _qkv(1, 1280, 2, 64, seed=7)
+    o = flash_attention(q, k, v)  # default block 512 -> fitted 256
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_causality():
