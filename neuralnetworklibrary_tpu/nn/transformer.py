@@ -69,6 +69,8 @@ class CausalSelfAttention(nn.Module):
     drop: float = 0.0
     max_len: int = 0           # cache length; required for decode=True
     flash: bool = False        # pallas flash-attention kernel (no T×T tensor)
+    mesh: Optional[Mesh] = None
+    cp_axis: Optional[str] = None   # ring attention over this mesh axis
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -81,6 +83,26 @@ class CausalSelfAttention(nn.Module):
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd)
         v = v.reshape(B, T, H, hd)
+        # context-parallel path: exact ring attention over the sequence
+        # shards (parallel/ring_attention.py).  Like flash, attention-prob
+        # dropout has no ring equivalent — an active drop falls back to the
+        # einsum path (GSPMD still shards the T×T tensor over the q axis,
+        # at an all-gather of K/V); decode (KV cache) is never ring-run.
+        if (self.cp_axis is not None and self.mesh is not None
+                and not decode and not (train and self.drop > 0.0)):
+            from neuralnetworklibrary_tpu.parallel.ring_attention import (
+                ring_attention,
+            )
+
+            names = self.mesh.axis_names
+            head_axis = ("model" if "model" in names
+                         and self.mesh.shape["model"] > 1
+                         and H % self.mesh.shape["model"] == 0 else None)
+            out = ring_attention(
+                q, k, v, self.mesh, axis=self.cp_axis,
+                batch_axis="data" if "data" in names else None,
+                head_axis=head_axis).reshape(B, T, D)
+            return nn.Dense(D, name="out")(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
@@ -222,19 +244,27 @@ class TransformerBlock(nn.Module):
     sp: bool = False
     max_len: int = 0
     flash: bool = False
+    cp_axis: Optional[str] = None   # context parallelism (ring attention)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
                  offset=None):
-        def seq(h):  # sequence-parallel region constraint
+        def seq(h):  # sequence-/context-parallel region constraint
+            t_axes = []
+            if self.cp_axis is not None and not decode:
+                t_axes.append(self.cp_axis)
             if self.sp:
-                return _constrain(h, self.mesh, P("data", "model", None))
+                t_axes.append("model")
+            if t_axes:
+                return _constrain(h, self.mesh,
+                                  P("data", tuple(t_axes), None))
             return _constrain(h, self.mesh, P("data", None, None))
 
         x = seq(x)
         h = nn.LayerNorm(name="ln1")(x)
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
                                     max_len=self.max_len, flash=self.flash,
+                                    mesh=self.mesh, cp_axis=self.cp_axis,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
@@ -274,6 +304,9 @@ class TransformerLM(nn.Module):
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     sp: bool = False
+    cp: bool = False                # context parallelism: ring attention
+    cp_axis: str = "context"        # over this mesh axis (seq len must
+                                    # divide its size)
     flash_attention: bool = False   # or env NNL_FLASH_ATTENTION=1
 
     head_prefixes = ("word_embed",)
@@ -314,6 +347,12 @@ class TransformerLM(nn.Module):
 
         flash = self.flash_attention or bool(
             int(os.environ.get("NNL_FLASH_ATTENTION", "0") or 0))
+        cp_axis = None
+        if self.cp:
+            if self.mesh is None or self.cp_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"cp=True needs a mesh with a '{self.cp_axis}' axis")
+            cp_axis = self.cp_axis
         aux_total = jnp.zeros((), h.dtype)
         for i in range(self.n_layers):
             is_moe = (self.n_experts > 0
@@ -323,7 +362,7 @@ class TransformerLM(nn.Module):
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
-                flash=flash,
+                flash=flash, cp_axis=cp_axis,
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux

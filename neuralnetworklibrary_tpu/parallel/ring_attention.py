@@ -84,22 +84,28 @@ def _ring_local(q, k, v, *, axis_name: str, n_chunks: int, sm_scale: float,
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
-                   batch_axis=None, sm_scale=None):
+                   batch_axis=None, head_axis=None, sm_scale=None):
     """Causal ring attention over a context-sharded sequence.
 
     q/k/v: (B, T, H, hd) with T sharded over mesh axis ``axis`` (and the
-    batch optionally sharded over ``batch_axis``).  T must divide evenly
-    into mesh.shape[axis] chunks.  Returns (B, T, H, hd), same shardings.
+    batch optionally sharded over ``batch_axis``, heads over ``head_axis``
+    — the Megatron TP composition: each (batch, head) shard runs its own
+    independent ring).  T must divide evenly into mesh.shape[axis] chunks.
+    Returns (B, T, H, hd), same shardings.
     Exact: equals softmax(QKᵀ·scale)V with the causal mask; differentiable.
     """
     B, T, H, hd = q.shape
     n = mesh.shape[axis]
     if T % n:
         raise ValueError(f"seq_len {T} must divide the '{axis}' axis size {n}")
+    if head_axis is not None and H % mesh.shape[head_axis]:
+        raise ValueError(f"n_heads {H} must divide the '{head_axis}' axis "
+                         f"size {mesh.shape[head_axis]}")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
-    spec = P(batch_axis, axis, None, None)
-    vary_axes = (axis,) if batch_axis is None else (batch_axis, axis)
+    spec = P(batch_axis, axis, head_axis, None)
+    vary_axes = tuple(a for a in (batch_axis, axis, head_axis)
+                      if a is not None)
     f = shard_map(
         functools.partial(_ring_local, axis_name=axis, n_chunks=n,
                           sm_scale=sm_scale, vary_axes=vary_axes),

@@ -63,6 +63,24 @@ def test_bf16():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_tp_composition_head_axis():
+    """(context=4, model=2): sequence over 'context', heads over 'model'
+    (the Megatron TP composition) — same numerics as the unsharded oracle."""
+    mesh = get_mesh_2d(4, 2, axis_names=("context", "model"))
+    q, k, v = _qkv(2, 64, 4, 16, seed=5)
+    out = ring_attention(q, k, v, mesh, axis="context", head_axis="model")
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rejects_indivisible_heads():
+    mesh = get_mesh_2d(2, 4, axis_names=("context", "model"))
+    q, k, v = _qkv(1, 64, 2, 8)   # 2 heads can't split over model=4
+    with pytest.raises(ValueError, match="n_heads"):
+        ring_attention(q, k, v, mesh, axis="context", head_axis="model")
+
+
 def test_rejects_indivisible():
     mesh = get_mesh(8, axis_names=("context",))
     q, k, v = _qkv(1, 100, 2, 8)

@@ -173,6 +173,36 @@ def test_moe_learner_trains_and_ep_matches_replicated():
     assert rep_losses[-1] < rep_losses[0]
 
 
+def test_cp_matches_dp():
+    """dp8 and dp4×cp2 (ring attention over a 'context'-sharded sequence)
+    produce the same loss trajectory — context parallelism is exact."""
+    dp_losses, _ = _train(get_mesh(8), None)
+    mesh = get_mesh_2d(4, 2, axis_names=("data", "context"))
+    cp_losses, _ = _train(mesh, None, mesh=mesh, cp=True)
+    np.testing.assert_allclose(cp_losses, dp_losses, rtol=2e-3, atol=1e-4)
+
+
+def test_cp_tp_composition_matches_dp():
+    """dp2×cp2×tp2: ring attention with heads sharded over 'model'
+    (Megatron composition) — numerics still match pure data parallelism."""
+    from jax.sharding import Mesh
+
+    dp_losses, _ = _train(get_mesh(8), None)
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "context", "model"))
+    losses, learner = _train(mesh, transformer_param_rule(mesh),
+                             mesh=mesh, cp=True)
+    np.testing.assert_allclose(losses, dp_losses, rtol=2e-3, atol=1e-4)
+    k = learner.params["block_0"]["attn"]["qkv"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+
+
+def test_cp_requires_context_axis():
+    model = _model(mesh=get_mesh(8), cp=True)
+    with pytest.raises(ValueError, match="context"):
+        model.init(jax.random.PRNGKey(0), _batch())
+
+
 # --------------------------------------------- KV-cached decoding
 
 
