@@ -94,6 +94,7 @@ class Learner:
         matmul_precision=None,
         compute_dtype=None,
         zero_sharding: bool = False,
+        fsdp_sharding: bool = False,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -117,6 +118,13 @@ class Learner:
             pmesh.default_param_rule(self.mesh) if param_sharding == "default"
             else param_sharding
         )
+        # FSDP / ZeRO-3: shard the PARAMS over the 'data' mesh axis on top of
+        # any tensor-parallel spec (1/dp param + moment memory per device);
+        # GSPMD inserts the per-use weight all-gathers and gradient
+        # reduce-scatters — numerics identical (tests/test_fsdp.py)
+        self.fsdp_sharding = bool(fsdp_sharding)
+        if self.fsdp_sharding:
+            self.param_sharding = pmesh.fsdp_rule(self.mesh, self.param_sharding)
         # ZeRO-1: shard the optimizer moments over the 'data' mesh axis (on
         # top of any tensor-parallel spec) — 1/dp moment memory per device;
         # numerics identical (tests/test_zero.py), XLA inserts the one
@@ -254,8 +262,10 @@ class Learner:
         the param rule (XLA would otherwise propagate the moment sharding
         into the params output, turning every later forward into a gather).
         Also keeps the step's output commitment == the init commitment, so
-        the second step never recompiles."""
-        if not self.zero_sharding:
+        the second step never recompiles.  FSDP needs the same pinning: the
+        updated params must LEAVE the step still sharded over 'data', or
+        GSPMD would return them gathered and the next call re-commits."""
+        if not (self.zero_sharding or self.fsdp_sharding):
             return params, opt_state
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -89,6 +89,26 @@ def zero_rule(mesh: Mesh, base=None, axis: str = "data", min_size: int = 4096):
     return rule
 
 
+def fsdp_rule(mesh: Mesh, base=None, axis: str = "data", min_size: int = 4096):
+    """ZeRO-3 / FSDP parameter-sharding rule (beyond reference parity).
+
+    The same axis-picking transformation as :func:`zero_rule`, applied to the
+    PARAMS themselves (and, through the Learner, to the optimizer moments —
+    ZeRO-3 subsumes ZeRO-1): each large leaf keeps only 1/dp of its elements
+    per device, sharded over the '{axis}' mesh dimension on top of any
+    tensor-parallel spec from ``base``.  Under ``jax.jit`` GSPMD then derives
+    the FSDP schedule from the shardings alone — an all-gather of each weight
+    at its use site in the forward/backward and a reduce-scatter of its
+    gradient — instead of the hand-written bucketing/prefetch machinery a
+    torch FSDP wrapper needs.  Small leaves (< min_size elements) replicate:
+    a collective per tiny bias costs more than it saves.
+
+    Use through ``Learner(fsdp_sharding=True)``, which also pins the
+    post-update params/moments back to this rule inside the train step.
+    """
+    return zero_rule(mesh, base, axis=axis, min_size=min_size)
+
+
 def shard_params(tree: Any, mesh: Mesh, rule=None):
     """device_put a param/opt pytree with per-leaf shardings from ``rule``
     (None or a 1-sized/absent 'model' axis → fully replicated)."""
