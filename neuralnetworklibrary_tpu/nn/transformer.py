@@ -50,18 +50,44 @@ def _constrain(h, mesh: Optional[Mesh], spec: P):
     return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
 
+def rope(x, positions, base: float = 10000.0):
+    """Rotary position embedding (RoFormer) in the split-half convention:
+    pair feature i with i + hd/2 and rotate each pair by
+    positions · base^(-2i/hd).  x: (B, T, H, hd) with hd even;
+    positions: (T,) int32.  Norm-preserving; q·k depends only on the
+    RELATIVE distance between query and key positions.
+    """
+    hd = x.shape[-1]
+    if hd % 2:
+        raise ValueError(f"rope needs an even head dim, got {hd}")
+    inv_freq = base ** (-jnp.arange(0, hd // 2) * 2.0 / hd)
+    ang = positions[:, None].astype(jnp.float32) * inv_freq[None]  # (T, hd/2)
+    cos = jnp.cos(ang)[None, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[None, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
 class CausalSelfAttention(nn.Module):
     """Multi-head causal self-attention (pre-LN blocks call this on the
     normalized stream).  qkv is one fused column-parallel projection; the
     output projection is row-parallel.
 
     ``decode=True`` switches to KV-cached autoregressive inference: a
-    static-shape (B, max_len, H, hd) cache lives in the flax 'cache'
+    static-shape (B, max_len, Hkv, hd) cache lives in the flax 'cache'
     collection, the incoming T tokens (T=prompt length at prefill, T=1
     per decode step) are written at ``offset`` via dynamic_update_slice,
     and attention runs against the FULL cache with a position mask —
     static shapes throughout, so the one-token step jits once and the
     decode loop never recompiles.
+
+    ``n_kv_heads`` < n_heads is grouped-query attention: K/V carry only
+    Hkv heads — the cache (the HBM cost of serving long contexts) shrinks
+    by H/Hkv — and each group of H/Hkv query heads shares one KV head
+    (broadcast at the attention einsum; XLA fuses it, nothing
+    materializes at the full H width in the cache).  ``use_rope`` applies
+    rotary position embeddings to q/k (K is cached POST-rotation, so
+    decode attends with consistent phases).
     """
 
     d_model: int
@@ -71,6 +97,9 @@ class CausalSelfAttention(nn.Module):
     flash: bool = False        # pallas flash-attention kernel (no T×T tensor)
     mesh: Optional[Mesh] = None
     cp_axis: Optional[str] = None   # ring attention over this mesh axis
+    n_kv_heads: int = 0        # 0 → n_heads (plain MHA); else GQA
+    use_rope: bool = False
+    rope_base: float = 10000.0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -78,11 +107,28 @@ class CausalSelfAttention(nn.Module):
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
-        qkv = nn.Dense(3 * D, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Hkv = self.n_kv_heads or H
+        if H % Hkv:
+            raise ValueError(f"n_heads {H} must be a multiple of "
+                             f"n_kv_heads {Hkv}")
+        # one fused projection: [q (H·hd) | k (Hkv·hd) | v (Hkv·hd)] — the
+        # column-parallel sharding of transformer_param_rule stays valid as
+        # long as H and Hkv both divide the 'model' axis
+        qkv = nn.Dense((H + 2 * Hkv) * hd, name="qkv")(x)
+        q, k, v = jnp.split(qkv, [H * hd, (H + Hkv) * hd], axis=-1)
         q = q.reshape(B, T, H, hd)
-        k = k.reshape(B, T, H, hd)
-        v = v.reshape(B, T, H, hd)
+        k = k.reshape(B, T, Hkv, hd)
+        v = v.reshape(B, T, Hkv, hd)
+        if self.use_rope:
+            pos = jnp.arange(T) if offset is None else offset + jnp.arange(T)
+            q = rope(q, pos, self.rope_base)
+            k = rope(k, pos, self.rope_base)
+        rep = H // Hkv
+
+        def expand_kv(t):  # (B, S, Hkv, hd) -> (B, S, H, hd) query groups
+            if rep == 1:
+                return t
+            return jnp.repeat(t, rep, axis=2)
         # context-parallel path: exact ring attention over the sequence
         # shards (parallel/ring_attention.py).  Like flash, attention-prob
         # dropout has no ring equivalent — an active drop falls back to the
@@ -99,7 +145,7 @@ class CausalSelfAttention(nn.Module):
                          and self.mesh.shape["model"] > 1
                          and H % self.mesh.shape["model"] == 0 else None)
             out = ring_attention(
-                q, k, v, self.mesh, axis=self.cp_axis,
+                q, expand_kv(k), expand_kv(v), self.mesh, axis=self.cp_axis,
                 batch_axis="data" if "data" in names else None,
                 head_axis=head_axis).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
@@ -112,31 +158,33 @@ class CausalSelfAttention(nn.Module):
                 flash_attention,
             )
 
-            out = flash_attention(q, k, v).reshape(B, T, D)
+            out = flash_attention(q, expand_kv(k), expand_kv(v)).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
         if decode:
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
             M = self.max_len
-            ck = self.variable("cache", "k", jnp.zeros, (B, M, H, hd), x.dtype)
-            cv = self.variable("cache", "v", jnp.zeros, (B, M, H, hd), x.dtype)
+            ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd), x.dtype)
+            cv = self.variable("cache", "v", jnp.zeros, (B, M, Hkv, hd), x.dtype)
             off = jnp.asarray(0 if offset is None else offset, jnp.int32)
             ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, off, 0, 0))
             cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, off, 0, 0))
-            att = jnp.einsum("bqhd,bkhd->bhqk", q, ck.value) / math.sqrt(hd)
+            att = jnp.einsum("bqhd,bkhd->bhqk", q,
+                             expand_kv(ck.value)) / math.sqrt(hd)
             q_pos = off + jnp.arange(T)                       # (T,)
             mask = jnp.arange(M)[None, :] <= q_pos[:, None]   # (T, M) causal
             att = jnp.where(mask[None, None], att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", att, cv.value).reshape(B, T, D)
+            out = jnp.einsum("bhqk,bkhd->bqhd", att,
+                             expand_kv(cv.value)).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
         mask = jnp.tril(jnp.ones((T, T), bool))
         att = jnp.where(mask, att, -1e30)
         att = jax.nn.softmax(att, axis=-1)
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, expand_kv(v)).reshape(B, T, D)
         return nn.Dense(D, name="out")(out)
 
 
@@ -245,6 +293,9 @@ class TransformerBlock(nn.Module):
     max_len: int = 0
     flash: bool = False
     cp_axis: Optional[str] = None   # context parallelism (ring attention)
+    n_kv_heads: int = 0
+    use_rope: bool = False
+    rope_base: float = 10000.0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -265,6 +316,9 @@ class TransformerBlock(nn.Module):
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
                                     max_len=self.max_len, flash=self.flash,
                                     mesh=self.mesh, cp_axis=self.cp_axis,
+                                    n_kv_heads=self.n_kv_heads,
+                                    use_rope=self.use_rope,
+                                    rope_base=self.rope_base,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
@@ -308,6 +362,10 @@ class TransformerLM(nn.Module):
     cp_axis: str = "context"        # over this mesh axis (seq len must
                                     # divide its size)
     flash_attention: bool = False   # or env NNL_FLASH_ATTENTION=1
+    n_kv_heads: int = 0             # < n_heads → grouped-query attention
+                                    # (KV cache shrinks by n_heads/n_kv_heads)
+    pos_embedding: str = "learned"  # 'learned' (GPT-2 style) or 'rope'
+    rope_base: float = 10000.0
 
     head_prefixes = ("word_embed",)
 
@@ -323,11 +381,17 @@ class TransformerLM(nn.Module):
             raise ValueError(f"sequence length {T} > max_len {self.max_len}")
         d_ff = self.d_ff or 4 * self.d_model
 
+        if self.pos_embedding not in ("learned", "rope"):
+            raise ValueError(
+                f"pos_embedding must be 'learned' or 'rope', "
+                f"got {self.pos_embedding!r}")
+        use_rope = self.pos_embedding == "rope"
         emb = self.param("word_embed",
                          nn.initializers.normal(0.02),
                          (self.vocab_size, self.d_model))
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (self.max_len, self.d_model))
+        pos = None if use_rope else self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (self.max_len, self.d_model))
         offset = None
         if decode:
             # one shared position counter; each attention layer writes its
@@ -335,11 +399,15 @@ class TransformerLM(nn.Module):
             idx = self.variable("cache", "idx",
                                 lambda: jnp.zeros((), jnp.int32))
             offset = idx.value
-            pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T, axis=0)
-            h = jnp.take(emb, x, axis=0) + pos_t[None]
+            h = jnp.take(emb, x, axis=0)
+            if pos is not None:
+                pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T, axis=0)
+                h = h + pos_t[None]
             idx.value = offset + T
         else:
-            h = jnp.take(emb, x, axis=0) + pos[None, :T]
+            h = jnp.take(emb, x, axis=0)
+            if pos is not None:
+                h = h + pos[None, :T]
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
 
@@ -363,6 +431,8 @@ class TransformerLM(nn.Module):
                 capacity_factor=self.capacity_factor,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
+                n_kv_heads=self.n_kv_heads, use_rope=use_rope,
+                rope_base=self.rope_base,
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux

@@ -287,3 +287,125 @@ def test_checkpoint_roundtrip():
     np.testing.assert_allclose(
         float(v0[0] if isinstance(v0, (list, tuple)) else v0),
         float(v1[0] if isinstance(v1, (list, tuple)) else v1), rtol=1e-6)
+
+
+# --------------------------------------------- GQA + RoPE
+
+
+def test_rope_properties():
+    """Rotation preserves norms, position 0 is the identity, and q·k depends
+    only on the RELATIVE distance (shift both positions → same scores)."""
+    from neuralnetworklibrary_tpu.nn.transformer import rope
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (2, 8, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (2, 8, 4, 16)), jnp.float32)
+    pos = jnp.arange(8)
+    rq = rope(q, pos)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rq), axis=-1),
+                               np.linalg.norm(np.asarray(q), axis=-1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rq[:, 0]), np.asarray(q[:, 0]),
+                               atol=1e-6)
+    s0 = jnp.einsum("bqhd,bkhd->bhqk", rope(q, pos), rope(k, pos))
+    s7 = jnp.einsum("bqhd,bkhd->bhqk", rope(q, pos + 7), rope(k, pos + 7))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s7),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gqa_rope_decode_matches_full_forward():
+    """GQA (2 KV heads for 4 query heads) + RoPE: the cached decode path —
+    Hkv-head cache, post-rotation K, offset positions — reproduces the full
+    forward exactly; the cache really is n_kv_heads wide."""
+    model = _model(n_kv_heads=2, pos_embedding="rope")
+    x = _batch(3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "pos_embed" not in variables["params"]
+    full = model.apply(variables, x)[0]
+
+    cache = init_cache(model, B)
+    assert cache["block_0"]["attn"]["k"].shape == (B, 64, 2, D // HEADS)
+    out, mut = model.apply({**variables, "cache": cache}, x[:, :4],
+                           decode=True, mutable=["cache"])
+    got = [out[0]]
+    cache = mut["cache"]
+    for t in range(4, T):
+        out, mut = model.apply({**variables, "cache": cache}, x[:, t:t + 1],
+                               decode=True, mutable=["cache"])
+        got.append(out[0])
+        cache = mut["cache"]
+    got = jnp.concatenate(got, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gqa_equals_mha_oracle():
+    """n_kv_heads=1 (MQA): attention must equal the einsum oracle built by
+    broadcasting the single KV head to every query head."""
+    model = _model(n_kv_heads=1, pos_embedding="rope", n_layers=1)
+    x = _batch(4)
+    variables = model.init(jax.random.PRNGKey(2), x)
+    out = model.apply(variables, x)[0]
+    assert out.shape == (B, T, V)
+    # causality still holds under GQA + RoPE
+    t = 5
+    x2 = x.at[:, t].set((x[:, t] + 3) % V)
+    out2 = model.apply(variables, x2)[0]
+    np.testing.assert_allclose(np.asarray(out[:, :t]),
+                               np.asarray(out2[:, :t]), atol=1e-5)
+    assert np.abs(np.asarray(out[:, t:]) - np.asarray(out2[:, t:])).max() > 1e-3
+
+
+def test_gqa_rejects_indivisible_heads():
+    model = _model(n_kv_heads=3)
+    with pytest.raises(ValueError, match="n_kv_heads"):
+        model.init(jax.random.PRNGKey(0), _batch())
+
+
+def test_gqa_rope_tp_matches_dp():
+    """GQA + RoPE under tensor parallelism: dp8 == dp4×tp2 trajectories
+    (the fused [q|k|v] projection stays valid under the Megatron rule)."""
+    kw = dict(n_kv_heads=2, pos_embedding="rope")
+    dp_losses, _ = _train(get_mesh(8), None, **kw)
+    mesh = get_mesh_2d(4, 2)
+    tp_losses, learner = _train(mesh, transformer_param_rule(mesh),
+                                mesh=mesh, **kw)
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-3, atol=1e-4)
+    assert not learner.params["block_0"]["attn"]["qkv"]["kernel"].sharding.is_fully_replicated
+
+
+def test_gqa_rope_cp_matches_dp():
+    """GQA + RoPE under context parallelism (ring attention expands the KV
+    groups before the ring) — still exactly the data-parallel numerics."""
+    kw = dict(n_kv_heads=2, pos_embedding="rope")
+    dp_losses, _ = _train(get_mesh(8), None, **kw)
+    mesh = get_mesh_2d(4, 2, axis_names=("data", "context"))
+    cp_losses, _ = _train(mesh, None, mesh=mesh, cp=True, **kw)
+    np.testing.assert_allclose(cp_losses, dp_losses, rtol=2e-3, atol=1e-4)
+
+
+def test_gqa_rope_flash_matches_einsum():
+    """flash=True with GQA + RoPE (KV expanded before the kernel) matches
+    the einsum path logits exactly at T a multiple of 128."""
+    model_e = _model(n_kv_heads=2, pos_embedding="rope", max_len=128)
+    model_f = _model(n_kv_heads=2, pos_embedding="rope", max_len=128,
+                     flash_attention=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.integers(0, V, (2, 128)), jnp.int32)
+    variables = model_e.init(jax.random.PRNGKey(0), x)
+    out_e = model_e.apply(variables, x)[0]
+    out_f = model_f.apply(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gqa_rope_generate():
+    """End-to-end: a GQA+RoPE model trains through the Learner and its
+    KV-cached greedy generation continues the (t+1)-mod-V stream."""
+    losses, learner = _train(None, None, n_steps=60, n_kv_heads=2,
+                             pos_embedding="rope")
+    assert losses[-1] < 0.6 * losses[0]
+    prompt = ((np.arange(6) + 11) % V).astype(np.int32)[None, :]
+    toks = generate(learner.model, learner.params, prompt, n=4, k=1)
+    expect = [(prompt[0, -1] + 1 + i) % V for i in range(4)]
+    assert np.asarray(toks)[0].tolist() == expect
