@@ -95,6 +95,7 @@ class Learner:
         compute_dtype=None,
         zero_sharding: bool = False,
         fsdp_sharding: bool = False,
+        grad_accum: int = 1,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -150,6 +151,21 @@ class Learner:
             raise ValueError(
                 f"batch size {data.bs} must be divisible by the data-parallel "
                 f"mesh size {self.mesh.shape['data']}"
+            )
+        # grad_accum > 1: each train step runs `grad_accum` sequential
+        # microbatches inside the jit (lax.scan) and applies the AVERAGED
+        # gradient once — peak activation memory / grad_accum, so effective
+        # batch sizes beyond HBM fit.  Microbatches shard over 'data' too.
+        self.grad_accum = max(1, int(grad_accum))
+        if data.bs % (self.grad_accum * self.mesh.shape["data"]) != 0:
+            raise ValueError(
+                f"batch size {data.bs} must be divisible by grad_accum × dp "
+                f"= {self.grad_accum} × {self.mesh.shape['data']}"
+            )
+        if self.grad_accum > 1 and hasattr(model, "loss_and_grad"):
+            raise ValueError(
+                "grad_accum does not compose with models that own their "
+                "loss_and_grad (pipeline schedules already microbatch)"
             )
 
         self.rng = jax.random.PRNGKey(seed)
@@ -413,13 +429,15 @@ class Learner:
         # -> ((loss, new_state), grads); frozen-group grads are zeroed here.
         custom_vag = getattr(model, "loss_and_grad", None)
 
+        accum = max(1, int(getattr(self, "grad_accum", 1)))
+
         def body(params, state, opt_state, ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng):
             if pipeline is not None:
                 rng, aug_key = jax.random.split(rng)
                 xs = pipeline(aug_key, xs, True)
             xs = self._cast_compute(xs)
 
-            def loss_fn(p):
+            def loss_fn(p, state, xs, y, mask, rng):
                 flat = flatten_params(p)
                 for path, t in zip(part.paths, trainable):
                     if not t:
@@ -447,8 +465,37 @@ class Learner:
                     if not t:
                         flat[path] = jnp.zeros_like(flat[path])
                 grads = unflatten_params(flat)
+            elif accum > 1:
+                # gradient accumulation: the batch splits into `accum`
+                # sequential microbatches inside ONE jitted step — peak
+                # activation memory drops by the accumulation factor while
+                # the optimizer sees the averaged gradient.  Exactly the
+                # full-batch gradient when every row is valid; with partial
+                # masks each microbatch's masked mean carries equal weight
+                # (the torch-style accumulation semantics).
+                def split(t):
+                    return jax.tree_util.tree_map(
+                        lambda a: a.reshape((accum, a.shape[0] // accum)
+                                            + a.shape[1:]), t)
+
+                def acc_step(carry, inp):
+                    st, gsum, lsum = carry
+                    xs_i, y_i, mask_i, r = inp
+                    (l, st), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        params, st, xs_i, y_i, mask_i, r)
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                    return (st, gsum, lsum + l), None
+
+                gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (new_state, gsum, lsum), _ = jax.lax.scan(
+                    acc_step, (state, gzero, jnp.zeros(())),
+                    (split(xs), split(y), split(mask),
+                     jax.random.split(rng, accum)))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                loss = lsum / accum
             else:
-                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, state, xs, y, mask, rng)
             params, opt_state = opt.apply(
                 params, grads, opt_state, part, trainable,
                 lr_groups=lr_g, wd_groups=wd_g, mom=mom, beta1=b1, beta2=b2, clip=clip,
