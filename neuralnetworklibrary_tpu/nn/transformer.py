@@ -475,14 +475,22 @@ def init_cache(model: TransformerLM, bs: int):
 
 def generate(model: TransformerLM, params, prompt, n: int, k: int = 5,
              temperature: float = 1.0, seed: int = 0,
-             exclude_tokens: int = 0):
-    """Top-k sampled continuation: ONE prefill pass over the whole prompt
-    fills every layer's KV cache, then a jitted ``lax.scan`` emits n tokens
-    with one-token cached steps — no recompilation, no quadratic re-decode.
+             exclude_tokens: int = 0, top_p: float = 1.0,
+             repetition_penalty: float = 1.0):
+    """Top-k / nucleus sampled continuation: ONE prefill pass over the whole
+    prompt fills every layer's KV cache, then a jitted ``lax.scan`` emits n
+    tokens with one-token cached steps — no recompilation, no quadratic
+    re-decode.
 
     Reference semantics (Applications/Text.py:655-676 predict_from_string):
     sample from the renormalized top-k of the next-token distribution;
     ``exclude_tokens`` masks the first E vocab ids (special tokens).
+    Serving extensions beyond the reference:
+    - ``top_p`` < 1: nucleus sampling — keep the smallest prefix of the
+      (top-k) distribution whose mass reaches top_p, renormalize, sample.
+    - ``repetition_penalty`` > 1: CTRL-style — logits of every token
+      already emitted (or in the prompt) are divided by the penalty when
+      positive, multiplied when negative.
 
     prompt: (B, Tp) int32.  Returns (B, n) int32 sampled tokens.
     """
@@ -491,12 +499,24 @@ def generate(model: TransformerLM, params, prompt, n: int, k: int = 5,
         raise ValueError(
             f"prompt ({Tp}) + generated ({n}) tokens exceed max_len "
             f"{model.max_len}; raise max_len or shorten the prompt")
+    V = model.vocab_size
 
-    def sample(key, logits):
+    def sample(key, logits, seen):
+        if repetition_penalty != 1.0:
+            pen = jnp.where(logits > 0, logits / repetition_penalty,
+                            logits * repetition_penalty)
+            logits = jnp.where(seen > 0, pen, logits)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if exclude_tokens > 0:
             logits = logits.at[..., :exclude_tokens].set(-jnp.inf)
         vals, idxs = jax.lax.top_k(logits, k)
+        if top_p < 1.0:
+            # nucleus over the (already sorted-descending) top-k: drop
+            # tokens once the cumulative mass BEFORE them reaches top_p
+            # (the argmax always survives)
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1) - probs
+            vals = jnp.where(cum < top_p, vals, -jnp.inf)
         # categorical over the k logits == sampling the renormalized top-k
         choice = jax.random.categorical(key, vals)
         return jnp.take_along_axis(idxs, choice[..., None], -1)[..., 0]
@@ -506,17 +526,20 @@ def generate(model: TransformerLM, params, prompt, n: int, k: int = 5,
         out, mut = model.apply({"params": params, "cache": cache}, prompt,
                                decode=True, mutable=["cache"])
         last = out[0][:, -1]
+        seen = (jax.nn.one_hot(prompt, V, dtype=jnp.int32).sum(1)
+                if repetition_penalty != 1.0 else jnp.zeros((B, V), jnp.int32))
 
         def step(carry, key):
-            cache, last = carry
-            tok = sample(key, last)
+            cache, last, seen = carry
+            tok = sample(key, last, seen)
+            seen = seen + jax.nn.one_hot(tok, V, dtype=jnp.int32)
             out, mut = model.apply({"params": params, "cache": cache},
                                    tok[:, None], decode=True,
                                    mutable=["cache"])
-            return (mut["cache"], out[0][:, -1]), tok
+            return (mut["cache"], out[0][:, -1], seen), tok
 
-        (_, _), toks = jax.lax.scan(step, (mut["cache"], last),
-                                    jax.random.split(key, n))
+        (_, _, _), toks = jax.lax.scan(step, (mut["cache"], last, seen),
+                                       jax.random.split(key, n))
         return toks.T                                      # (B, n)
 
     cache = init_cache(model, B)

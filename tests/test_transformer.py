@@ -409,3 +409,43 @@ def test_gqa_rope_generate():
     toks = generate(learner.model, learner.params, prompt, n=4, k=1)
     expect = [(prompt[0, -1] + 1 + i) % V for i in range(4)]
     assert np.asarray(toks)[0].tolist() == expect
+
+
+# --------------------------------------------- sampling controls
+
+
+def test_top_p_tiny_equals_greedy():
+    """top_p → 0 keeps only the argmax token: nucleus sampling at any seed
+    must reproduce greedy (k=1) decoding."""
+    model = _model()
+    x = _batch(6)[:, :5]
+    variables = model.init(jax.random.PRNGKey(1), x)
+    greedy = generate(model, variables["params"], x, n=8, k=1, seed=0)
+    nucleus = generate(model, variables["params"], x, n=8, k=5, seed=123,
+                       top_p=1e-6)
+    np.testing.assert_array_equal(np.asarray(nucleus), np.asarray(greedy))
+
+
+def test_top_p_one_is_plain_topk():
+    model = _model()
+    x = _batch(6)[:, :5]
+    variables = model.init(jax.random.PRNGKey(1), x)
+    a = generate(model, variables["params"], x, n=8, k=5, seed=3)
+    b = generate(model, variables["params"], x, n=8, k=5, seed=3, top_p=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repetition_penalty_breaks_loops():
+    """Train the mod-V stream model briefly, then force a degenerate prompt
+    of one repeated token: a strong penalty must yield fewer repeats of any
+    single token than unpenalized greedy decoding."""
+    _, learner = _train(None, None, n_steps=40)
+    prompt = np.full((1, 6), 7, np.int32)
+    plain = np.asarray(generate(learner.model, learner.params, prompt,
+                                n=12, k=1))
+    pen = np.asarray(generate(learner.model, learner.params, prompt,
+                              n=12, k=1, repetition_penalty=5.0))
+    def max_count(seq):
+        return max(np.bincount(seq.ravel(), minlength=V).max(), 0)
+    assert max_count(pen) <= max_count(plain)
+    assert len(np.unique(pen)) >= len(np.unique(plain))
