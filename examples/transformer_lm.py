@@ -6,6 +6,8 @@ workflow with the transformer).
 Run:  python examples/transformer_lm.py            # synthetic corpus
       python examples/transformer_lm.py --moe      # mixture-of-experts FFN
       python examples/transformer_lm.py --mesh 4x2 # dp4 x tp2 (+SP) sharded
+      python examples/transformer_lm.py --gqa 2 --rope   # GQA + rotary
+      python examples/transformer_lm.py --quantize       # int8 serving demo
 
 Demonstrates: LanguageModelDataObj windows → TransformerLM (optionally MoE)
 → Learner fit_one_cycle → KV-cached top-k generation
@@ -58,6 +60,14 @@ def main():
     ap.add_argument("--moe", action="store_true", help="MoE feed-forward")
     ap.add_argument("--mesh", default="", help="e.g. 4x2 for dp4 x tp2")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--gqa", type=int, default=0,
+                    help="n_kv_heads < n_heads: grouped-query attention")
+    ap.add_argument("--rope", action="store_true",
+                    help="rotary position embeddings instead of learned")
+    ap.add_argument("--top-p", type=float, default=1.0,
+                    help="nucleus sampling threshold for the demo generation")
+    ap.add_argument("--quantize", action="store_true",
+                    help="also run int8 weight-only quantized inference")
     args = ap.parse_args()
 
     docs = synthetic_corpus()
@@ -81,6 +91,8 @@ def main():
         vocab_size=len(data.stoi), pad_token=data.stoi["_pad_"],
         d_model=128, n_heads=4, n_layers=4, max_len=256, drop=0.1,
         n_experts=4 if args.moe else 0, moe_every=2,
+        n_kv_heads=args.gqa,
+        pos_embedding="rope" if args.rope else "learned",
         mesh=mesh, sp=mesh is not None)
     loss = MoESeqCrossEntropyLoss(0.01) if args.moe else SeqCrossEntropyLoss()
     learner = Learner("/tmp/nnl_example_tfm", data, model, "Adam2",
@@ -93,6 +105,32 @@ def main():
     out = transformer_predict_from_string(learner, prompt, n=12, k=3, seed=0)
     print(f"\nprompt:       {prompt}")
     print(f"continuation: {out}")
+
+    if args.quantize:
+        # int8 weight-only serving: resident weights ~4x smaller, dequant
+        # fused into the matmuls; compare next-token agreement vs float
+        import jax
+        import jax.numpy as jnp
+
+        from neuralnetworklibrary_tpu.utils.quantize import (
+            make_quantized_inference_fn,
+            quantization_report,
+            quantize_params,
+        )
+
+        rep = quantization_report(
+            learner.params, quantize_params(jax.device_get(learner.params)))
+        fn, qparams = make_quantized_inference_fn(learner, postprocess=None)
+        xb = next(iter(data.val_dl))
+        logits_q = jax.jit(fn)(qparams, jnp.asarray(xb.xs[0]))[0]
+        logits_f = learner.model.apply(
+            {"params": learner.params, **learner.state},
+            jnp.asarray(xb.xs[0]))[0]
+        agree = float(
+            (jnp.argmax(logits_q, -1) == jnp.argmax(logits_f, -1)).mean())
+        print(f"\nint8 serving: {rep['compression']:.1f}x smaller weights "
+              f"({rep['n_quantized']} tensors), next-token agreement "
+              f"{agree:.3f}")
 
 
 if __name__ == "__main__":
