@@ -66,6 +66,11 @@ if SMOKE:
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
+    # the vision sections must shrink too: senet154 @224 bs64 over 512
+    # images runs ~0.6 img/s on a 1-CPU host — a full-shape "smoke" takes
+    # hours and checks nothing extra
+    IMG_ROOT = "/tmp/nnl_bench_dogscats_smoke"
+    N_IMAGES, BS, SZ = 64, 16, 64
 
 
 def make_dataset():

@@ -575,6 +575,11 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
     over '{axis}'); MoE expert weights shard their leading E axis; embeddings,
     layernorms, biases and the gate replicate.  Substring matching covers the
     optimizer-moment trees (their paths embed the param path).
+
+    GQA note: with ``n_kv_heads`` the fused projection is [q|k|v] of widths
+    (H, Hkv, Hkv)·hd; the column sharding stays numerically exact for any
+    divisible total (GSPMD reshards the q/k/v slices as needed), and the
+    zero-communication head split holds whenever tp divides Hkv.
     """
     col = ("qkv", "fc_in")
     row = ("out", "fc_out")
