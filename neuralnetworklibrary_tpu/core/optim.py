@@ -84,7 +84,7 @@ class Optimizer:
 
     @property
     def uses_betas(self) -> bool:
-        return self.kind == "adam"
+        return self.kind in ("adam", "lamb")
 
     # -- functional state ---------------------------------------------------
 
@@ -102,7 +102,7 @@ class Optimizer:
                 zeros = jnp.zeros_like(leaf)
                 if self.kind == "sgd":
                     state[path] = {"buf": zeros}
-                elif self.kind == "adam":
+                elif self.kind in ("adam", "lamb"):
                     state[path] = {
                         "m": zeros,
                         "v": zeros,
@@ -161,7 +161,9 @@ class Optimizer:
 
         # 1) decoupled weight decay: p *= 1 - wd*lr (Optimizer.py:60-67),
         #    applied to trainable non-bn params, and to bn params iff bn_wd.
-        if wd_groups is not None:
+        #    LAMB instead folds wd into the trust-ratio update (step 3), per
+        #    the paper: the ratio must see ||m̂/√v̂ + wd·p||.
+        if wd_groups is not None and self.kind != "lamb":
             for path in paths:
                 i = idx_of[path]
                 if not trainable[i]:
@@ -201,6 +203,25 @@ class Optimizer:
                 buf = slots["buf"] * mom + g if mom is not None else g
                 new_p[path] = p - lr * buf
                 new_s[path] = {"buf": buf}
+            elif self.kind == "lamb":
+                # LAMB (You et al. 2020): Adam moments, then a per-leaf
+                # trust ratio ||p|| / ||update|| scales the step — layer-wise
+                # adaptive lr that keeps large-batch training stable.
+                t = slots["t"] + 1
+                m = b1 * slots["m"] + (1.0 - b1) * g
+                v = b2 * slots["v"] + (1.0 - b2) * jnp.square(g)
+                tf = t.astype(jnp.float32)
+                m_hat = m / (1.0 - jnp.power(b1, tf))
+                v_hat = v / (1.0 - jnp.power(b2, tf))
+                upd = m_hat / (jnp.sqrt(v_hat) + self.eps)
+                if wd_groups is not None and (bn_wd or not partition.is_bn[i]):
+                    upd = upd + wd_groups[partition.group_idx[i]] * p
+                p_norm = jnp.linalg.norm(p.ravel())
+                u_norm = jnp.linalg.norm(upd.ravel())
+                trust = jnp.where((p_norm > 0.0) & (u_norm > 0.0),
+                                  p_norm / jnp.maximum(u_norm, 1e-12), 1.0)
+                new_p[path] = p - lr * trust * upd
+                new_s[path] = {"m": m, "v": v, "t": t}
             else:  # adam
                 t = slots["t"] + 1
                 m = b1 * slots["m"] + (1.0 - b1) * g
@@ -258,5 +279,9 @@ opt_dict: dict[str, dict] = {
     "SGD_Mom": {"kind": "sgd", "momentum": 0.9},
     "Adam": {"kind": "adam", "betas": (0.9, 0.999)},
     "Adam2": {"kind": "adam", "betas": (0.9, 0.99)},
+    # beyond reference parity: layer-wise adaptive optimizer for large-batch
+    # training (LAMB, You et al. 2020) — the natural pairing for the
+    # data-parallel mesh + grad_accum effective-batch scaling
+    "LAMB": {"kind": "lamb", "betas": (0.9, 0.999)},
 }
 opt_dict["default"] = opt_dict["SGD_Mom"]
