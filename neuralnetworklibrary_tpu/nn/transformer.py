@@ -366,6 +366,10 @@ class TransformerLM(nn.Module):
                                     # (KV cache shrinks by n_heads/n_kv_heads)
     pos_embedding: str = "learned"  # 'learned' (GPT-2 style) or 'rope'
     rope_base: float = 10000.0
+    fused_ce: bool = False          # full-sequence forward returns (h, emb)
+                                    # for FusedSeqCrossEntropyLoss — the
+                                    # (B,T,V) logits are never materialized
+                                    # (ops/chunked_ce.py); decode unchanged
 
     head_prefixes = ("word_embed",)
 
@@ -437,14 +441,52 @@ class TransformerLM(nn.Module):
                                    offset=offset)
             aux_total = aux_total + aux
         h = nn.LayerNorm(name="ln_f")(h)
+        n_moe = max(1, self.n_layers // max(1, self.moe_every))
+        if self.fused_ce and not decode:
+            # hand the loss the decoder INPUTS; chunked_softmax_ce streams
+            # the vocab so the (B,T,V) logits never exist.  Gradients reach
+            # the tied embedding through the returned emb leaf.
+            if self.n_experts > 0:
+                return h, emb, aux_total / n_moe
+            return h, emb
         logits = jnp.einsum("btd,vd->btv", h, emb)
         if self.n_experts > 0:
-            return logits, h, aux_total / max(1, self.n_layers // max(1, self.moe_every))
+            return logits, h, aux_total / n_moe
         return logits, h
 
     @classmethod
     def from_dataobj(cls, data, **kw):
         return cls(vocab_size=len(data.stoi), pad_token=data.stoi["_pad_"], **kw)
+
+
+class FusedSeqCrossEntropyLoss:
+    """Sequence CE over the fused decoder outputs of
+    ``TransformerLM(fused_ce=True)`` — y_pred is (h, emb[, moe_aux]); the
+    loss streams the vocabulary in ``chunk``-column blocks
+    (ops/chunked_ce.py) so the full logits tensor is never built.
+    ``balance_weight`` adds the MoE load-balance aux when present.
+    Equals SeqCrossEntropyLoss on the materialized logits exactly."""
+
+    def __init__(self, chunk: int = 8192, balance_weight: float = 0.0):
+        self.chunk = chunk
+        self.balance_weight = balance_weight
+
+    def __call__(self, outputs, target, mask=None):
+        from neuralnetworklibrary_tpu.ops.chunked_ce import chunked_softmax_ce
+
+        h, emb = outputs[0], outputs[1]
+        if mask is None:
+            tok_mask = jnp.ones(target.shape, jnp.float32)
+        elif getattr(mask, "ndim", 0) == 1:
+            tok_mask = jnp.broadcast_to(
+                mask[:, None].astype(jnp.float32), target.shape)
+        else:
+            tok_mask = mask.astype(jnp.float32)
+        loss = chunked_softmax_ce(h, emb, target.astype(jnp.int32),
+                                  tok_mask, self.chunk)
+        if len(outputs) > 2 and self.balance_weight:
+            loss = loss + self.balance_weight * outputs[2]
+        return loss
 
 
 class MoESeqCrossEntropyLoss:
