@@ -589,6 +589,94 @@ def generate(model: TransformerLM, params, prompt, n: int, k: int = 5,
                jax.random.PRNGKey(seed))
 
 
+def beam_search(model: TransformerLM, params, prompt, n: int, beam: int = 4,
+                exclude_tokens: int = 0):
+    """Deterministic beam-search continuation over the KV-cached decoder.
+
+    One prefill fills the cache, the cache is tiled beam-wise, and a jitted
+    ``lax.scan`` expands all beams per step — top-``beam`` over the joint
+    (parent beam × vocab) scores, with every layer's KV cache reordered to
+    follow the surviving parents (a gather over the beam axis; static
+    shapes, no recompilation).
+
+    prompt: (B, Tp) int32.  Returns (tokens (B, n) int32 — the highest
+    log-probability beam — and its total log-prob (B,) float32).
+    beam=1 reduces exactly to greedy decoding.
+    """
+    B, Tp = prompt.shape
+    if Tp + n > model.max_len:
+        raise ValueError(
+            f"prompt ({Tp}) + generated ({n}) tokens exceed max_len "
+            f"{model.max_len}; raise max_len or shorten the prompt")
+    V = model.vocab_size
+
+    def logp_of(logits):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if exclude_tokens > 0:
+            lp = lp.at[..., :exclude_tokens].set(-jnp.inf)
+        return lp
+
+    @jax.jit
+    def run(params, cache, prompt):
+        out, mut = model.apply({"params": params, "cache": cache}, prompt,
+                               decode=True, mutable=["cache"])
+        last_lp = logp_of(out[0][:, -1])                     # (B, V)
+
+        # beam-tile every cache leaf: (B, ...) -> (B·beam, ...)
+        def tile(x):
+            return (jnp.repeat(x, beam, axis=0)
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B else x)
+
+        cache = jax.tree_util.tree_map(tile, mut["cache"])
+        # step-0 scores: only beam 0 live (all beams share the prompt)
+        init_scores = jnp.broadcast_to(
+            jnp.where(jnp.arange(beam) == 0, 0.0, -jnp.inf),
+            (B, beam))                                       # (B, beam)
+        init_lp = jnp.repeat(last_lp[:, None], beam, axis=1)  # (B, beam, V)
+
+        def step(carry, _):
+            cache, scores, lp = carry
+            total = scores[:, :, None] + lp                  # (B, beam, V)
+            top, idx = jax.lax.top_k(total.reshape(B, beam * V), beam)
+            parent = idx // V                                # (B, beam)
+            tok = (idx % V).astype(jnp.int32)
+
+            def reorder(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B * beam:
+                    xb = x.reshape(B, beam, *x.shape[1:])
+                    pb = parent.reshape(B, beam,
+                                        *([1] * (x.ndim - 1))).astype(jnp.int32)
+                    return jnp.take_along_axis(
+                        xb, jnp.broadcast_to(pb, (B, beam) + x.shape[1:]),
+                        axis=1).reshape(x.shape)
+                return x
+
+            cache = jax.tree_util.tree_map(reorder, cache)
+            out, mut = model.apply({"params": params, "cache": cache},
+                                   tok.reshape(B * beam, 1), decode=True,
+                                   mutable=["cache"])
+            lp = logp_of(out[0][:, -1]).reshape(B, beam, V)
+            return (mut["cache"], top, lp), (tok, parent)
+
+        (_, scores, _), (toks, parents) = jax.lax.scan(
+            step, (cache, init_scores, init_lp), None, length=n)
+
+        # backtrack the argmax beam through the parent pointers
+        def backtrack(carry, inp):
+            b = carry                                        # (B,) beam idx
+            tok, parent = inp                                # (B, beam) each
+            t = jnp.take_along_axis(tok, b[:, None], 1)[:, 0]
+            b = jnp.take_along_axis(parent, b[:, None], 1)[:, 0]
+            return b, t
+
+        best = jnp.argmax(scores, axis=-1)                   # (B,)
+        _, rev = jax.lax.scan(backtrack, best, (toks, parents), reverse=True)
+        return rev.T, jnp.max(scores, axis=-1)               # (B, n), (B,)
+
+    cache = init_cache(model, B)
+    return run(params, cache, jnp.asarray(prompt, jnp.int32))
+
+
 def transformer_predict_from_string(learner, s: str, n: int, k: int = 5,
                                     temperature: float = 1.0, seed: int = 0):
     """String-level continuation for a Learner-trained TransformerLM —

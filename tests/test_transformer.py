@@ -449,3 +449,58 @@ def test_repetition_penalty_breaks_loops():
         return max(np.bincount(seq.ravel(), minlength=V).max(), 0)
     assert max_count(pen) <= max_count(plain)
     assert len(np.unique(pen)) >= len(np.unique(plain))
+
+
+# --------------------------------------------- beam search
+
+
+def test_beam1_equals_greedy():
+    from neuralnetworklibrary_tpu.nn.transformer import beam_search
+
+    model = _model()
+    x = _batch(8)[:, :5]
+    variables = model.init(jax.random.PRNGKey(2), x)
+    greedy = generate(model, variables["params"], x, n=6, k=1)
+    toks, scores = beam_search(model, variables["params"], x, n=6, beam=1)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(greedy))
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_beam_score_is_exact_and_not_worse_than_greedy():
+    """The returned score equals the sequence's true summed log-prob under
+    an incremental full forward, and beam=4 never scores below greedy."""
+    from neuralnetworklibrary_tpu.nn.transformer import beam_search
+
+    _, learner = _train(None, None, n_steps=25)
+    model, params = learner.model, learner.params
+    variables = {"params": params}
+    x = _batch(11)[:2, :5]
+    n = 5
+
+    def true_logp(prompt, toks):
+        seq = np.asarray(prompt)
+        total = np.zeros(len(seq))
+        for t in range(toks.shape[1]):
+            logits = model.apply(variables, jnp.asarray(seq))[0][:, -1]
+            lp = np.asarray(jax.nn.log_softmax(logits, -1))
+            total += lp[np.arange(len(seq)), np.asarray(toks)[:, t]]
+            seq = np.concatenate([seq, np.asarray(toks)[:, t:t + 1]], 1)
+        return total
+
+    b_toks, b_scores = beam_search(model, params, x, n=n, beam=4)
+    np.testing.assert_allclose(np.asarray(b_scores),
+                               true_logp(x, np.asarray(b_toks)), rtol=2e-4,
+                               atol=1e-4)
+    g_toks = generate(model, params, x, n=n, k=1)
+    g_scores = true_logp(x, np.asarray(g_toks))
+    assert (np.asarray(b_scores) >= g_scores - 1e-4).all()
+
+
+def test_beam_search_rejects_overflow():
+    from neuralnetworklibrary_tpu.nn.transformer import beam_search
+
+    model = _model(max_len=16)
+    x = _batch(0)[:, :10]
+    variables = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="max_len"):
+        beam_search(model, variables["params"], x, n=10)
