@@ -96,6 +96,7 @@ class Learner:
         zero_sharding: bool = False,
         fsdp_sharding: bool = False,
         grad_accum: int = 1,
+        mixup: float = 0.0,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -166,6 +167,15 @@ class Learner:
             raise ValueError(
                 "grad_accum does not compose with models that own their "
                 "loss_and_grad (pipeline schedules already microbatch)"
+            )
+        # mixup (train-time only): λ ~ Beta(α, α) input blending with the
+        # two-term loss convention; runs inside the jitted loss so it
+        # composes with grad_accum.  0 = off.
+        self.mixup = float(mixup)
+        if self.mixup > 0.0 and hasattr(model, "loss_and_grad"):
+            raise ValueError(
+                "mixup does not compose with models that own their "
+                "loss_and_grad"
             )
 
         self.rng = jax.random.PRNGKey(seed)
@@ -437,6 +447,8 @@ class Learner:
                 xs = pipeline(aug_key, xs, True)
             xs = self._cast_compute(xs)
 
+            mixup = float(getattr(self, "mixup", 0.0))
+
             def loss_fn(p, state, xs, y, mask, rng):
                 flat = flatten_params(p)
                 for path, t in zip(part.paths, trainable):
@@ -444,6 +456,21 @@ class Learner:
                         flat[path] = jax.lax.stop_gradient(flat[path])
                 p = self._cast_compute(unflatten_params(flat))
                 variables = {"params": p, **self._cast_state(state)}
+                if mixup > 0.0:
+                    # mixup (Zhang et al. 2018), two-term convention: blend
+                    # the (already float, post-pipeline) inputs with a
+                    # Beta(α, α) weight against a shuffled batch and take
+                    # the λ-weighted sum of the two losses — no need to mix
+                    # integer class targets.  Runs inside loss_fn so it
+                    # composes with grad_accum (per-microbatch λ/perm).
+                    rng, mkey, pkey = jax.random.split(rng, 3)
+                    lam = jax.random.beta(mkey, mixup, mixup)
+                    perm = jax.random.permutation(pkey, xs[0].shape[0])
+                    xs = tuple(
+                        lam * x + (1.0 - lam) * x[perm]
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x
+                        for x in xs)
+                    xs = self._cast_compute(xs)
                 if state_keys:
                     y_pred, mut = model.apply(
                         variables, *xs, rngs={"dropout": rng},
@@ -454,6 +481,13 @@ class Learner:
                     y_pred = model.apply(variables, *xs, rngs={"dropout": rng}, **kwargs)
                     new_state = state
                 y_pred = self._cast_f32(y_pred)
+                if mixup > 0.0:
+                    loss = (lam * self._apply_loss(y_pred, y, mask)
+                            + (1.0 - lam) * self._apply_loss(
+                                y_pred, jax.tree_util.tree_map(
+                                    lambda t: t[perm], y),
+                                mask if mask is None else mask[perm]))
+                    return loss, new_state
                 return self._apply_loss(y_pred, y, mask), new_state
 
             if custom_vag is not None:
