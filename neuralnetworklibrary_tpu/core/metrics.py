@@ -67,6 +67,29 @@ def seq_cross_entropy_loss(y_pred, y, mask=None):
     return masked_mean(nll, mask)
 
 
+class LabelSmoothingCrossEntropy:
+    """Softmax CE with uniform label smoothing (beyond reference parity —
+    a standard regularizer the reference lacks): the target distribution is
+    (1-ε)·one_hot + ε/C, equivalently loss = (1-ε)·NLL + ε·mean(-logp).
+    Works for (N, C) classification and (B, T, V) sequence logits; tuple
+    model outputs unwrap to their first element."""
+
+    def __init__(self, smoothing: float = 0.1):
+        if not 0.0 <= smoothing < 1.0:
+            raise ValueError(f"smoothing must be in [0, 1), got {smoothing}")
+        self.smoothing = smoothing
+
+    def __call__(self, y_pred, y, mask=None):
+        if isinstance(y_pred, tuple):
+            y_pred = y_pred[0]
+        logp = jax.nn.log_softmax(y_pred, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, y[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        uniform = -jnp.mean(logp, axis=-1)
+        eps = self.smoothing
+        return masked_mean((1.0 - eps) * nll + eps * uniform, mask)
+
+
 def bce_with_logits_loss(y_pred, y, mask=None):
     """nn.BCEWithLogitsLoss(): elementwise sigmoid BCE, mean over all elements."""
     y = y.astype(y_pred.dtype)

@@ -116,3 +116,41 @@ def test_auc_prepare_streaming_matches_direct():
         ls.append(l)
     streamed = auc(np.concatenate(ps), np.concatenate(ls))
     assert np.isclose(direct, streamed, rtol=1e-6)
+
+
+def test_label_smoothing_cross_entropy():
+    """ε=0 equals plain CE; ε>0 equals the (1-ε)·one_hot + ε/C target CE
+    (numpy oracle), for both (N, C) and (B, T, V) logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.core.metrics import (
+        LabelSmoothingCrossEntropy,
+        cross_entropy_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1, (6, 5)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 6), jnp.int32)
+    np.testing.assert_allclose(
+        float(LabelSmoothingCrossEntropy(0.0)(logits, y)),
+        float(cross_entropy_loss(logits, y)), rtol=1e-6)
+
+    eps = 0.2
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    tgt = (1 - eps) * np.eye(5)[np.asarray(y)] + eps / 5.0
+    want = float(np.mean(-np.sum(tgt * logp, -1)))
+    got = float(LabelSmoothingCrossEntropy(eps)(logits, y))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # sequence logits with a row mask
+    seq = jnp.asarray(rng.normal(0, 1, (2, 4, 5)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 5, (2, 4)), jnp.int32)
+    m = jnp.asarray([1.0, 0.0])
+    full = LabelSmoothingCrossEntropy(eps)(seq, ys, m)
+    only = LabelSmoothingCrossEntropy(eps)(seq[:1], ys[:1])
+    np.testing.assert_allclose(float(full), float(only), rtol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError, match="smoothing"):
+        LabelSmoothingCrossEntropy(1.0)
