@@ -23,6 +23,14 @@ XLA insert the collectives.
   mixture-of-experts with dense dispatch/combine einsums and a
   load-balancing auxiliary loss; expert weights (E, ...) shard their leading
   axis over 'model', so the dispatch einsum lowers to the all-to-all.
+- **Context parallelism** (``cp=True``): exact ring attention over a
+  'context'-sharded sequence (parallel/ring_attention.py).
+- **Serving features**: grouped-query attention (``n_kv_heads`` — the KV
+  cache shrinks by the group factor), rotary embeddings
+  (``pos_embedding="rope"``), pallas flash attention, KV-cached top-k /
+  nucleus / repetition-penalty sampling (:func:`generate`) and
+  :func:`beam_search`, and ``fused_ce=True`` + FusedSeqCrossEntropyLoss
+  (vocab-chunked CE — the (B,T,V) logits are never materialized).
 
 The Learner contract (layer_group_prefixes / head_prefixes / from_dataobj,
 tied decoder) mirrors LanguageModelNet; the output is (logits, h[, moe_aux])
@@ -189,13 +197,22 @@ class CausalSelfAttention(nn.Module):
 
 
 class MLP(nn.Module):
+    """Feed-forward block: GELU (default) or SwiGLU (``gated=True`` —
+    silu(x·W_in) ⊙ (x·W_gate) then W_out, the Llama/PaLM variant; both
+    gate and in kernels are column-parallel under the Megatron rule)."""
+
     d_model: int
     d_ff: int
     drop: float = 0.0
+    gated: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x))
+        if self.gated:
+            h = (jax.nn.silu(nn.Dense(self.d_ff, name="fc_in")(x))
+                 * nn.Dense(self.d_ff, name="fc_gate")(x))
+        else:
+            h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x))
         h = nn.Dense(self.d_model, name="fc_out")(h)
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
@@ -296,6 +313,7 @@ class TransformerBlock(nn.Module):
     n_kv_heads: int = 0
     use_rope: bool = False
     rope_base: float = 10000.0
+    gated_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -328,8 +346,8 @@ class TransformerBlock(nn.Module):
                             self.capacity_factor, self.mesh, name="moe")(
                                 h, train=train)
         else:
-            y = MLP(self.d_model, self.d_ff, self.drop, name="mlp")(
-                h, train=train)
+            y = MLP(self.d_model, self.d_ff, self.drop,
+                    gated=self.gated_mlp, name="mlp")(h, train=train)
             aux = jnp.zeros((), x.dtype)
         return seq(x + y), aux
 
@@ -370,6 +388,7 @@ class TransformerLM(nn.Module):
                                     # for FusedSeqCrossEntropyLoss — the
                                     # (B,T,V) logits are never materialized
                                     # (ops/chunked_ce.py); decode unchanged
+    mlp: str = "gelu"               # 'gelu' or 'swiglu' (gated, Llama-style)
 
     head_prefixes = ("word_embed",)
 
@@ -425,6 +444,8 @@ class TransformerLM(nn.Module):
                 raise ValueError(
                     f"cp=True needs a mesh with a '{self.cp_axis}' axis")
             cp_axis = self.cp_axis
+        if self.mlp not in ("gelu", "swiglu"):
+            raise ValueError(f"mlp must be 'gelu' or 'swiglu', got {self.mlp!r}")
         aux_total = jnp.zeros((), h.dtype)
         for i in range(self.n_layers):
             is_moe = (self.n_experts > 0
@@ -436,7 +457,7 @@ class TransformerLM(nn.Module):
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
-                rope_base=self.rope_base,
+                rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux
@@ -711,7 +732,7 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
     divisible total (GSPMD reshards the q/k/v slices as needed), and the
     zero-communication head split holds whenever tp divides Hkv.
     """
-    col = ("qkv", "fc_in")
+    col = ("qkv", "fc_in", "fc_gate")
     row = ("out", "fc_out")
 
     def rule(path, leaf):

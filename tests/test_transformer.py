@@ -504,3 +504,42 @@ def test_beam_search_rejects_overflow():
     variables = model.init(jax.random.PRNGKey(0), x)
     with pytest.raises(ValueError, match="max_len"):
         beam_search(model, variables["params"], x, n=10)
+
+
+# --------------------------------------------- SwiGLU MLP
+
+
+def test_swiglu_oracle_and_tp():
+    """mlp='swiglu' computes silu(xW_in)·(xW_gate)W_out (numpy oracle on one
+    block's params) and keeps the dp8 == dp4×tp2 invariance (fc_gate is
+    column-parallel)."""
+    model = _model(mlp="swiglu", n_layers=1)
+    x = _batch(0)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]["block_0"]["mlp"]
+    assert set(p) == {"fc_in", "fc_gate", "fc_out"}
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    h = np.asarray(np.random.default_rng(0).normal(0, 1, (3, D)), np.float32)
+    a = silu(h @ np.asarray(p["fc_in"]["kernel"]) + np.asarray(p["fc_in"]["bias"]))
+    g = h @ np.asarray(p["fc_gate"]["kernel"]) + np.asarray(p["fc_gate"]["bias"])
+    want = (a * g) @ np.asarray(p["fc_out"]["kernel"]) + np.asarray(p["fc_out"]["bias"])
+    from neuralnetworklibrary_tpu.nn.transformer import MLP
+    got = MLP(D, 4 * D, gated=True).apply(
+        {"params": p}, jnp.asarray(h[None]))[0]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+    dp_losses, _ = _train(get_mesh(8), None, mlp="swiglu")
+    mesh = get_mesh_2d(4, 2)
+    tp_losses, learner = _train(mesh, transformer_param_rule(mesh),
+                                mesh=mesh, mlp="swiglu")
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-3, atol=1e-4)
+    assert not learner.params["block_0"]["mlp"]["fc_gate"]["kernel"].sharding.is_fully_replicated
+
+
+def test_rejects_unknown_mlp():
+    model = _model(mlp="relu6")
+    with pytest.raises(ValueError, match="mlp"):
+        model.init(jax.random.PRNGKey(0), _batch())
