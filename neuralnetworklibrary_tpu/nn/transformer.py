@@ -314,6 +314,7 @@ class TransformerBlock(nn.Module):
     use_rope: bool = False
     rope_base: float = 10000.0
     gated_mlp: bool = False
+    rms_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -329,8 +330,9 @@ class TransformerBlock(nn.Module):
                                   P("data", tuple(t_axes), None))
             return _constrain(h, self.mesh, P("data", None, None))
 
+        norm = nn.RMSNorm if self.rms_norm else nn.LayerNorm
         x = seq(x)
-        h = nn.LayerNorm(name="ln1")(x)
+        h = norm(name="ln1")(x)
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
                                     max_len=self.max_len, flash=self.flash,
                                     mesh=self.mesh, cp_axis=self.cp_axis,
@@ -340,7 +342,7 @@ class TransformerBlock(nn.Module):
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
-        h = nn.LayerNorm(name="ln2")(x)
+        h = norm(name="ln2")(x)
         if self.n_experts > 0:
             y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
                             self.capacity_factor, self.mesh, name="moe")(
@@ -389,6 +391,7 @@ class TransformerLM(nn.Module):
                                     # (B,T,V) logits are never materialized
                                     # (ops/chunked_ce.py); decode unchanged
     mlp: str = "gelu"               # 'gelu' or 'swiglu' (gated, Llama-style)
+    norm: str = "layernorm"         # 'layernorm' or 'rmsnorm'
 
     head_prefixes = ("word_embed",)
 
@@ -446,6 +449,9 @@ class TransformerLM(nn.Module):
             cp_axis = self.cp_axis
         if self.mlp not in ("gelu", "swiglu"):
             raise ValueError(f"mlp must be 'gelu' or 'swiglu', got {self.mlp!r}")
+        if self.norm not in ("layernorm", "rmsnorm"):
+            raise ValueError(
+                f"norm must be 'layernorm' or 'rmsnorm', got {self.norm!r}")
         aux_total = jnp.zeros((), h.dtype)
         for i in range(self.n_layers):
             is_moe = (self.n_experts > 0
@@ -458,10 +464,12 @@ class TransformerLM(nn.Module):
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
+                rms_norm=self.norm == "rmsnorm",
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux
-        h = nn.LayerNorm(name="ln_f")(h)
+        h = (nn.RMSNorm if self.norm == "rmsnorm"
+             else nn.LayerNorm)(name="ln_f")(h)
         n_moe = max(1, self.n_layers // max(1, self.moe_every))
         if self.fused_ce and not decode:
             # hand the loss the decoder INPUTS; chunked_softmax_ce streams

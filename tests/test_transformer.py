@@ -543,3 +543,36 @@ def test_rejects_unknown_mlp():
     model = _model(mlp="relu6")
     with pytest.raises(ValueError, match="mlp"):
         model.init(jax.random.PRNGKey(0), _batch())
+
+
+def test_rmsnorm_llama_style_config_trains_and_decodes():
+    """The full modern config — RMSNorm + SwiGLU + GQA + RoPE — trains
+    through the Learner and its cached decode matches the full forward."""
+    kw = dict(norm="rmsnorm", mlp="swiglu", n_kv_heads=2,
+              pos_embedding="rope")
+    losses, learner = _train(None, None, n_steps=40, **kw)
+    assert losses[-1] < 0.7 * losses[0]
+    p = learner.params["block_0"]
+    assert "scale" in p["ln1"] and "bias" not in p["ln1"]   # RMSNorm param
+
+    model = learner.model
+    x = _batch(3)
+    variables = {"params": learner.params}
+    full = model.apply(variables, x)[0]
+    cache = init_cache(model, B)
+    out, mut = model.apply({**variables, "cache": cache}, x[:, :4],
+                           decode=True, mutable=["cache"])
+    got, cache = [out[0]], mut["cache"]
+    for t in range(4, T):
+        out, mut = model.apply({**variables, "cache": cache}, x[:, t:t + 1],
+                               decode=True, mutable=["cache"])
+        got.append(out[0])
+        cache = mut["cache"]
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(got, 1)),
+                               np.asarray(full), rtol=2e-4, atol=2e-5)
+
+
+def test_rejects_unknown_norm():
+    model = _model(norm="batchnorm")
+    with pytest.raises(ValueError, match="norm"):
+        model.init(jax.random.PRNGKey(0), _batch())
