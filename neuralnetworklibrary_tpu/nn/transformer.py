@@ -315,6 +315,7 @@ class TransformerBlock(nn.Module):
     rope_base: float = 10000.0
     gated_mlp: bool = False
     rms_norm: bool = False
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -330,9 +331,12 @@ class TransformerBlock(nn.Module):
                                   P("data", tuple(t_axes), None))
             return _constrain(h, self.mesh, P("data", None, None))
 
-        norm = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        def norm(name):
+            cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+            return cls(epsilon=self.norm_eps, name=name)
+
         x = seq(x)
-        h = norm(name="ln1")(x)
+        h = norm("ln1")(x)
         x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
                                     max_len=self.max_len, flash=self.flash,
                                     mesh=self.mesh, cp_axis=self.cp_axis,
@@ -342,7 +346,7 @@ class TransformerBlock(nn.Module):
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
-        h = norm(name="ln2")(x)
+        h = norm("ln2")(x)
         if self.n_experts > 0:
             y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
                             self.capacity_factor, self.mesh, name="moe")(
@@ -392,6 +396,7 @@ class TransformerLM(nn.Module):
                                     # (ops/chunked_ce.py); decode unchanged
     mlp: str = "gelu"               # 'gelu' or 'swiglu' (gated, Llama-style)
     norm: str = "layernorm"         # 'layernorm' or 'rmsnorm'
+    norm_eps: float = 1e-6          # 1e-5 matches GPT-2 checkpoints
 
     head_prefixes = ("word_embed",)
 
@@ -464,12 +469,12 @@ class TransformerLM(nn.Module):
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
-                rms_norm=self.norm == "rmsnorm",
+                rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 name=f"block_{i}")(h, train=train, decode=decode,
                                    offset=offset)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
-             else nn.LayerNorm)(name="ln_f")(h)
+             else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)
         n_moe = max(1, self.n_layers // max(1, self.moe_every))
         if self.fused_ce and not decode:
             # hand the loss the decoder INPUTS; chunked_softmax_ce streams
