@@ -493,6 +493,90 @@ class TransformerLM(nn.Module):
         return cls(vocab_size=len(data.stoi), pad_token=data.stoi["_pad_"], **kw)
 
 
+class TransformerClassifier(nn.Module):
+    """Transformer text classifier — the ULMFiT classifier stage
+    (Applications/Text.py:704-751) for the transformer family: the
+    TransformerLM backbone encodes the sequence, a pooled head
+    ([last valid token | masked max | masked mean] → FC stack) classifies.
+
+    ``lm_config`` holds the TransformerLM constructor kwargs (so
+    :meth:`from_language_model` can clone a trained LM's architecture
+    exactly); the backbone lives under the ``lm`` param scope, giving the
+    three discriminative layer groups [backbone, word_embed, head].
+    Returns (logits, h) so the classification losses unwrap as usual.
+    """
+
+    num_classes: int
+    lm_config: Any = None
+    fc_layer_sizes: tuple = (100,)
+    fc_drops: tuple = (0.25, 0.25)
+
+    @property
+    def head_prefixes(self):
+        return tuple(f"clf_fc_{j}"
+                     for j in range(len(self.fc_layer_sizes))) + ("clf",)
+
+    @property
+    def layer_group_prefixes(self):
+        n = self.lm_config["n_layers"]
+        blocks = tuple(f"lm/block_{i}" for i in range(n))
+        backbone = ("lm/pos_embed", "lm/ln_f") + blocks
+        return (backbone, ("lm/word_embed",), self.head_prefixes)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = dict(self.lm_config)
+        cfg["fused_ce"] = True        # we want h, not the V-wide logits
+        out = TransformerLM(**cfg, name="lm")(x, train=train)
+        h = out[0]                                            # (B, T, D)
+        pad = cfg.get("pad_token", 1)
+        mask = (x != pad).astype(h.dtype)                     # (B, T)
+        count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        last_idx = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0).astype(jnp.int32)
+        last = jnp.take_along_axis(
+            h, last_idx[:, None, None].astype(jnp.int32).repeat(h.shape[-1], -1),
+            axis=1)[:, 0]
+        neg = jnp.where(mask[..., None] > 0, h, -jnp.inf)
+        maxp = jnp.max(neg, axis=1)
+        meanp = jnp.sum(h * mask[..., None], axis=1) / count
+        feats = jnp.concatenate([last, maxp, meanp], axis=-1)
+
+        drops = tuple(self.fc_drops)
+        for j, size in enumerate(self.fc_layer_sizes):
+            if train and j < len(drops) and drops[j] > 0:
+                feats = nn.Dropout(drops[j], deterministic=False)(feats)
+            feats = nn.relu(nn.Dense(size, name=f"clf_fc_{j}")(feats))
+        j = len(self.fc_layer_sizes)
+        if train and j < len(drops) and drops[j] > 0:
+            feats = nn.Dropout(drops[j], deterministic=False)(feats)
+        logits = nn.Dense(self.num_classes, name="clf")(feats)
+        return logits, h
+
+    @classmethod
+    def from_language_model(cls, learner, num_classes, **kw):
+        """Clone a Learner-trained TransformerLM's architecture and return
+        (model, transfer) where ``transfer(params)`` copies the trained
+        backbone into the classifier's ``lm`` scope (Text.py:726-732)."""
+        lm = learner.model
+        cfg = dict(
+            vocab_size=lm.vocab_size, pad_token=lm.pad_token,
+            d_model=lm.d_model, n_heads=lm.n_heads, n_layers=lm.n_layers,
+            d_ff=lm.d_ff, max_len=lm.max_len, drop=lm.drop,
+            n_kv_heads=lm.n_kv_heads, pos_embedding=lm.pos_embedding,
+            rope_base=lm.rope_base, mlp=lm.mlp, norm=lm.norm,
+            norm_eps=lm.norm_eps)
+        model = cls(num_classes=num_classes, lm_config=cfg, **kw)
+
+        def transfer(params, lm_params=None):
+            if lm_params is None:
+                lm_params = jax.device_get(learner.params)
+            params = dict(jax.device_get(params))
+            params["lm"] = lm_params
+            return params
+
+        return model, transfer
+
+
 class FusedSeqCrossEntropyLoss:
     """Sequence CE over the fused decoder outputs of
     ``TransformerLM(fused_ce=True)`` — y_pred is (h, emb[, moe_aux]); the

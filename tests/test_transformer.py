@@ -576,3 +576,55 @@ def test_rejects_unknown_norm():
     model = _model(norm="batchnorm")
     with pytest.raises(ValueError, match="norm"):
         model.init(jax.random.PRNGKey(0), _batch())
+
+
+# --------------------------------------------- classifier (ULMFiT stage)
+
+
+def test_transformer_classifier_transfer_and_finetune():
+    """from_language_model clones the LM architecture, transfer() copies the
+    trained backbone verbatim, freeze() trains the pooled head only, and the
+    fine-tune classifies a token-statistic task."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerClassifier
+
+    _, lm_learner = _train(None, None, n_steps=10)
+
+    # classification task: does the sequence contain token 0?
+    rng = np.random.default_rng(0)
+    xs = rng.integers(1, V, (32 * 8, T)).astype(np.int32)
+    ys = (rng.random(len(xs)) > 0.5).astype(np.int32)
+    xs[ys == 1, rng.integers(0, T)] = 0
+    ds = ArrayDataset(xs, ys)
+    data = types.SimpleNamespace(
+        target_type="text_classify", bs=32,
+        categories={0: "no", 1: "yes"},
+        train_dl=DataLoader(ds, 32, shuffle=True, prefetch=0),
+        val_dl=DataLoader(ds, 32, prefetch=0), train_ds=ds, val_ds=ds)
+
+    model, transfer = TransformerClassifier.from_language_model(
+        lm_learner, num_classes=2, fc_drops=(0.0, 0.0))
+    learner = Learner("/tmp/test_tfm_clf", data, model, "Adam2", seed=0)
+    learner.params = transfer(learner.params)
+    # backbone == the trained LM weights, verbatim
+    np.testing.assert_array_equal(
+        np.asarray(learner.params["lm"]["block_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(jax.device_get(
+            lm_learner.params["block_0"]["attn"]["qkv"]["kernel"])))
+
+    learner.freeze()
+    before = np.asarray(jax.device_get(
+        learner.params["lm"]["block_0"]["attn"]["qkv"]["kernel"]))
+    it = iter(data.train_dl)
+    for _ in range(4):
+        learner.train1minibatch(next(it), 3e-3)
+    after = np.asarray(jax.device_get(
+        learner.params["lm"]["block_0"]["attn"]["qkv"]["kernel"]))
+    np.testing.assert_array_equal(before, after)   # frozen backbone
+
+    learner.unfreeze()
+    learner.fit(2e-3, 6)
+    val = [row[1] for row in learner.values]
+    assert val[-1] < 0.1, val
+    probs, labels = learner.predict("val")
+    acc = (np.asarray(probs).argmax(1) == np.asarray(labels)).mean()
+    assert acc > 0.95, acc
