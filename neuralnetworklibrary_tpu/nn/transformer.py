@@ -397,6 +397,9 @@ class TransformerLM(nn.Module):
     mlp: str = "gelu"               # 'gelu' or 'swiglu' (gated, Llama-style)
     norm: str = "layernorm"         # 'layernorm' or 'rmsnorm'
     norm_eps: float = 1e-6          # 1e-5 matches GPT-2 checkpoints
+    remat: bool = False             # jax.checkpoint each block: activation
+                                    # memory O(L·B·T·D) → O(B·T·D) + one
+                                    # recompute per block in the backward
 
     head_prefixes = ("word_embed",)
 
@@ -458,10 +461,16 @@ class TransformerLM(nn.Module):
             raise ValueError(
                 f"norm must be 'layernorm' or 'rmsnorm', got {self.norm!r}")
         aux_total = jnp.zeros((), h.dtype)
+        block_cls = TransformerBlock
+        if self.remat and not decode:
+            # trade FLOPs for HBM: store only each block's input, recompute
+            # its internals in the backward (the standard long-context TPU
+            # training recipe; decode never differentiates, so skip there)
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2, 3))
         for i in range(self.n_layers):
             is_moe = (self.n_experts > 0
                       and (i + 1) % max(1, self.moe_every) == 0)
-            h, aux = TransformerBlock(
+            h, aux = block_cls(
                 self.d_model, self.n_heads, d_ff, self.drop,
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
@@ -470,8 +479,7 @@ class TransformerLM(nn.Module):
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
-                name=f"block_{i}")(h, train=train, decode=decode,
-                                   offset=offset)
+                name=f"block_{i}")(h, train, decode, offset)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
              else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)

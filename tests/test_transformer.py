@@ -628,3 +628,11 @@ def test_transformer_classifier_transfer_and_finetune():
     probs, labels = learner.predict("val")
     acc = (np.asarray(probs).argmax(1) == np.asarray(labels)).mean()
     assert acc > 0.95, acc
+
+
+def test_remat_identical_numerics():
+    """remat=True changes memory, never math: same loss trajectory AND same
+    gradients as the unrematerialized model."""
+    base, _ = _train(None, None, n_steps=6)
+    remat, _ = _train(None, None, n_steps=6, remat=True)
+    np.testing.assert_allclose(remat, base, rtol=1e-5, atol=1e-7)
