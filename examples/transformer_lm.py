@@ -115,12 +115,10 @@ def main():
         from neuralnetworklibrary_tpu.utils.quantize import (
             make_quantized_inference_fn,
             quantization_report,
-            quantize_params,
         )
 
-        rep = quantization_report(
-            learner.params, quantize_params(jax.device_get(learner.params)))
         fn, qparams = make_quantized_inference_fn(learner, postprocess=None)
+        rep = quantization_report(learner.params, qparams)
         xb = next(iter(data.val_dl))
         logits_q = jax.jit(fn)(qparams, jnp.asarray(xb.xs[0]))[0]
         logits_f = learner.model.apply(
