@@ -108,6 +108,9 @@ class CausalSelfAttention(nn.Module):
     n_kv_heads: int = 0        # 0 → n_heads (plain MHA); else GQA
     use_rope: bool = False
     rope_base: float = 10000.0
+    window: int = 0            # > 0: sliding-window (local) attention —
+                               # query t sees keys (t-window, t]; the flash
+                               # and ring paths fall back to einsum/GSPMD
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -143,6 +146,7 @@ class CausalSelfAttention(nn.Module):
         # einsum path (GSPMD still shards the T×T tensor over the q axis,
         # at an all-gather of K/V); decode (KV cache) is never ring-run.
         if (self.cp_axis is not None and self.mesh is not None
+                and self.window <= 0
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -161,6 +165,7 @@ class CausalSelfAttention(nn.Module):
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and not decode and T % 128 == 0
+                and self.window <= 0
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -181,6 +186,9 @@ class CausalSelfAttention(nn.Module):
                              expand_kv(ck.value)) / math.sqrt(hd)
             q_pos = off + jnp.arange(T)                       # (T,)
             mask = jnp.arange(M)[None, :] <= q_pos[:, None]   # (T, M) causal
+            if self.window > 0:
+                mask &= (jnp.arange(M)[None, :]
+                         > q_pos[:, None] - self.window)
             att = jnp.where(mask[None, None], att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
@@ -188,6 +196,9 @@ class CausalSelfAttention(nn.Module):
             return nn.Dense(D, name="out")(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
         mask = jnp.tril(jnp.ones((T, T), bool))
+        if self.window > 0:
+            qp = jnp.arange(T)
+            mask &= qp[None, :] > qp[:, None] - self.window
         att = jnp.where(mask, att, -1e30)
         att = jax.nn.softmax(att, axis=-1)
         if train and self.drop > 0.0:
@@ -316,6 +327,7 @@ class TransformerBlock(nn.Module):
     gated_mlp: bool = False
     rms_norm: bool = False
     norm_eps: float = 1e-6
+    window: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -343,6 +355,7 @@ class TransformerBlock(nn.Module):
                                     n_kv_heads=self.n_kv_heads,
                                     use_rope=self.use_rope,
                                     rope_base=self.rope_base,
+                                    window=self.window,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
@@ -400,6 +413,8 @@ class TransformerLM(nn.Module):
     remat: bool = False             # jax.checkpoint each block: activation
                                     # memory O(L·B·T·D) → O(B·T·D) + one
                                     # recompute per block in the backward
+    window: int = 0                 # > 0: sliding-window attention (each
+                                    # query sees the last `window` keys)
 
     head_prefixes = ("word_embed",)
 
@@ -479,6 +494,7 @@ class TransformerLM(nn.Module):
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
+                window=self.window,
                 name=f"block_{i}")(h, train, decode, offset)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"

@@ -636,3 +636,45 @@ def test_remat_identical_numerics():
     base, _ = _train(None, None, n_steps=6)
     remat, _ = _train(None, None, n_steps=6, remat=True)
     np.testing.assert_allclose(remat, base, rtol=1e-5, atol=1e-7)
+
+
+# --------------------------------------------- sliding-window attention
+
+
+def test_window_locality_and_decode_parity():
+    """window=W: (a) W ≥ T equals full causal attention exactly; (b) a token
+    more than W positions back has ZERO influence; (c) the KV-cached decode
+    path applies the same band and matches the full forward."""
+    model_full = _model()
+    model_w = _model(window=T)          # window covers everything
+    x = _batch(4)
+    variables = model_full.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(model_w.apply(variables, x)[0]),
+        np.asarray(model_full.apply(variables, x)[0]), atol=1e-6)
+
+    W = 3
+    model_local = _model(window=W, n_layers=1)
+    v1 = model_local.init(jax.random.PRNGKey(1), x)
+    base = model_local.apply(v1, x)[0]
+    # perturb token 0: positions 0..W-1 may change, far positions cannot
+    x2 = x.at[:, 0].set((x[:, 0] + 9) % V)
+    pert = model_local.apply(v1, x2)[0]
+    assert np.abs(np.asarray(pert[:, :W]) - np.asarray(base[:, :W])).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(pert[:, W:]), np.asarray(base[:, W:]),
+                               atol=1e-6)
+
+    model_d = _model(window=W)
+    vd = model_d.init(jax.random.PRNGKey(2), x)
+    full = model_d.apply(vd, x)[0]
+    cache = init_cache(model_d, B)
+    out, mut = model_d.apply({**vd, "cache": cache}, x[:, :4],
+                             decode=True, mutable=["cache"])
+    got, cache = [out[0]], mut["cache"]
+    for t in range(4, T):
+        out, mut = model_d.apply({**vd, "cache": cache}, x[:, t:t + 1],
+                                 decode=True, mutable=["cache"])
+        got.append(out[0])
+        cache = mut["cache"]
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(got, 1)),
+                               np.asarray(full), rtol=2e-4, atol=2e-5)
