@@ -591,9 +591,16 @@ class LanguageModelDecoder(nn.Module):
     drop: float = 0.1
 
     @nn.compact
-    def __call__(self, enc_out, tied_weight, train: bool = False):
+    def __call__(self, enc_out, tied_weight, train: bool = False,
+                 return_hidden: bool = False):
         if train and self.drop > 0.0:
             enc_out = locked_dropout(enc_out, self.drop, train, self.make_rng("dropout"))
+        if return_hidden:
+            # fused-CE path: hand back the (dropped) decoder INPUT so the
+            # loss can stream the vocab (ops/chunked_ce.py) instead of
+            # materializing (B, T, V) logits.  Same rng stream as the
+            # materialized path, so fused == unfused exactly.
+            return enc_out
         return jnp.einsum("bte,ve->btv", enc_out, tied_weight)
 
 
@@ -639,6 +646,8 @@ class LanguageModelNet(nn.Module):
     emb_dim: int = 400
     hidden_size: int = 1150
     num_layers: int = 3
+    fused_ce: bool = False  # return (h, tied, enc_out) for
+                            # FusedRegSeqCrossEntropyLoss — no (B,T,V) logits
 
     head_prefixes = ("enc/word_embed",)  # tied decoder trains the embedding
 
@@ -654,9 +663,11 @@ class LanguageModelNet(nn.Module):
                            self.num_layers, self.pad_token, drops, stateful=True,
                            name="enc")
         enc_out, tied = enc(x, train=train, return_embed_weight=True)
-        logits = LanguageModelDecoder(self.dec_drop * self.drop_scaling, name="dec")(
-            enc_out, tied, train=train)
-        return logits, enc_out
+        dec = LanguageModelDecoder(self.dec_drop * self.drop_scaling, name="dec")
+        if self.fused_ce:
+            h = dec(enc_out, tied, train=train, return_hidden=True)
+            return h, tied, enc_out
+        return dec(enc_out, tied, train=train), enc_out
 
     @classmethod
     def from_dataobj(cls, data, enc_drops=(0.05, 0.25, 0.2, 0.15), dec_drop=0.1,
@@ -756,6 +767,38 @@ class RegSeqCrossEntropyLoss:
                 loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
             else:
                 loss = jnp.mean(nll)
+        if self.alpha > 0:
+            loss = loss + self.alpha * jnp.mean(jnp.square(enc_out))
+        if self.beta > 0:
+            loss = loss + self.beta * jnp.mean(
+                jnp.square(enc_out[:, 1:] - enc_out[:, :-1]))
+        return loss
+
+
+class FusedRegSeqCrossEntropyLoss:
+    """RegSeqCrossEntropyLoss for ``LanguageModelNet(fused_ce=True)``:
+    outputs are (h, tied_weight, enc_out) and the CE streams the vocabulary
+    in ``chunk`` columns (ops/chunked_ce.py) — the (B, T, V) logits (576 MB
+    at wt103 dims) are never materialized.  Numerically identical to the
+    materialized loss (same rng stream, same masked-mean reduction)."""
+
+    def __init__(self, alpha=2.0, beta=1.0, chunk: int = 8192):
+        self.alpha, self.beta = alpha, beta
+        self.chunk = chunk
+
+    def __call__(self, outputs, target, mask=None):
+        from neuralnetworklibrary_tpu.ops.chunked_ce import chunked_softmax_ce
+
+        h, tied, enc_out = outputs
+        if mask is None:
+            tok_mask = jnp.ones(target.shape, jnp.float32)
+        elif getattr(mask, "ndim", 0) == 1:
+            tok_mask = jnp.broadcast_to(
+                mask[:, None].astype(jnp.float32), target.shape)
+        else:
+            tok_mask = mask.astype(jnp.float32)
+        loss = chunked_softmax_ce(h, tied, target.astype(jnp.int32),
+                                  tok_mask, self.chunk)
         if self.alpha > 0:
             loss = loss + self.alpha * jnp.mean(jnp.square(enc_out))
         if self.beta > 0:

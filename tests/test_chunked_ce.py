@@ -117,3 +117,47 @@ def test_fused_ce_transformer_matches_materialized():
     prompt = xs[:1, :5]
     toks = generate(learner.model, learner.params, prompt, n=3, k=1)
     assert np.asarray(toks).shape == (1, 3)
+
+
+def test_fused_ce_awd_lstm_matches_materialized():
+    """LanguageModelNet(fused_ce=True) + FusedRegSeqCrossEntropyLoss: the
+    SAME loss trajectory as the materialized decoder — including active
+    weight-drop/locked dropout (identical rng streams) and carried state."""
+    import types
+
+    from neuralnetworklibrary_tpu.applications.text import (
+        FusedRegSeqCrossEntropyLoss,
+        LanguageModelNet,
+        RegSeqCrossEntropyLoss,
+    )
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.learner import Learner
+
+    V, T, B = 60, 8, 8
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, V, (4 * B, T)).astype(np.int32)
+    ys = np.roll(xs, -1, axis=1).astype(np.int32)
+    ds = ArrayDataset(xs, ys)
+
+    def data():
+        return types.SimpleNamespace(
+            target_type="lm", bs=B,
+            train_dl=DataLoader(ds, B, shuffle=False, prefetch=0),
+            val_dl=DataLoader(ds, B, prefetch=0), train_ds=ds, val_ds=ds)
+
+    def run(fused):
+        model = LanguageModelNet(
+            vocab_size=V, pad_token=1, emb_dim=16, hidden_size=24,
+            num_layers=2, enc_drops=(0.1, 0.1, 0.1, 0.1), dec_drop=0.1,
+            fused_ce=fused)
+        loss = (FusedRegSeqCrossEntropyLoss(0.1, 0.1, chunk=16) if fused
+                else RegSeqCrossEntropyLoss(0.1, 0.1))
+        learner = Learner("/tmp/test_fused_lm", data(), model, "Adam2",
+                          loss_func=loss, seed=0)
+        it = iter(learner.data.train_dl)
+        return [float(learner.train1minibatch(next(it), 3e-3))
+                for _ in range(4)]
+
+    base = run(False)
+    fused = run(True)
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-6)
