@@ -109,8 +109,8 @@ class CausalSelfAttention(nn.Module):
     use_rope: bool = False
     rope_base: float = 10000.0
     window: int = 0            # > 0: sliding-window (local) attention —
-                               # query t sees keys (t-window, t]; the flash
-                               # and ring paths fall back to einsum/GSPMD
+                               # query t sees keys (t-window, t]; flash
+                               # skips out-of-band blocks, ring falls back
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -165,13 +165,13 @@ class CausalSelfAttention(nn.Module):
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and not decode and T % 128 == 0
-                and self.window <= 0
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
             )
 
-            out = flash_attention(q, expand_kv(k), expand_kv(v)).reshape(B, T, D)
+            out = flash_attention(q, expand_kv(k), expand_kv(v),
+                                  window=self.window).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
         if decode:
             if self.max_len <= 0:

@@ -137,3 +137,57 @@ def test_transformer_flash_fallback_on_short_seq():
     np.testing.assert_allclose(np.asarray(m_fla.apply(variables, x)[0]),
                                np.asarray(m_ein.apply(variables, x)[0]),
                                atol=0)
+
+
+def test_windowed_flash_matches_banded_oracle():
+    """window=W flash (out-of-band blocks skipped) equals the banded einsum
+    in forward AND all three gradients, for W crossing block boundaries."""
+    import math
+
+    def banded_reference(q, k, v, window):
+        B, T, H, hd = q.shape
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        pos = jnp.arange(T)
+        mask = (pos[None, :] <= pos[:, None]) & (pos[None, :] > pos[:, None] - window)
+        s = jnp.where(mask, s, -1e30)
+        return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v)
+
+    rng = np.random.default_rng(0)
+    B, T, H, hd = 2, 512, 2, 32
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (B, T, H, hd)), jnp.float32)
+               for _ in range(3))
+    for W in (64, 200, 512):   # sub-block, block-crossing, full
+        out = flash_attention(q, k, v, block_q=128, block_k=128, window=W)
+        ref = banded_reference(q, k, v, W)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    W = 200
+    def loss_f(fn):
+        return lambda a, b, c: jnp.sum(jnp.square(fn(a, b, c)))
+    gf = jax.grad(loss_f(lambda a, b, c: flash_attention(
+        a, b, c, block_q=128, block_k=128, window=W)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_f(lambda a, b, c: banded_reference(a, b, c, W)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_flash_model_path():
+    """TransformerLM(window=W, flash_attention=True) == the einsum window
+    path at the model level."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    V, W = 50, 40
+    me = TransformerLM(vocab_size=V, pad_token=1, d_model=32, n_heads=4,
+                       n_layers=2, max_len=128, drop=0.0, window=W)
+    mf = TransformerLM(vocab_size=V, pad_token=1, d_model=32, n_heads=4,
+                       n_layers=2, max_len=128, drop=0.0, window=W,
+                       flash_attention=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, V, (2, 128)), jnp.int32)
+    variables = me.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mf.apply(variables, x)[0]),
+                               np.asarray(me.apply(variables, x)[0]),
+                               rtol=2e-4, atol=2e-4)
