@@ -251,13 +251,17 @@ class MoEMLP(nn.Module):
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     expert_axis: str = "model"
+    top_k: int = 2            # 2 = GShard; 1 = Switch routing (the gate
+                              # value scales the single expert's output)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.top_k not in (1, 2):
+            raise ValueError(f"top_k must be 1 or 2, got {self.top_k}")
         B, T, D = x.shape
         E, F = self.n_experts, self.d_ff
         N = B * T
-        C = max(1, int(math.ceil(2 * N / E * self.capacity_factor)))
+        C = max(1, int(math.ceil(self.top_k * N / E * self.capacity_factor)))
         xf = x.reshape(N, D)
 
         gate_w = self.param("gate", nn.initializers.lecun_normal(), (D, E))
@@ -266,10 +270,14 @@ class MoEMLP(nn.Module):
         i1 = jnp.argmax(probs, axis=-1)
         oh1 = jax.nn.one_hot(i1, E, dtype=probs.dtype)
         p1 = jnp.sum(probs * oh1, axis=-1)
-        probs2 = probs * (1.0 - oh1)
-        i2 = jnp.argmax(probs2, axis=-1)
-        oh2 = jax.nn.one_hot(i2, E, dtype=probs.dtype)
-        p2 = jnp.sum(probs2 * oh2, axis=-1)
+        if self.top_k == 2:
+            probs2 = probs * (1.0 - oh1)
+            i2 = jnp.argmax(probs2, axis=-1)
+            oh2 = jax.nn.one_hot(i2, E, dtype=probs.dtype)
+            p2 = jnp.sum(probs2 * oh2, axis=-1)
+        else:
+            oh2 = jnp.zeros_like(oh1)
+            p2 = jnp.zeros_like(p1)
 
         # first-come-first-served positions; choice-1 fills before choice-2
         pos1 = jnp.cumsum(oh1, axis=0) - oh1
@@ -277,9 +285,14 @@ class MoEMLP(nn.Module):
         keep1 = oh1 * (pos1 < C)
         keep2 = oh2 * (pos2 < C)
 
-        denom = p1 * jnp.sum(keep1, -1) + p2 * jnp.sum(keep2, -1) + 1e-9
-        g1 = p1 / denom
-        g2 = p2 / denom
+        if self.top_k == 2:
+            denom = p1 * jnp.sum(keep1, -1) + p2 * jnp.sum(keep2, -1) + 1e-9
+            g1 = p1 / denom
+            g2 = p2 / denom
+        else:
+            # Switch: the raw gate probability scales the expert output
+            # (keeps the router differentiable through the scale)
+            g1, g2 = p1, p2
 
         c1 = jnp.sum(pos1 * keep1, -1).astype(jnp.int32)          # (N,)
         c2 = jnp.sum(pos2 * keep2, -1).astype(jnp.int32)
@@ -316,6 +329,7 @@ class TransformerBlock(nn.Module):
     drop: float = 0.0
     n_experts: int = 0
     capacity_factor: float = 1.25
+    moe_top_k: int = 2
     mesh: Optional[Mesh] = None
     sp: bool = False
     max_len: int = 0
@@ -362,7 +376,8 @@ class TransformerBlock(nn.Module):
         h = norm("ln2")(x)
         if self.n_experts > 0:
             y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
-                            self.capacity_factor, self.mesh, name="moe")(
+                            self.capacity_factor, self.mesh,
+                            top_k=self.moe_top_k, name="moe")(
                                 h, train=train)
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
@@ -392,6 +407,7 @@ class TransformerLM(nn.Module):
     drop: float = 0.1
     n_experts: int = 0
     moe_every: int = 2
+    moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     sp: bool = False
@@ -489,6 +505,7 @@ class TransformerLM(nn.Module):
                 self.d_model, self.n_heads, d_ff, self.drop,
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
+                moe_top_k=self.moe_top_k,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,

@@ -678,3 +678,37 @@ def test_window_locality_and_decode_parity():
         cache = mut["cache"]
     np.testing.assert_allclose(np.asarray(jnp.concatenate(got, 1)),
                                np.asarray(full), rtol=2e-4, atol=2e-5)
+
+
+def test_switch_top1_routing():
+    """moe_top_k=1 (Switch): each token reaches at most ONE expert — with
+    ample capacity its combine weight equals the raw top gate probability —
+    and the Switch LM trains through the Learner."""
+    moe = MoEMLP(d_model=8, d_ff=16, n_experts=4, capacity_factor=8.0,
+                 top_k=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 6, 8)), jnp.float32)
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    y, aux = moe.apply(variables, x)
+    assert np.isfinite(np.asarray(y)).all() and 0.9 < float(aux) < 4.0
+
+    # oracle: with full capacity, y = p1 * expert_{i1}(x) per token
+    p = variables["params"]
+    xf = np.asarray(x).reshape(-1, 8)
+    probs = np.asarray(jax.nn.softmax(xf @ np.asarray(p["gate"]), -1))
+    i1 = probs.argmax(-1)
+    p1 = probs.max(-1)
+    def gelu(v):
+        import scipy.special  # noqa: F401 — fallback below if missing
+        return np.asarray(jax.nn.gelu(jnp.asarray(v)))
+    want = np.stack([
+        p1[n] * (gelu(xf[n] @ np.asarray(p["w1"])[e] + np.asarray(p["b1"])[e])
+                 @ np.asarray(p["w2"])[e] + p1[n] * np.asarray(p["b2"])[e])
+        for n, e in enumerate(i1)])
+    np.testing.assert_allclose(np.asarray(y).reshape(-1, 8), want,
+                               rtol=2e-4, atol=2e-5)
+
+    loss = MoESeqCrossEntropyLoss(balance_weight=0.01)
+    losses, _ = _train(None, None, n_steps=8, loss=loss,
+                       n_experts=4, moe_every=1, capacity_factor=2.0,
+                       moe_top_k=1)
+    assert losses[-1] < losses[0]
