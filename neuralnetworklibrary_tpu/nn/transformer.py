@@ -253,6 +253,9 @@ class MoEMLP(nn.Module):
     expert_axis: str = "model"
     top_k: int = 2            # 2 = GShard; 1 = Switch routing (the gate
                               # value scales the single expert's output)
+    z_weight: float = 0.0     # router z-loss (ST-MoE): z_weight·mean(lse²)
+                              # of the gate logits, folded into aux —
+                              # bounds logit growth, stabilizes training
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -265,7 +268,8 @@ class MoEMLP(nn.Module):
         xf = x.reshape(N, D)
 
         gate_w = self.param("gate", nn.initializers.lecun_normal(), (D, E))
-        probs = jax.nn.softmax(xf @ gate_w, axis=-1)              # (N, E)
+        logits = xf @ gate_w
+        probs = jax.nn.softmax(logits, axis=-1)                   # (N, E)
 
         i1 = jnp.argmax(probs, axis=-1)
         oh1 = jax.nn.one_hot(i1, E, dtype=probs.dtype)
@@ -319,6 +323,9 @@ class MoEMLP(nn.Module):
         frac = jnp.mean(oh1, axis=0)                              # tokens/expert
         mean_prob = jnp.mean(probs, axis=0)
         aux = E * jnp.sum(frac * mean_prob)
+        if self.z_weight > 0.0:
+            aux = aux + self.z_weight * jnp.mean(
+                jnp.square(jax.nn.logsumexp(logits, axis=-1)))
         return y.reshape(B, T, D), aux
 
 
@@ -330,6 +337,7 @@ class TransformerBlock(nn.Module):
     n_experts: int = 0
     capacity_factor: float = 1.25
     moe_top_k: int = 2
+    moe_z_weight: float = 0.0
     mesh: Optional[Mesh] = None
     sp: bool = False
     max_len: int = 0
@@ -377,7 +385,8 @@ class TransformerBlock(nn.Module):
         if self.n_experts > 0:
             y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
                             self.capacity_factor, self.mesh,
-                            top_k=self.moe_top_k, name="moe")(
+                            top_k=self.moe_top_k,
+                            z_weight=self.moe_z_weight, name="moe")(
                                 h, train=train)
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
@@ -408,6 +417,7 @@ class TransformerLM(nn.Module):
     n_experts: int = 0
     moe_every: int = 2
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
+    moe_z_weight: float = 0.0       # router z-loss weight (ST-MoE)
     capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
     sp: bool = False
@@ -505,7 +515,7 @@ class TransformerLM(nn.Module):
                 self.d_model, self.n_heads, d_ff, self.drop,
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
-                moe_top_k=self.moe_top_k,
+                moe_top_k=self.moe_top_k, moe_z_weight=self.moe_z_weight,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,

@@ -712,3 +712,17 @@ def test_switch_top1_routing():
                        n_experts=4, moe_every=1, capacity_factor=2.0,
                        moe_top_k=1)
     assert losses[-1] < losses[0]
+
+
+def test_router_z_loss():
+    """z_weight adds mean(logsumexp(gate logits)²) to the aux — exactly."""
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 6, 8)), jnp.float32)
+    moe0 = MoEMLP(d_model=8, d_ff=16, n_experts=4, capacity_factor=8.0)
+    variables = moe0.init(jax.random.PRNGKey(0), x)
+    _, aux0 = moe0.apply(variables, x)
+    moez = MoEMLP(d_model=8, d_ff=16, n_experts=4, capacity_factor=8.0,
+                  z_weight=0.5)
+    _, auxz = moez.apply(variables, x)
+    logits = np.asarray(x).reshape(-1, 8) @ np.asarray(variables["params"]["gate"])
+    z = np.mean(np.square(np.asarray(jax.nn.logsumexp(jnp.asarray(logits), -1))))
+    np.testing.assert_allclose(float(auxz), float(aux0) + 0.5 * z, rtol=1e-5)
