@@ -108,3 +108,15 @@ def test_accum_fit_converges_with_batchnorm_state():
     learner.fit(1e-2, 6)
     val = learner.values
     assert val[-1][1] < 0.2 * val[0][1], [row[1] for row in val]
+
+
+def test_accum_composes_with_zero_sharding():
+    """grad_accum=2 under ZeRO-1 moment sharding still matches the plain
+    dp run (the averaged gradient feeds the sharded optimizer update)."""
+    mesh = get_mesh(8)
+    base, _ = _train(1, mesh=mesh)
+    # (TinyMLP's leaves are below zero_rule's min_size, so the moments stay
+    # replicated here — sharding engagement is test_zero.py's job; this
+    # test pins that the two FEATURES compose without changing numerics)
+    acc, _ = _train(2, mesh=mesh, zero_sharding=True)
+    np.testing.assert_allclose(acc, base, rtol=1e-4, atol=1e-6)

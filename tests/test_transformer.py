@@ -726,3 +726,15 @@ def test_router_z_loss():
     logits = np.asarray(x).reshape(-1, 8) @ np.asarray(variables["params"]["gate"])
     z = np.mean(np.square(np.asarray(jax.nn.logsumexp(jnp.asarray(logits), -1))))
     np.testing.assert_allclose(float(auxz), float(aux0) + 0.5 * z, rtol=1e-5)
+
+
+def test_beam_exclude_tokens():
+    """exclude_tokens masks special ids out of every beam expansion."""
+    from neuralnetworklibrary_tpu.nn.transformer import beam_search
+
+    model = _model()
+    x = jnp.asarray(np.random.default_rng(3).integers(4, V, (2, 5)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    toks, _ = beam_search(model, variables["params"], x, n=8, beam=3,
+                          exclude_tokens=4)
+    assert np.asarray(toks).min() >= 4
