@@ -56,14 +56,38 @@ class Optimizer:
             raise ValueError(f"unknown optimizer {opt_func!r}; choose from {list(opt_dict)}")
         cfg = opt_dict[opt_func]
         self.name = opt_func
-        self.kind: str = cfg["kind"]  # 'sgd' | 'adam'
+        self.kind: str = cfg["kind"]  # 'sgd' | 'adam' | 'lamb' | 'adafactor'
         self.momentum: float = cfg.get("momentum", 0.0)
         self.betas: tuple[float, float] = cfg.get("betas", (0.9, 0.999))
         self.eps: float = 1e-8
+        # Adafactor (Shazeer & Stern 2018) knobs — optax.adafactor defaults,
+        # so the differential test in tests/test_adafactor.py pins exactness.
+        self.decay_rate: float = 0.8          # v decay: 1 - t^-decay_rate
+        self.clip_threshold: float = 1.0      # per-leaf update-RMS clip
+        self.min_dim_size_to_factor: int = 128
+        self.param_scale: bool = True         # lr is relative: x max(RMS(p), 1e-3)
+        self.factored_eps: float = 1e-30      # grad^2 regularizer
         # Mutable bookkeeping mirroring reference attributes (set_params :41-52).
         self.wd = wd
         self.bn_wd = bn_wd
         self.clip = clip
+
+    @staticmethod
+    def _factored_dims(shape, min_dim: int):
+        """The two largest axes to factor the second moment over, or None.
+
+        Returns (d1, d0) = (second-largest, largest) axis indices when the
+        second-largest dim is >= min_dim (optax _factored_dims semantics);
+        vectors/scalars and small matrices keep a full v.
+        """
+        if len(shape) < 2:
+            return None
+        import numpy as _np
+
+        order = _np.argsort(shape)
+        if shape[order[-2]] < min_dim:
+            return None
+        return int(order[-2]), int(order[-1])
 
     # -- hyperparameter bookkeeping (host side) -----------------------------
 
@@ -85,6 +109,10 @@ class Optimizer:
     @property
     def uses_betas(self) -> bool:
         return self.kind in ("adam", "lamb")
+
+    @property
+    def factored(self) -> bool:
+        return self.kind == "adafactor"
 
     # -- functional state ---------------------------------------------------
 
@@ -108,6 +136,27 @@ class Optimizer:
                         "v": zeros,
                         "t": jnp.zeros((), jnp.int32),
                     }
+                elif self.kind == "adafactor":
+                    # Sublinear memory: >=2-d leaves whose second-largest dim
+                    # clears min_dim_size_to_factor store row/col RMS vectors
+                    # instead of a full second moment (the (V, D) embedding's
+                    # state shrinks from V*D to V+D floats).
+                    fd = self._factored_dims(leaf.shape,
+                                             self.min_dim_size_to_factor)
+                    if fd is not None:
+                        d1, d0 = fd
+                        vr_shape = tuple(s for a, s in enumerate(leaf.shape)
+                                         if a != d0)
+                        vc_shape = tuple(s for a, s in enumerate(leaf.shape)
+                                         if a != d1)
+                        state[path] = {
+                            "v_row": jnp.zeros(vr_shape, leaf.dtype),
+                            "v_col": jnp.zeros(vc_shape, leaf.dtype),
+                            "t": jnp.zeros((), jnp.int32),
+                        }
+                    else:
+                        state[path] = {"v": zeros,
+                                       "t": jnp.zeros((), jnp.int32)}
                 else:
                     raise AssertionError(self.kind)
             return unflatten_params(state)
@@ -222,6 +271,45 @@ class Optimizer:
                                   p_norm / jnp.maximum(u_norm, 1e-12), 1.0)
                 new_p[path] = p - lr * trust * upd
                 new_s[path] = {"m": m, "v": v, "t": t}
+            elif self.kind == "adafactor":
+                # Adafactor (Shazeer & Stern 2018), optax.adafactor semantics:
+                # factored second-moment RMS scaling, per-leaf update-RMS clip,
+                # relative (parameter-scale) step size.  Decoupled wd rides the
+                # shared pre-step path (step 1) like the other optimizers.
+                t = slots["t"] + 1
+                beta = 1.0 - jnp.power(t.astype(jnp.float32),
+                                       -self.decay_rate)
+                gsq = jnp.square(g) + self.factored_eps
+                fd = self._factored_dims(p.shape, self.min_dim_size_to_factor)
+                if fd is not None:
+                    d1, d0 = fd
+                    v_row = beta * slots["v_row"] + (1.0 - beta) * jnp.mean(gsq, axis=d0)
+                    v_col = beta * slots["v_col"] + (1.0 - beta) * jnp.mean(gsq, axis=d1)
+                    # normalized outer-product reconstruction: the row factor
+                    # is divided by its mean so row x col has the right scale
+                    reduced_d1 = d1 - 1 if d1 > d0 else d1
+                    row_mean = jnp.mean(v_row, axis=reduced_d1, keepdims=True)
+                    row_factor = (v_row / row_mean) ** -0.5
+                    col_factor = v_col ** -0.5
+                    upd = (g * jnp.expand_dims(row_factor, axis=d0)
+                           * jnp.expand_dims(col_factor, axis=d1))
+                    new_slots = {"v_row": v_row, "v_col": v_col, "t": t}
+                else:
+                    v = beta * slots["v"] + (1.0 - beta) * gsq
+                    upd = g * v ** -0.5
+                    new_slots = {"v": v, "t": t}
+                if self.clip_threshold is not None:
+                    rms_u = jnp.sqrt(jnp.mean(jnp.square(upd)))
+                    upd = upd / jnp.maximum(1.0, rms_u / self.clip_threshold)
+                step = lr * upd
+                if self.param_scale:
+                    # relative step: scale by max(RMS(p), 1e-3) so lr means
+                    # "fraction of the weight's own magnitude" (the paper's
+                    # alpha_t; optax scale_by_param_block_rms)
+                    p_rms = jnp.maximum(jnp.sqrt(jnp.mean(jnp.square(p))), 1e-3)
+                    step = step * p_rms
+                new_p[path] = p - step
+                new_s[path] = new_slots
             else:  # adam
                 t = slots["t"] + 1
                 m = b1 * slots["m"] + (1.0 - b1) * g
@@ -283,5 +371,10 @@ opt_dict: dict[str, dict] = {
     # training (LAMB, You et al. 2020) — the natural pairing for the
     # data-parallel mesh + grad_accum effective-batch scaling
     "LAMB": {"kind": "lamb", "betas": (0.9, 0.999)},
+    # beyond reference parity: sublinear-memory adaptive optimizer (Adafactor,
+    # Shazeer & Stern 2018) — the TPU-era standard for large embedding/LM
+    # training; factored leaves store O(n+m) second-moment state, the natural
+    # companion to FSDP when even sharded Adam moments are too big
+    "Adafactor": {"kind": "adafactor"},
 }
 opt_dict["default"] = opt_dict["SGD_Mom"]
