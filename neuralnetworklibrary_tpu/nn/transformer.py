@@ -338,6 +338,7 @@ class TransformerBlock(nn.Module):
     capacity_factor: float = 1.25
     moe_top_k: int = 2
     moe_z_weight: float = 0.0
+    expert_axis: str = "model"
     mesh: Optional[Mesh] = None
     sp: bool = False
     max_len: int = 0
@@ -385,6 +386,7 @@ class TransformerBlock(nn.Module):
         if self.n_experts > 0:
             y, aux = MoEMLP(self.d_model, self.d_ff, self.n_experts,
                             self.capacity_factor, self.mesh,
+                            expert_axis=self.expert_axis,
                             top_k=self.moe_top_k,
                             z_weight=self.moe_z_weight, name="moe")(
                                 h, train=train)
@@ -419,6 +421,12 @@ class TransformerLM(nn.Module):
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     moe_z_weight: float = 0.0       # router z-loss weight (ST-MoE)
     capacity_factor: float = 1.25
+    expert_axis: str = "model"      # mesh axis the (E, ...) expert weights
+                                    # shard over; a DEDICATED axis (e.g.
+                                    # 'expert' on a (data, expert, model)
+                                    # mesh) frees 'model' for per-expert
+                                    # Megatron TP — pass the same axis to
+                                    # transformer_param_rule(expert_axis=)
     mesh: Optional[Mesh] = None
     sp: bool = False
     cp: bool = False                # context parallelism: ring attention
@@ -516,6 +524,7 @@ class TransformerLM(nn.Module):
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
                 moe_top_k=self.moe_top_k, moe_z_weight=self.moe_z_weight,
+                expert_axis=self.expert_axis,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
@@ -866,7 +875,8 @@ def transformer_predict_from_string(learner, s: str, n: int, k: int = 5,
     return " ".join(itos[int(t)] for t in list(toks) + list(out[0]))
 
 
-def transformer_param_rule(mesh: Mesh, axis: str = "model"):
+def transformer_param_rule(mesh: Mesh, axis: str = "model",
+                           expert_axis: Optional[str] = None):
     """Learner ``param_sharding`` rule for :class:`TransformerLM`.
 
     Megatron layout: qkv / fc_in kernels column-parallel (output features over
@@ -875,6 +885,15 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
     layernorms, biases and the gate replicate.  Substring matching covers the
     optimizer-moment trees (their paths embed the param path).
 
+    ``expert_axis``: mesh axis for the MoE (E, ...) leading dimension
+    (default '{axis}', the 2D-mesh behavior).  When it's a DEDICATED axis —
+    e.g. 'expert' on a (data, expert, model) mesh, with the model's
+    ``expert_axis`` set to match — each expert's w1/w2 additionally get the
+    Megatron column/row split over '{axis}': w1 (E, D, F) → P(expert, None,
+    model), w2 (E, F, D) → P(expert, model, None), so the dispatch
+    all-to-all rides the expert axis while every expert matmul still splits
+    1/tp per chip.
+
     GQA note: with ``n_kv_heads`` the fused projection is [q|k|v] of widths
     (H, Hkv, Hkv)·hd; the column sharding stays numerically exact for any
     divisible total (GSPMD reshards the q/k/v slices as needed), and the
@@ -882,6 +901,8 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
     """
     col = ("qkv", "fc_in", "fc_gate")
     row = ("out", "fc_out")
+    ea = expert_axis or axis
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
 
     def rule(path, leaf):
         # path entries are jax KeyPath objects (DictKey('x') → "['x']");
@@ -889,9 +910,23 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model"):
         # trees, whose paths append 'm'/'v' below the param path
         parts = [str(p).strip("[].'\"") for p in path]
         nd = getattr(leaf, "ndim", 0)
+        shape = getattr(leaf, "shape", ())
         if "moe" in parts:
-            if any(n in parts for n in ("w1", "w2", "b1", "b2")) and nd >= 2:
-                return P(axis, *([None] * (nd - 1)))
+            inner = ea != axis  # dedicated expert axis frees 'model' for TP
+            if "w1" in parts and nd == 3:
+                if inner and shape[2] % tp == 0:
+                    return P(ea, None, axis)        # column-parallel per expert
+                return P(ea, None, None)
+            if "w2" in parts and nd == 3:
+                if inner and shape[1] % tp == 0:
+                    return P(ea, axis, None)        # row-parallel per expert
+                return P(ea, None, None)
+            if "b1" in parts and nd == 2:
+                if inner and shape[1] % tp == 0:
+                    return P(ea, axis)
+                return P(ea, None)
+            if "b2" in parts and nd == 2:
+                return P(ea, None)
             return P()
         if nd == 2 and "kernel" in parts:
             if any(n in parts for n in col):

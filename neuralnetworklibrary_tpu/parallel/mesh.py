@@ -41,6 +41,18 @@ def get_mesh_2d(dp: int, tp: int = 1, axis_names: Sequence[str] = ("data", "mode
     return Mesh(np.asarray(devices).reshape(dp, tp), axis_names)
 
 
+def get_mesh_nd(axis_names: Sequence[str], shape: Sequence[int]) -> Mesh:
+    """An N-D mesh, e.g. ``get_mesh_nd(("data", "expert", "model"),
+    (2, 2, 2))`` for combined data + expert + tensor parallelism.  Later
+    axes are innermost — put the chattiest axis ('model') last so its
+    collectives ride adjacent-ICI links."""
+    n = int(np.prod(shape))
+    devices = jax.devices()[:n]
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(tuple(shape)), tuple(axis_names))
+
+
 def default_param_rule(mesh: Mesh, min_size: int = 512):
     """Default tensor-parallel sharding rule: shard a leaf's LAST axis over
     'model' when it divides evenly and is large enough (matmul weights and

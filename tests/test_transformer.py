@@ -738,3 +738,30 @@ def test_beam_exclude_tokens():
     toks, _ = beam_search(model, variables["params"], x, n=8, beam=3,
                           exclude_tokens=4)
     assert np.asarray(toks).min() >= 4
+
+
+def test_dedicated_expert_axis_3d_mesh():
+    """dp2 x ep2 x tp2: experts shard over a DEDICATED 'expert' axis while
+    each expert's w1/w2 additionally split Megatron-style over 'model'
+    (transformer_param_rule(expert_axis=)); numerics match the replicated
+    run step-for-step."""
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh_nd
+
+    loss = MoESeqCrossEntropyLoss(balance_weight=0.01)
+    rep_losses, _ = _train(None, None, n_steps=8, loss=loss,
+                           n_experts=2, moe_every=1, capacity_factor=2.0)
+    mesh = get_mesh_nd(("data", "expert", "model"), (2, 2, 2))
+    ep_losses, learner = _train(
+        mesh, transformer_param_rule(mesh, expert_axis="expert"),
+        n_steps=8, loss=loss, n_experts=2, moe_every=1, capacity_factor=2.0,
+        mesh=mesh, expert_axis="expert")
+    np.testing.assert_allclose(ep_losses, rep_losses, rtol=2e-3, atol=1e-4)
+    from jax.sharding import PartitionSpec as _P
+
+    spec = learner.params["block_0"]["moe"]["w1"].sharding.spec
+    assert spec == _P("expert", None, "model"), spec
+    spec2 = learner.params["block_0"]["moe"]["w2"].sharding.spec
+    assert spec2 == _P("expert", "model"), spec2  # trailing None trimmed
+    # attention stays Megatron-sharded over 'model' on the same mesh
+    qkv = learner.params["block_0"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
