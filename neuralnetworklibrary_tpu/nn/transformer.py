@@ -111,6 +111,8 @@ class CausalSelfAttention(nn.Module):
     window: int = 0            # > 0: sliding-window (local) attention —
                                # query t sees keys (t-window, t]; flash
                                # skips out-of-band blocks, ring falls back
+    causal: bool = True        # False → bidirectional (encoder/ViT);
+                               # decode/flash/ring/window are causal-only
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -146,7 +148,7 @@ class CausalSelfAttention(nn.Module):
         # einsum path (GSPMD still shards the T×T tensor over the q axis,
         # at an all-gather of K/V); decode (KV cache) is never ring-run.
         if (self.cp_axis is not None and self.mesh is not None
-                and self.window <= 0
+                and self.window <= 0 and self.causal
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -164,7 +166,7 @@ class CausalSelfAttention(nn.Module):
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
-        if (self.flash and not decode and T % 128 == 0
+        if (self.flash and self.causal and not decode and T % 128 == 0
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -174,6 +176,8 @@ class CausalSelfAttention(nn.Module):
                                   window=self.window).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
         if decode:
+            if not self.causal:
+                raise ValueError("decode=True needs causal attention")
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
             M = self.max_len
@@ -195,11 +199,12 @@ class CausalSelfAttention(nn.Module):
                              expand_kv(cv.value)).reshape(B, T, D)
             return nn.Dense(D, name="out")(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
-        mask = jnp.tril(jnp.ones((T, T), bool))
-        if self.window > 0:
-            qp = jnp.arange(T)
-            mask &= qp[None, :] > qp[:, None] - self.window
-        att = jnp.where(mask, att, -1e30)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((T, T), bool))
+            if self.window > 0:
+                qp = jnp.arange(T)
+                mask &= qp[None, :] > qp[:, None] - self.window
+            att = jnp.where(mask, att, -1e30)
         att = jax.nn.softmax(att, axis=-1)
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
@@ -351,6 +356,7 @@ class TransformerBlock(nn.Module):
     rms_norm: bool = False
     norm_eps: float = 1e-6
     window: int = 0
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -378,7 +384,7 @@ class TransformerBlock(nn.Module):
                                     n_kv_heads=self.n_kv_heads,
                                     use_rope=self.use_rope,
                                     rope_base=self.rope_base,
-                                    window=self.window,
+                                    window=self.window, causal=self.causal,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset)
         x = seq(x)
