@@ -283,6 +283,66 @@ def bench_transformer(epochs=3):
     return rates
 
 
+def bench_serving(reps=3):
+    """KV-cached greedy decode (the serving latency path): 6-layer d512
+    TransformerLM, 128-token prefill + 256 decoded tokens, batch 1
+    (latency) and batch 16 (throughput) → tokens/s.  Weights are random —
+    decode cost is weight-value-independent.  The jitted loop is built once
+    and timed over repeated calls (``generate`` itself re-jits per call; a
+    server holds the compiled fn like this bench does).  Beyond-parity
+    metric (the reference has no serving stack); no baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.nn.transformer import (
+        TransformerLM,
+        init_cache,
+    )
+
+    V, D, L, H = (64, 32, 2, 2) if SMOKE else (30000, 512, 6, 8)
+    T0, N = (8, 16) if SMOKE else (128, 256)
+    model = TransformerLM(vocab_size=V, d_model=D, n_heads=H, n_layers=L,
+                          max_len=T0 + N + 8, drop=0.0)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    rng = np.random.default_rng(0)
+
+    def make_decode(B):
+        @jax.jit
+        def decode(params, prompt):
+            cache = init_cache(model, B)
+            out, mut = model.apply({"params": params, "cache": cache},
+                                   prompt, decode=True, mutable=["cache"])
+            last = jnp.argmax(out[0][:, -1], -1).astype(jnp.int32)
+
+            def step(carry, _):
+                cache, tok = carry
+                out, mut = model.apply({"params": params, "cache": cache},
+                                       tok[:, None], decode=True,
+                                       mutable=["cache"])
+                return (mut["cache"],
+                        jnp.argmax(out[0][:, -1], -1).astype(jnp.int32)), tok
+
+            (_, _), toks = jax.lax.scan(step, (mut["cache"], last),
+                                        None, length=N)
+            return toks.T
+        return decode
+
+    rates = {}
+    for B in (1, 16):
+        decode = make_decode(B)
+        prompt = jnp.asarray(rng.integers(0, V, (B, T0)), jnp.int32)
+        _sync(decode(params, prompt))           # compile
+        rs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(decode(params, prompt))
+            rs.append(B * N / (time.perf_counter() - t0))
+        rates[B] = float(np.median(rs))
+    gc.collect()
+    return rates
+
+
 def bench_structured(epochs=3):
     """StructuredDataNet e2e epochs (Rossmann-shaped: 200k rows, 20 cat +
     20 cont cols, [1000, 500, 1] head, bs 1024) → rows/s incl. the eval
@@ -467,6 +527,11 @@ def main():
     det_train_rates, det_pred_rates, det_cached_rates = bench_detection()
     struct_rates = bench_structured()
     tfm_rates = bench_transformer()
+    try:
+        serving = bench_serving()
+    except Exception as e:  # serving is additive — never sink the bench
+        print(f"# bench_serving failed: {e!r}", flush=True)
+        serving = {1: None, 16: None}
 
     senet_e2e = float(np.median(senet_rates))
     senet_host = float(np.median(senet_host_rates))
@@ -504,6 +569,10 @@ def main():
         "transformer_tokens_per_sec": round(float(np.median(tfm_rates)), 0),
         "transformer_epoch_range": [round(min(tfm_rates), 0),
                                     round(max(tfm_rates), 0)],
+        "decode_tokens_per_sec_b1": (
+            None if serving[1] is None else round(serving[1], 1)),
+        "decode_tokens_per_sec_b16": (
+            None if serving[16] is None else round(serving[16], 1)),
         "structured_rows_per_sec": round(float(np.median(struct_rates)), 0),
         "structured_baseline": 27000.0,
         "structured_vs_baseline": round(
@@ -528,7 +597,9 @@ def main():
                 "real loaders. transformer_tokens_per_sec = 6-layer "
                 "d512 decoder-only TransformerLM (bs16 T512 vocab30k, "
                 "bf16 mixed precision) e2e epochs incl. eval — "
-                "beyond-parity family, no reference baseline.",
+                "beyond-parity family, no reference baseline. decode_* = "
+                "KV-cached greedy serving (6-layer d512, 128-tok prefill + "
+                "256 decoded) at batch 1 (latency) / 16 (throughput).",
     }))
 
 
