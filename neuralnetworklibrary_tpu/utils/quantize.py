@@ -45,17 +45,83 @@ class QTensor(NamedTuple):
         return self.q.astype(dtype) * self.scale.astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+class Q4Tensor:
+    """An int4-quantized weight: nibble PAIRS packed into uint8 (honest 8×
+    f32 / 4× bf16 storage — ``jnp.int4`` arrays are byte-per-element on
+    CPU), with per-GROUP scales along the input axis (group-wise
+    quantization is what keeps 4-bit error tolerable: each group of ``G``
+    input rows quantizes against its own dynamic range).
+
+    packed: uint8 (R/G, G/2, out) — low nibble = even row, high = odd;
+    scale: float32 (R/G, 1, out); the original kernel shape is pytree aux
+    data (R = prod of all axes but the last).
+    """
+
+    def __init__(self, packed, scale, shape):
+        self.packed, self.scale = packed, scale
+        self._shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), self._shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def dequantize(self, dtype=jnp.float32):
+        lo = (self.packed & 0xF).astype(jnp.int8)
+        hi = (self.packed >> 4).astype(jnp.int8)
+        lo = jnp.where(lo > 7, lo - 16, lo)     # sign-extend the nibble
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        rg, half, out = self.packed.shape
+        q = jnp.stack([lo, hi], axis=2).reshape(rg, 2 * half, out)
+        w = q.astype(dtype) * self.scale.astype(dtype)
+        return w.reshape(self._shape)
+
+
+def quantize_leaf_int4(w, group: int = 64):
+    """One kernel → :class:`Q4Tensor` (or None when the input-row count has
+    no even divisor ≤ group — leave such leaves in float)."""
+    w = jnp.asarray(w, jnp.float32)
+    shape = w.shape
+    out = shape[-1]
+    R = int(np.prod(shape[:-1]))
+    g = int(group)
+    while g >= 2 and R % g:
+        g //= 2
+    if g < 2:
+        return None
+    wg = w.reshape(R // g, g, out)
+    scale = jnp.max(jnp.abs(wg), axis=1, keepdims=True) / 7.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    even = q[:, 0::2].astype(jnp.uint8) & 0xF
+    odd = q[:, 1::2].astype(jnp.uint8) & 0xF
+    packed = even | (odd << 4)
+    return Q4Tensor(packed, scale, shape)
+
+
 def _is_qtensor(x) -> bool:
-    return isinstance(x, QTensor)
+    return isinstance(x, (QTensor, Q4Tensor))
 
 
-def quantize_params(params, min_size: int = 4096, skip=None):
+def quantize_params(params, min_size: int = 4096, skip=None, bits: int = 8,
+                    group: int = 64):
     """Quantize every float leaf with ndim ≥ 2 and ≥ ``min_size`` elements
-    to a :class:`QTensor`; return the mixed tree (other leaves unchanged).
+    to a :class:`QTensor` (``bits=8``, per-output-channel) or
+    :class:`Q4Tensor` (``bits=4``, per-(input-group, output-channel) scales
+    of ``group`` rows); return the mixed tree (other leaves unchanged).
 
     skip: optional ``fn(path_str) -> bool`` — True exempts a leaf (e.g.
     ``lambda p: "embed" in p`` to keep embeddings in float).
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def one(path, x):
         name = jax.tree_util.keystr(path)
@@ -63,6 +129,9 @@ def quantize_params(params, min_size: int = 4096, skip=None):
                 or not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
                 or (skip is not None and skip(name))):
             return x
+        if bits == 4:
+            q4 = quantize_leaf_int4(x, group=group)
+            return x if q4 is None else q4
         w = jnp.asarray(x, jnp.float32)
         red = tuple(range(w.ndim - 1))
         scale = jnp.max(jnp.abs(w), axis=red, keepdims=True) / 127.0
@@ -90,7 +159,8 @@ def quantization_report(params, qparams) -> dict:
     flat_q = jax.tree_util.tree_leaves(qparams, is_leaf=_is_qtensor)
     for p, q in zip(flat_p, flat_q):
         if _is_qtensor(q):
-            after += np.asarray(q.q).nbytes + np.asarray(q.scale).nbytes
+            stored = q.q if isinstance(q, QTensor) else q.packed
+            after += np.asarray(stored).nbytes + np.asarray(q.scale).nbytes
             err = np.abs(np.asarray(q.dequantize()) - np.asarray(p)).max()
             rng = np.abs(np.asarray(p)).max() + 1e-12
             worst = max(worst, float(err / rng))
@@ -104,13 +174,15 @@ def quantization_report(params, qparams) -> dict:
 
 def make_quantized_inference_fn(learner, min_size: int = 4096, skip=None,
                                 compute_dtype=jnp.float32,
-                                postprocess: Optional[str] = "auto"):
-    """An inference closure whose RESIDENT weights are int8.
+                                postprocess: Optional[str] = "auto",
+                                bits: int = 8, group: int = 64):
+    """An inference closure whose RESIDENT weights are int8 (or packed int4
+    with ``bits=4`` — 1/8 the f32 footprint, per-group scales).
 
     Returns ``(fn, qparams)``: call ``fn(qparams, *xs)``.  qparams live on
-    device as int8 + per-channel scales (1/4 the f32 footprint); each call
-    dequantizes to ``compute_dtype`` inside the jit — the scale multiply
-    fuses into the consuming matmul, so HBM holds and streams only int8.
+    device quantized (+ scales); each call dequantizes to ``compute_dtype``
+    inside the jit — the scale multiply fuses into the consuming matmul, so
+    HBM holds and streams only the quantized bytes.
     ``compute_dtype=jnp.bfloat16`` additionally casts float inputs and runs
     the forward in bf16 (MXU speed); float32 (default) keeps activations
     exact.  Postprocess semantics mirror
@@ -121,7 +193,8 @@ def make_quantized_inference_fn(learner, min_size: int = 4096, skip=None,
     kwargs = learner._model_kwargs(train=False)
     tt = learner.target_type if postprocess == "auto" else None
     qparams = quantize_params(jax.device_get(learner.params),
-                              min_size=min_size, skip=skip)
+                              min_size=min_size, skip=skip, bits=bits,
+                              group=group)
 
     def fn(qp, *xs):
         if learner.input_pipeline is not None:

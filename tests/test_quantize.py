@@ -123,3 +123,61 @@ def test_bf16_compute_path():
     fn32, qp32 = make_quantized_inference_fn(learner, min_size=1024)
     out32 = np.asarray(jax.jit(fn32)(qp32, jnp.asarray(x[:32])))
     assert (out.argmax(1) == out32.argmax(1)).mean() > 0.9
+
+
+# ------------------------------------------------------------------- int4
+
+from neuralnetworklibrary_tpu.utils.quantize import (  # noqa: E402
+    Q4Tensor,
+    quantize_leaf_int4,
+)
+
+
+def test_int4_pack_roundtrip_and_error_bound():
+    """Nibble packing is lossless over the quantized grid; per-group error
+    is bounded by scale/2."""
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 1, (128, 96)).astype(np.float32)
+    w[:64] *= 20.0          # two very different input-row ranges
+    q = quantize_leaf_int4(jnp.asarray(w), group=64)
+    assert isinstance(q, Q4Tensor)
+    assert q.packed.dtype == jnp.uint8
+    assert q.packed.shape == (2, 32, 96)       # (R/G, G/2, out)
+    back = np.asarray(q.dequantize())
+    assert back.shape == w.shape
+    scale = np.repeat(np.asarray(q.scale), 64, axis=1).reshape(128, 96)
+    assert (np.abs(back - w) <= scale / 2 + 1e-7).all()
+    # group-wise scales: the hot rows must not inflate the cold rows' error
+    assert np.abs(back[64:] - w[64:]).max() < np.abs(w[64:]).max() / 13
+
+
+def test_int4_group_fallback_and_odd_rows():
+    # 96 rows, group 64 → falls back to g=32 (largest even divisor chain)
+    q = quantize_leaf_int4(jnp.ones((96, 8)), group=64)
+    assert q is not None and q.scale.shape[0] == 96 // 32
+    # odd row count: no even divisor → leaf stays float via quantize_params
+    tree = quantize_params({"w": jnp.ones((33, 200))}, min_size=16, bits=4)
+    assert not isinstance(tree["w"], Q4Tensor)
+
+
+def test_int4_inference_fidelity_and_footprint():
+    """bits=4: ~8x smaller resident weights, still >90% top-1 agreement on
+    the trained model; dequantize_params handles the mixed tree."""
+    learner, x, y = _trained_learner()
+    fn, qparams = make_quantized_inference_fn(learner, min_size=1024, bits=4)
+    probs_q = np.asarray(jax.jit(fn)(qparams, jnp.asarray(x)))
+    logits_f = learner.model.apply(
+        {"params": learner.params, **learner.state}, jnp.asarray(x))
+    probs_f = np.asarray(jax.nn.softmax(logits_f, -1))
+    agree = (probs_q.argmax(1) == probs_f.argmax(1)).mean()
+    assert agree > 0.9, agree
+
+    qtree = quantize_params(jax.device_get(learner.params), min_size=1024,
+                            bits=4)
+    rep = quantization_report(learner.params, qtree)
+    assert rep["n_quantized"] >= 2
+    assert rep["compression"] > 5.0, rep     # ~8x on the quantized leaves
+
+    deq = dequantize_params(qtree)
+    flat = jax.tree_util.tree_leaves(deq)
+    assert all(not isinstance(l, Q4Tensor) for l in flat)
