@@ -57,6 +57,24 @@ from neuralnetworklibrary_tpu.parallel import mesh as pmesh
 _EMA_DECAY = 0.98  # moving_avg_loss decay (Learner.py:610)
 
 
+def _kd_divergence(s_logits, t_logits, temp, mask):
+    """T² · KL(softmax(teacher/T) ‖ softmax(student/T)), (mask-weighted)
+    mean over every non-vocab axis — the Hinton et al. 2015 soft target.
+    The T² factor keeps the soft gradients' magnitude comparable to the
+    hard loss as T grows.  mask broadcasts like the seq losses' (per-row
+    over remaining axes)."""
+    sp = jax.nn.log_softmax(s_logits / temp, axis=-1)
+    tp = jax.nn.softmax(t_logits / temp, axis=-1)
+    kl = jnp.sum(tp * (jnp.log(jnp.maximum(tp, 1e-12)) - sp), axis=-1)
+    if mask is not None:
+        w = jnp.asarray(mask, kl.dtype)
+        while w.ndim < kl.ndim:
+            w = w[..., None]
+        w = jnp.broadcast_to(w, kl.shape)
+        return temp * temp * jnp.sum(kl * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return temp * temp * jnp.mean(kl)
+
+
 def _correct_foldername(p: str) -> str:
     return p if p.endswith("/") else p + "/"
 
@@ -97,6 +115,9 @@ class Learner:
         fsdp_sharding: bool = False,
         grad_accum: int = 1,
         mixup: float = 0.0,
+        distill=None,
+        distill_alpha: float = 0.5,
+        distill_temp: float = 2.0,
     ):
         self.PATH = _correct_foldername(PATH)
         os.makedirs(self.PATH + "models", exist_ok=True)
@@ -177,6 +198,31 @@ class Learner:
                 "mixup does not compose with models that own their "
                 "loss_and_grad"
             )
+        # Knowledge distillation (Hinton et al. 2015): distill=(teacher_model,
+        # teacher_variables) runs a stop-gradient teacher forward on the SAME
+        # (post-pipeline, post-mixup) inputs inside the jitted train step and
+        # adds alpha · T² · KL(teacher_T ‖ student_T) to (1−alpha) × the hard
+        # loss.  The TPU-native use: train a cheap DRAFT model against a
+        # target so nn.speculative's acceptance rate rises.  Val metrics stay
+        # the hard loss.  teacher_variables: a full variables dict
+        # ({"params": ..., "batch_stats": ...}) or a bare params tree.
+        self.distill = distill
+        self.distill_alpha = float(distill_alpha)
+        self.distill_temp = float(distill_temp)
+        if distill is not None:
+            if hasattr(model, "loss_and_grad"):
+                raise ValueError("distill does not compose with models that "
+                                 "own their loss_and_grad")
+            if not 0.0 <= self.distill_alpha <= 1.0:
+                raise ValueError(f"distill_alpha must be in [0, 1], got "
+                                 f"{self.distill_alpha}")
+            if self.distill_temp <= 0.0:
+                raise ValueError(f"distill_temp must be > 0, got "
+                                 f"{self.distill_temp}")
+            t_model, t_vars = distill
+            if not (isinstance(t_vars, dict) and "params" in t_vars):
+                t_vars = {"params": t_vars}
+            self.distill = (t_model, t_vars)
 
         self.rng = jax.random.PRNGKey(seed)
         self._init_variables()
@@ -487,8 +533,23 @@ class Learner:
                                 y_pred, jax.tree_util.tree_map(
                                     lambda t: t[perm], y),
                                 mask if mask is None else mask[perm]))
-                    return loss, new_state
-                return self._apply_loss(y_pred, y, mask), new_state
+                else:
+                    loss = self._apply_loss(y_pred, y, mask)
+                if self.distill is not None:
+                    # stop-gradient teacher forward on the SAME inputs; the
+                    # soft KL term distills the teacher's dark knowledge
+                    t_model, t_vars = self.distill
+                    t_out = t_model.apply(t_vars, *xs, train=False)
+                    t_logits = t_out[0] if isinstance(t_out, tuple) else t_out
+                    t_logits = jax.lax.stop_gradient(
+                        jnp.asarray(t_logits, jnp.float32))
+                    s_logits = (y_pred[0] if isinstance(y_pred, tuple)
+                                else y_pred)
+                    kd = _kd_divergence(s_logits, t_logits,
+                                        self.distill_temp, mask)
+                    loss = ((1.0 - self.distill_alpha) * loss
+                            + self.distill_alpha * kd)
+                return loss, new_state
 
             if custom_vag is not None:
                 (loss, new_state), grads = custom_vag(
