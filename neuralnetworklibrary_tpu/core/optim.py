@@ -39,6 +39,25 @@ from neuralnetworklibrary_tpu.core.pytree import (
 )
 
 
+def newton_schulz_orthogonalize(m, steps: int = 5, eps: float = 1e-7):
+    """≈ UVᵀ of a 2-d matrix via the quintic Newton–Schulz iteration
+    (Muon's core): X ← aX + (bA + cA²)X with A = XXᵀ and the tuned
+    coefficients (3.4445, −4.7750, 2.0315), X₀ = m/‖m‖_F.  Five iterations
+    drive every singular value into ≈(0.7, 1.3) — an approximate polar
+    factor using only matmuls (MXU-native; no SVD on device).  Operates on
+    the smaller Gram orientation (transpose when rows > cols)."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = jnp.asarray(m, jnp.float32)
+    flip = x.shape[0] > x.shape[1]
+    if flip:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + eps)
+    for _ in range(steps):
+        gram = x @ x.T
+        x = a * x + (b * gram + c * gram @ gram) @ x
+    return x.T if flip else x
+
+
 class Optimizer:
     """Optimizer with per-layer-group hyperparameters, decoupled weight decay,
     and global grad clipping.
@@ -108,7 +127,7 @@ class Optimizer:
 
     @property
     def uses_betas(self) -> bool:
-        return self.kind in ("adam", "lamb")
+        return self.kind in ("adam", "lamb", "muon")
 
     @property
     def factored(self) -> bool:
@@ -136,6 +155,19 @@ class Optimizer:
                         "v": zeros,
                         "t": jnp.zeros((), jnp.int32),
                     }
+                elif self.kind == "muon":
+                    # 2-d matmul weights get the orthogonalized-momentum
+                    # update (a single momentum buffer); embeddings and
+                    # non-2-d leaves (biases, norms) take AdamW — Muon's
+                    # spectral geometry only makes sense for genuine
+                    # matrices (Jordan et al. 2024 route those to Adam too).
+                    if leaf.ndim == 2 and not any(
+                            "embed" in str(p) for p in path):
+                        state[path] = {"mu": zeros,
+                                       "t": jnp.zeros((), jnp.int32)}
+                    else:
+                        state[path] = {"m": zeros, "v": zeros,
+                                       "t": jnp.zeros((), jnp.int32)}
                 elif self.kind == "adafactor":
                     # Sublinear memory: >=2-d leaves whose second-largest dim
                     # clears min_dim_size_to_factor store row/col RMS vectors
@@ -271,6 +303,31 @@ class Optimizer:
                                   p_norm / jnp.maximum(u_norm, 1e-12), 1.0)
                 new_p[path] = p - lr * trust * upd
                 new_s[path] = {"m": m, "v": v, "t": t}
+            elif self.kind == "muon":
+                if "mu" in slots:
+                    # Muon (Jordan et al. 2024): nesterov momentum, then
+                    # Newton–Schulz orthogonalization — the update becomes
+                    # ~UVᵀ of the momentum matrix, equalizing the step's
+                    # singular values (pure MXU matmuls, TPU-friendly);
+                    # √(rows/cols) keeps per-row RMS comparable across
+                    # aspect ratios.
+                    mu = mom * slots["mu"] + g
+                    o = newton_schulz_orthogonalize(g + mom * mu)
+                    scale = jnp.sqrt(jnp.maximum(
+                        1.0, p.shape[0] / p.shape[1]))
+                    new_p[path] = p - lr * scale * o
+                    new_s[path] = {"mu": mu, "t": slots["t"] + 1}
+                else:
+                    # AdamW fallback for embeddings / non-matrix leaves —
+                    # identical math to kind='adam' below
+                    t = slots["t"] + 1
+                    m = b1 * slots["m"] + (1.0 - b1) * g
+                    v = b2 * slots["v"] + (1.0 - b2) * jnp.square(g)
+                    tf = t.astype(jnp.float32)
+                    m_hat = m / (1.0 - jnp.power(b1, tf))
+                    v_hat = v / (1.0 - jnp.power(b2, tf))
+                    new_p[path] = p - lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
+                    new_s[path] = {"m": m, "v": v, "t": t}
             elif self.kind == "adafactor":
                 # Adafactor (Shazeer & Stern 2018), optax.adafactor semantics:
                 # factored second-moment RMS scaling, per-leaf update-RMS clip,
@@ -371,6 +428,13 @@ opt_dict: dict[str, dict] = {
     # training (LAMB, You et al. 2020) — the natural pairing for the
     # data-parallel mesh + grad_accum effective-batch scaling
     "LAMB": {"kind": "lamb", "betas": (0.9, 0.999)},
+    # beyond reference parity: orthogonalized-momentum optimizer for matmul
+    # weights (Muon, Jordan et al. 2024) — the current speed-record LLM
+    # pretraining optimizer; 2-d weights take Newton–Schulz-orthogonalized
+    # nesterov-momentum steps (5 matmul iterations, MXU-native), embeddings
+    # and non-matrix leaves fall back to AdamW.  Typical lr ~0.02 for the
+    # matrix groups.
+    "Muon": {"kind": "muon", "momentum": 0.95, "betas": (0.9, 0.999)},
     # beyond reference parity: sublinear-memory adaptive optimizer (Adafactor,
     # Shazeer & Stern 2018) — the TPU-era standard for large embedding/LM
     # training; factored leaves store O(n+m) second-moment state, the natural
