@@ -221,6 +221,8 @@ class MLP(nn.Module):
     d_ff: int
     drop: float = 0.0
     gated: bool = False
+    exact_gelu: bool = False   # erf gelu (HF ViT/BERT) vs the tanh approx
+                               # (GPT-2 'gelu_new', the jax default)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -228,7 +230,8 @@ class MLP(nn.Module):
             h = (jax.nn.silu(nn.Dense(self.d_ff, name="fc_in")(x))
                  * nn.Dense(self.d_ff, name="fc_gate")(x))
         else:
-            h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x))
+            h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x),
+                            approximate=not self.exact_gelu)
         h = nn.Dense(self.d_model, name="fc_out")(h)
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
@@ -357,6 +360,7 @@ class TransformerBlock(nn.Module):
     norm_eps: float = 1e-6
     window: int = 0
     causal: bool = True
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -398,7 +402,8 @@ class TransformerBlock(nn.Module):
                                 h, train=train)
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
-                    gated=self.gated_mlp, name="mlp")(h, train=train)
+                    gated=self.gated_mlp, exact_gelu=self.exact_gelu,
+                    name="mlp")(h, train=train)
             aux = jnp.zeros((), x.dtype)
         return seq(x + y), aux
 

@@ -48,7 +48,8 @@ class ViT(nn.Module):
     mesh: Optional[Mesh] = None
     sp: bool = False
     remat: bool = False
-    norm_eps: float = 1e-6
+    norm_eps: float = 1e-6     # HF ViT checkpoints use 1e-12
+    exact_gelu: bool = False   # True matches HF ViT's erf gelu
 
     head_prefixes = ("head",)
 
@@ -87,6 +88,7 @@ class ViT(nn.Module):
             h, _ = block_cls(self.d_model, self.n_heads, d_ff, self.drop,
                              mesh=self.mesh, sp=self.sp, causal=False,
                              norm_eps=self.norm_eps,
+                             exact_gelu=self.exact_gelu,
                              name=f"block_{i}")(h, train, False, None)
         h = nn.LayerNorm(epsilon=self.norm_eps, name="ln_f")(h)
         feat = h[:, 0] if self.pool == "cls" else jnp.mean(h, axis=1)
