@@ -127,7 +127,7 @@ class Optimizer:
 
     @property
     def uses_betas(self) -> bool:
-        return self.kind in ("adam", "lamb", "muon")
+        return self.kind in ("adam", "lamb", "muon", "lion")
 
     @property
     def factored(self) -> bool:
@@ -149,6 +149,10 @@ class Optimizer:
                 zeros = jnp.zeros_like(leaf)
                 if self.kind == "sgd":
                     state[path] = {"buf": zeros}
+                elif self.kind == "lion":
+                    # single momentum buffer — half of Adam's state; the
+                    # sign() update needs no second moment
+                    state[path] = {"m": zeros}
                 elif self.kind in ("adam", "lamb"):
                     state[path] = {
                         "m": zeros,
@@ -284,6 +288,15 @@ class Optimizer:
                 buf = slots["buf"] * mom + g if mom is not None else g
                 new_p[path] = p - lr * buf
                 new_s[path] = {"buf": buf}
+            elif self.kind == "lion":
+                # Lion (Chen et al. 2023, "Symbolic Discovery of Optimization
+                # Algorithms"): sign of a b1-interpolated momentum drives the
+                # step; the buffer itself decays with b2.  Decoupled wd rides
+                # the shared pre-step path (step 1): p*(1-wd·lr) - lr·sign(u)
+                # == optax.lion's add_decayed_weights formulation exactly.
+                u = jnp.sign(b1 * slots["m"] + (1.0 - b1) * g)
+                new_p[path] = p - lr * u
+                new_s[path] = {"m": b2 * slots["m"] + (1.0 - b2) * g}
             elif self.kind == "lamb":
                 # LAMB (You et al. 2020): Adam moments, then a per-leaf
                 # trust ratio ||p|| / ||update|| scales the step — layer-wise
@@ -440,5 +453,10 @@ opt_dict: dict[str, dict] = {
     # training; factored leaves store O(n+m) second-moment state, the natural
     # companion to FSDP when even sharded Adam moments are too big
     "Adafactor": {"kind": "adafactor"},
+    # beyond reference parity: sign-momentum optimizer (Lion, Chen et al.
+    # 2023) — half of Adam's optimizer state (one buffer, no second moment)
+    # and a bandwidth-light elementwise update; typical lr ~3-10x smaller
+    # than Adam's with ~3-10x larger wd.
+    "Lion": {"kind": "lion", "betas": (0.9, 0.99)},
 }
 opt_dict["default"] = opt_dict["SGD_Mom"]
