@@ -62,16 +62,19 @@ def rope(x, positions, base: float = 10000.0):
     """Rotary position embedding (RoFormer) in the split-half convention:
     pair feature i with i + hd/2 and rotate each pair by
     positions · base^(-2i/hd).  x: (B, T, H, hd) with hd even;
-    positions: (T,) int32.  Norm-preserving; q·k depends only on the
-    RELATIVE distance between query and key positions.
+    positions: (T,) int32, or (B, T) when each batch row sits at its own
+    offset (continuous-batching decode).  Norm-preserving; q·k depends only
+    on the RELATIVE distance between query and key positions.
     """
     hd = x.shape[-1]
     if hd % 2:
         raise ValueError(f"rope needs an even head dim, got {hd}")
     inv_freq = base ** (-jnp.arange(0, hd // 2) * 2.0 / hd)
-    ang = positions[:, None].astype(jnp.float32) * inv_freq[None]  # (T, hd/2)
-    cos = jnp.cos(ang)[None, :, None, :].astype(x.dtype)
-    sin = jnp.sin(ang)[None, :, None, :].astype(x.dtype)
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, hd/2)
+    if positions.ndim == 1:
+        ang = ang[None]                                        # (1, T, hd/2)
+    cos = jnp.cos(ang)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[:, :, None, :].astype(x.dtype)
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
@@ -116,7 +119,7 @@ class CausalSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offset=None):
+                 offset=None, segment_ids=None, positions=None):
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
@@ -133,7 +136,15 @@ class CausalSelfAttention(nn.Module):
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
         if self.use_rope:
-            pos = jnp.arange(T) if offset is None else offset + jnp.arange(T)
+            if positions is not None:
+                pos = jnp.asarray(positions, jnp.int32)   # (B, T) packed rows
+            elif offset is None:
+                pos = jnp.arange(T)
+            else:
+                off_ = jnp.asarray(offset, jnp.int32)
+                # (B,) per-row offsets (continuous batching) -> (B, T)
+                pos = (off_[:, None] + jnp.arange(T) if off_.ndim
+                       else off_ + jnp.arange(T))
             q = rope(q, pos, self.rope_base)
             k = rope(k, pos, self.rope_base)
         rep = H // Hkv
@@ -148,7 +159,7 @@ class CausalSelfAttention(nn.Module):
         # einsum path (GSPMD still shards the T×T tensor over the q axis,
         # at an all-gather of K/V); decode (KV cache) is never ring-run.
         if (self.cp_axis is not None and self.mesh is not None
-                and self.window <= 0 and self.causal
+                and self.window <= 0 and self.causal and segment_ids is None
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -167,6 +178,7 @@ class CausalSelfAttention(nn.Module):
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and self.causal and not decode and T % 128 == 0
+                and segment_ids is None
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -184,16 +196,35 @@ class CausalSelfAttention(nn.Module):
             ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd), x.dtype)
             cv = self.variable("cache", "v", jnp.zeros, (B, M, Hkv, hd), x.dtype)
             off = jnp.asarray(0 if offset is None else offset, jnp.int32)
-            ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, off, 0, 0))
-            cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, off, 0, 0))
+            if off.ndim == 0:
+                ck.value = jax.lax.dynamic_update_slice(ck.value, k,
+                                                        (0, off, 0, 0))
+                cv.value = jax.lax.dynamic_update_slice(cv.value, v,
+                                                        (0, off, 0, 0))
+                q_pos = off + jnp.arange(T)                        # (T,)
+                mask = jnp.arange(M)[None, :] <= q_pos[:, None]    # (T, M)
+                if self.window > 0:
+                    mask &= (jnp.arange(M)[None, :]
+                             > q_pos[:, None] - self.window)
+                mask = mask[None, None]                            # (1,1,T,M)
+            else:
+                # (B,) per-row offsets: each slot of a continuous-batching
+                # decode step sits at its own sequence position — K/V land
+                # at per-row cache indices, the causal mask is per row
+                upd = jax.vmap(lambda c, u, o: jax.lax.dynamic_update_slice(
+                    c, u, (o, 0, 0)))
+                ck.value = upd(ck.value, k, off)
+                cv.value = upd(cv.value, v, off)
+                q_pos = off[:, None] + jnp.arange(T)               # (B, T)
+                mask = (jnp.arange(M)[None, None, :]
+                        <= q_pos[..., None])                       # (B, T, M)
+                if self.window > 0:
+                    mask &= (jnp.arange(M)[None, None, :]
+                             > q_pos[..., None] - self.window)
+                mask = mask[:, None]                               # (B,1,T,M)
             att = jnp.einsum("bqhd,bkhd->bhqk", q,
                              expand_kv(ck.value)) / math.sqrt(hd)
-            q_pos = off + jnp.arange(T)                       # (T,)
-            mask = jnp.arange(M)[None, :] <= q_pos[:, None]   # (T, M) causal
-            if self.window > 0:
-                mask &= (jnp.arange(M)[None, :]
-                         > q_pos[:, None] - self.window)
-            att = jnp.where(mask[None, None], att, -1e30)
+            att = jnp.where(mask, att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
                              expand_kv(cv.value)).reshape(B, T, D)
@@ -204,7 +235,17 @@ class CausalSelfAttention(nn.Module):
             if self.window > 0:
                 qp = jnp.arange(T)
                 mask &= qp[None, :] > qp[:, None] - self.window
-            att = jnp.where(mask, att, -1e30)
+            if segment_ids is not None:
+                # packed sequences: attention never crosses a document
+                # boundary — the causal mask intersects the block-diagonal
+                # same-segment mask (per batch row)
+                seg = jnp.asarray(segment_ids)
+                mask = mask[None] & (seg[:, :, None] == seg[:, None, :])
+                att = jnp.where(mask[:, None], att, -1e30)
+            else:
+                att = jnp.where(mask, att, -1e30)
+        elif segment_ids is not None:
+            raise ValueError("segment_ids requires causal attention")
         att = jax.nn.softmax(att, axis=-1)
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
@@ -364,7 +405,7 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offset=None):
+                 offset=None, segment_ids=None, positions=None):
         def seq(h):  # sequence-/context-parallel region constraint
             t_axes = []
             if self.cp_axis is not None and not decode:
@@ -390,7 +431,9 @@ class TransformerBlock(nn.Module):
                                     rope_base=self.rope_base,
                                     window=self.window, causal=self.causal,
                                     name="attn")(h, train=train,
-                                                 decode=decode, offset=offset)
+                                                 decode=decode, offset=offset,
+                                                 segment_ids=segment_ids,
+                                                 positions=positions)
         x = seq(x)
         h = norm("ln2")(x)
         if self.n_experts > 0:
@@ -460,6 +503,16 @@ class TransformerLM(nn.Module):
                                     # recompute per block in the backward
     window: int = 0                 # > 0: sliding-window attention (each
                                     # query sees the last `window` keys)
+    reset_at: Optional[int] = None  # sequence-packing separator token id:
+                                    # attention and positions RESET after
+                                    # every occurrence of this token, so one
+                                    # (B, T) row can carry several packed
+                                    # documents with no cross-contamination
+                                    # (segment ids + per-segment positions
+                                    # are derived on device from x itself;
+                                    # decode ignores it).  Pair with
+                                    # data.packing.pack_documents +
+                                    # PackedSeqCrossEntropyLoss.
 
     head_prefixes = ("word_embed",)
 
@@ -469,7 +522,8 @@ class TransformerLM(nn.Module):
         return (("pos_embed", "ln_f") + blocks, ("word_embed",))
 
     @nn.compact
-    def __call__(self, x, train: bool = False, decode: bool = False):
+    def __call__(self, x, train: bool = False, decode: bool = False,
+                 offsets=None):
         B, T = x.shape
         if T > self.max_len:
             raise ValueError(f"sequence length {T} > max_len {self.max_len}")
@@ -489,19 +543,44 @@ class TransformerLM(nn.Module):
         offset = None
         if decode:
             # one shared position counter; each attention layer writes its
-            # KV cache at this offset (prefill T>1, then T=1 steps)
+            # KV cache at this offset (prefill T>1, then T=1 steps).  An
+            # explicit ``offsets`` (B,) vector overrides it — each batch row
+            # decodes at its OWN position (continuous-batching serving,
+            # serving/engine.py); the shared counter is left untouched.
             idx = self.variable("cache", "idx",
                                 lambda: jnp.zeros((), jnp.int32))
-            offset = idx.value
-            h = jnp.take(emb, x, axis=0)
-            if pos is not None:
-                pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T, axis=0)
-                h = h + pos_t[None]
-            idx.value = offset + T
+            if offsets is not None:
+                offset = jnp.asarray(offsets, jnp.int32)
+                h = jnp.take(emb, x, axis=0)
+                if pos is not None:
+                    h = h + jnp.take(pos, offset[:, None] + jnp.arange(T),
+                                     axis=0)
+            else:
+                offset = idx.value
+                h = jnp.take(emb, x, axis=0)
+                if pos is not None:
+                    pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T,
+                                                         axis=0)
+                    h = h + pos_t[None]
+                idx.value = offset + T
         else:
             h = jnp.take(emb, x, axis=0)
-            if pos is not None:
+            if pos is not None and self.reset_at is None:
                 h = h + pos[None, :T]
+        seg = pos_ids = None
+        if self.reset_at is not None and not decode:
+            # packed rows: a new segment starts right AFTER each separator
+            # token.  seg = running count of separators seen strictly before
+            # each position; positions restart at the segment start (the
+            # first token after the separator gets position 0).  Derived on
+            # device from x — the data path stays plain (B, T) tokens.
+            b = jnp.pad(x[:, :-1] == self.reset_at, ((0, 0), (1, 0)))
+            seg = jnp.cumsum(b.astype(jnp.int32), axis=1)
+            start = jax.lax.cummax(
+                jnp.where(b, jnp.arange(T)[None], 0), axis=1)
+            pos_ids = jnp.arange(T)[None] - start
+            if pos is not None:
+                h = h + jnp.take(pos, pos_ids, axis=0)
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
 
@@ -542,7 +621,7 @@ class TransformerLM(nn.Module):
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 window=self.window,
-                name=f"block_{i}")(h, train, decode, offset)
+                name=f"block_{i}")(h, train, decode, offset, seg, pos_ids)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
              else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)
@@ -676,6 +755,28 @@ class FusedSeqCrossEntropyLoss:
         if len(outputs) > 2 and self.balance_weight:
             loss = loss + self.balance_weight * outputs[2]
         return loss
+
+
+class PackedSeqCrossEntropyLoss:
+    """Sequence CE for packed rows (data.packing.pack_documents +
+    ``TransformerLM(reset_at=...)``): target positions equal to
+    ``pad_token`` are excluded token-wise (the loader's (B,) row mask, if
+    any, still composes in).  The packed masked mean over a batch equals the
+    per-document masked mean over the same tokens."""
+
+    def __init__(self, pad_token: int):
+        self.pad_token = int(pad_token)
+
+    def __call__(self, outputs, target, mask=None):
+        preds = outputs[0] if isinstance(outputs, tuple) else outputs
+        logp = jax.nn.log_softmax(preds, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        w = (target != self.pad_token).astype(jnp.float32)
+        if mask is not None:
+            w = w * (mask[:, None] if getattr(mask, "ndim", 0) == 1
+                     else mask).astype(jnp.float32)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 class MoESeqCrossEntropyLoss:
