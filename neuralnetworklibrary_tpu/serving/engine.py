@@ -217,15 +217,33 @@ class ServingEngine:
             raise ValueError(
                 f"prompt length {len(p)} leaves no room to decode under "
                 f"max_len {self.model.max_len}")
-        tb = self._bucket_for(len(p))
-        padded = np.full((1, tb), self.pad_token, np.int32)
-        padded[0, :len(p)] = p
-        fn = self._prefill_jits.get(tb)
-        if fn is None:
-            fn = self._prefill_jits[tb] = jax.jit(self._prefill_into)
         self._key, k1 = jax.random.split(self._key)
-        self.cache, tok = fn(self.params, self.cache, jnp.asarray(padded),
-                             len(p), slot, k1)
+        pre = self._prefix
+        if (pre is not None and len(p) > len(pre[0])
+                and list(p[:len(pre[0])]) == pre[0]):
+            # shared-prefix hit: prefill only the suffix on top of the saved
+            # prefix cache
+            suf = p[len(pre[0]):]
+            tb = self._bucket_for(len(suf))
+            padded = np.full((1, tb), self.pad_token, np.int32)
+            padded[0, :len(suf)] = suf
+            fn = self._suffix_jits.get(tb)
+            if fn is None:
+                fn = self._suffix_jits[tb] = jax.jit(self._prefill_suffix)
+            self.cache, tok = fn(self.params, self.cache, pre[1],
+                                 jnp.asarray(padded), len(suf), slot, k1)
+            self.stats["prefix_hits"] += 1
+            self.stats["prefill_tokens"] += len(suf)
+        else:
+            tb = self._bucket_for(len(p))
+            padded = np.full((1, tb), self.pad_token, np.int32)
+            padded[0, :len(p)] = p
+            fn = self._prefill_jits.get(tb)
+            if fn is None:
+                fn = self._prefill_jits[tb] = jax.jit(self._prefill_into)
+            self.cache, tok = fn(self.params, self.cache,
+                                 jnp.asarray(padded), len(p), slot, k1)
+            self.stats["prefill_tokens"] += len(p)
         req.tokens.append(int(tok))
         req.admitted_at_step = self.stats["decode_steps"]
         self.stats["prefills"] += 1

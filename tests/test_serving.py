@@ -99,6 +99,33 @@ def test_engine_respects_max_len():
         engine.run([Request(list(range(model.max_len)), 5)])
 
 
+def test_engine_prefix_cache_exact_and_cheaper():
+    """set_prefix: requests sharing the prefix emit EXACTLY what a full
+    prefill emits, while prefilling only their suffixes (prefill_tokens
+    drops by len(prefix) per hit); non-matching prompts fall back."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(4)
+    prefix = rng.integers(0, V, 11).tolist()
+    suffixes = [rng.integers(0, V, n).tolist() for n in (3, 7, 2, 5)]
+    reqs_kw = ([(prefix + s, 6) for s in suffixes]
+               + [(rng.integers(0, V, 4).tolist(), 6)])   # one miss
+
+    def run(with_prefix):
+        eng = ServingEngine(model, params, slots=2, prompt_buckets=(8, 16))
+        if with_prefix:
+            eng.set_prefix(prefix)
+        reqs = [Request(p, n) for p, n in reqs_kw]
+        eng.run(reqs)
+        return [r.tokens for r in reqs], eng.stats
+
+    base, base_stats = run(False)
+    cached, stats = run(True)
+    assert cached == base
+    assert stats["prefix_hits"] == len(suffixes)
+    assert (stats["prefill_tokens"]
+            == base_stats["prefill_tokens"] - (len(suffixes) - 1) * len(prefix))
+
+
 def test_engine_sampled_mode_runs():
     """k>1 sampling: tokens are valid ids, reproducible under the same seed,
     and the engine still schedules everything to completion."""
