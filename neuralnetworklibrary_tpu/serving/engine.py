@@ -78,13 +78,20 @@ class ServingEngine:
     k / temperature: top-k sampling family (k=1 => greedy, argmax).
     eos_token: default stop token (None: run to max_new).
     pad_token: id used to right-pad prefill buckets (inert, any id works).
+    chunk: decode steps per host round-trip.  1 = pure iteration-level
+        scheduling (admit/retire after every token).  >1 runs ``chunk``
+        steps in one jitted ``lax.scan`` before the host looks at the
+        tokens — slots that finish mid-chunk ride to the boundary and their
+        surplus tokens are trimmed (emitted sequences are IDENTICAL; only
+        admission latency coarsens).  Use when host↔device latency, not
+        compute, binds the decode loop.
     """
 
     def __init__(self, model, params, slots: int = 4,
                  prompt_buckets: Sequence[int] = (32, 128, 512),
                  eos_token: Optional[int] = None, k: int = 1,
                  temperature: float = 1.0, pad_token: int = 0,
-                 seed: int = 0):
+                 seed: int = 0, chunk: int = 1):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
         if not getattr(model, "n_experts", 0) == 0:
@@ -96,6 +103,9 @@ class ServingEngine:
         self.eos_token = eos_token
         self.k, self.temperature = int(k), float(temperature)
         self.pad_token = int(pad_token)
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        self.chunk = int(chunk)
         self.buckets = tuple(sorted(b for b in prompt_buckets
                                     if b <= model.max_len))
         from neuralnetworklibrary_tpu.nn.transformer import init_cache
@@ -105,7 +115,7 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._prefill_jits: dict = {}
         self._suffix_jits: dict = {}
-        self._decode = jax.jit(self._decode_step)
+        self._decode = jax.jit(self._decode_chunk)
         self._prefix: Optional[tuple] = None   # (tokens, batch-1 cache)
         self.stats = {"decode_steps": 0, "prefills": 0,
                       "prefix_hits": 0, "prefill_tokens": 0,
@@ -200,6 +210,19 @@ class ServingEngine:
             nxt = jax.vmap(self._sample)(keys, logits)
         return mut["cache"], jnp.where(active, nxt, toks)
 
+    def _decode_chunk(self, params, cache, toks, lengths, active, key):
+        """``chunk`` decode steps in one device program — per-step offsets
+        advance on device, the host sees (chunk, S) tokens at the end."""
+        def step(carry, k1):
+            cache, toks, lens = carry
+            cache, nxt = self._decode_step(params, cache, toks, lens,
+                                           active, k1)
+            return (cache, nxt, lens + active.astype(jnp.int32)), nxt
+
+        (cache, _, _), seq = jax.lax.scan(
+            step, (cache, toks, lengths), jax.random.split(key, self.chunk))
+        return cache, seq                                       # (chunk, S)
+
     # ------------------------------------------------------------- scheduling
 
     def _bucket_for(self, n: int) -> int:
@@ -283,21 +306,25 @@ class ServingEngine:
             if not active.any():
                 continue
             self._key, k1 = jax.random.split(self._key)
-            self.cache, nxt = self._decode(
+            self.cache, seq = self._decode(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.asarray(lengths), jnp.asarray(active), k1)
-            nxt = np.asarray(nxt)
-            self.stats["decode_steps"] += 1
-            self.stats["slot_steps_active"] += int(active.sum())
-            self.stats["slot_steps_total"] += self.slots
+            seq = np.asarray(seq)                        # (chunk, S)
+            n_steps = seq.shape[0]
+            self.stats["decode_steps"] += n_steps
+            self.stats["slot_steps_total"] += self.slots * n_steps
             for s in range(self.slots):
                 if slot_req[s] is None:
                     continue
-                lengths[s] += 1
-                toks[s] = int(nxt[s])
-                slot_req[s].tokens.append(int(nxt[s]))
-                if self._finished(slot_req[s], int(lengths[s])):
-                    retire(s)
+                req = slot_req[s]
+                for t in range(n_steps):
+                    lengths[s] += 1
+                    toks[s] = int(seq[t, s])
+                    req.tokens.append(int(seq[t, s]))
+                    self.stats["slot_steps_active"] += 1
+                    if self._finished(req, int(lengths[s])):
+                        retire(s)      # surplus chunk tokens are trimmed
+                        break
         return list(requests)
 
     @property

@@ -126,6 +126,28 @@ def test_engine_prefix_cache_exact_and_cheaper():
             == base_stats["prefill_tokens"] - (len(suffixes) - 1) * len(prefix))
 
 
+def test_engine_chunked_decode_identical():
+    """chunk>1 (many decode steps per host round-trip) emits exactly the
+    chunk=1 sequences — surplus tokens from slots finishing mid-chunk are
+    trimmed — while issuing far fewer device calls."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(5)
+    spec = [(rng.integers(0, V, n).tolist(), m)
+            for n, m in [(3, 11), (9, 2), (5, 17), (4, 7), (6, 1)]]
+
+    def run(chunk):
+        reqs = [Request(p, m) for p, m in spec]
+        eng = ServingEngine(model, params, slots=2, prompt_buckets=(8, 16),
+                            chunk=chunk)
+        eng.run(reqs)
+        return [r.tokens for r in reqs], eng.stats["decode_steps"]
+
+    base, steps1 = run(1)
+    chunked, steps8 = run(8)
+    assert chunked == base
+    assert steps8 % 8 == 0 and steps8 >= steps1  # trimmed, not truncated
+
+
 def test_engine_sampled_mode_runs():
     """k>1 sampling: tokens are valid ids, reproducible under the same seed,
     and the engine still schedules everything to completion."""
