@@ -98,6 +98,19 @@ class ServingEngine:
             # MoE decode works through the same path; capacity routing at
             # batch 1-per-slot is untested for serving — keep it explicit.
             raise ValueError("ServingEngine currently supports dense models")
+        from neuralnetworklibrary_tpu.utils.quantize import (
+            _is_qtensor,
+            dequantize_params,
+        )
+
+        # int8/int4 weight-only serving (utils.quantize): quantized leaves
+        # stay resident; each jitted fn dequantizes on entry — XLA fuses the
+        # scale expansion into the consuming matmuls, so HBM streams only
+        # the quantized bytes
+        self._quantized = any(
+            _is_qtensor(leaf) for leaf in
+            jax.tree_util.tree_leaves(params, is_leaf=_is_qtensor))
+        self._dequantize = dequantize_params
         self.model, self.params = model, params
         self.slots = int(slots)
         self.eos_token = eos_token
@@ -139,7 +152,8 @@ class ServingEngine:
         cache1 = self._init_cache(self.model, 1)
         _, mut = jax.jit(
             lambda p, c, x: self.model.apply(
-                {"params": p, "cache": c}, x, decode=True,
+                {"params": self._dequantize(p) if self._quantized else p,
+                 "cache": c}, x, decode=True,
                 mutable=["cache"]))(
             self.params, cache1, jnp.asarray([tokens], jnp.int32))
         self._prefix = (tokens, mut["cache"])
@@ -150,6 +164,8 @@ class ServingEngine:
         """Continue the saved prefix cache with the request's suffix (the
         internal position counter resumes at the prefix length), then insert
         the filled batch-1 rows at ``slot``."""
+        if self._quantized:
+            params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": pcache},
                                     suffix, decode=True, mutable=["cache"])
         logits = out[0][0, true_len - 1]
@@ -182,6 +198,8 @@ class ServingEngine:
         from the logits at position true_len-1 (right-padding beyond it is
         never attendable by a causal query, so it cannot perturb them)."""
         cache1 = self._init_cache(self.model, 1)
+        if self._quantized:
+            params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": cache1},
                                     prompt, decode=True, mutable=["cache"])
         logits = out[0][0, true_len - 1]
@@ -199,6 +217,8 @@ class ServingEngine:
         """One token for every slot at its own offset; inactive slots recycle
         their last token (their writes land in rows a future prefill fully
         replaces)."""
+        if self._quantized:
+            params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": cache},
                                     toks[:, None], decode=True,
                                     offsets=lengths, mutable=["cache"])

@@ -148,6 +148,29 @@ def test_engine_chunked_decode_identical():
     assert steps8 % 8 == 0 and steps8 >= steps1  # trimmed, not truncated
 
 
+def test_engine_serves_quantized_weights():
+    """int8 weight-only params (utils.quantize QTensor pytrees) serve
+    through the engine directly — dequantization happens inside the jitted
+    prefill/decode fns — and emit exactly what serving the dequantized
+    floats emits (same arithmetic, quantized residency)."""
+    from neuralnetworklibrary_tpu.utils.quantize import (
+        dequantize_params,
+        quantize_params,
+    )
+
+    model, params = _model_and_params()
+    qparams = quantize_params(jax.device_get(params), min_size=256)
+    rng = np.random.default_rng(6)
+    spec = [(rng.integers(0, V, n).tolist(), 7) for n in (3, 9, 5)]
+
+    def run(p):
+        reqs = [Request(pr, m) for pr, m in spec]
+        ServingEngine(model, p, slots=2, prompt_buckets=(8, 16)).run(reqs)
+        return [r.tokens for r in reqs]
+
+    assert run(qparams) == run(dequantize_params(qparams))
+
+
 def test_engine_sampled_mode_runs():
     """k>1 sampling: tokens are valid ids, reproducible under the same seed,
     and the engine still schedules everything to completion."""
