@@ -96,6 +96,68 @@ class Throughput:
         return self._n / dt if dt > 0 else 0.0
 
 
+# Dense bf16/f32 peak FLOP/s for common accelerators (per chip).  Values are
+# the vendor-published matmul peaks the MFU convention divides by; pass your
+# own ``peak_flops`` for other parts.
+PEAK_FLOPS = {
+    "tpu v5e": 197e12,      # bf16
+    "tpu v4": 275e12,       # bf16
+    "tpu v3": 123e12,       # bf16
+    "p6000": 12.6e12,       # f32 (the reference's GPU)
+    "cpu": None,
+}
+
+
+def flops_of(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """Model FLOPs of one ``fn(*args)`` call, from XLA's own cost analysis
+    of the optimized HLO (so fusion/remat decisions are reflected).  Returns
+    None when the backend doesn't report flops."""
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def mfu(fn: Callable, *args, seconds_per_call: Optional[float] = None,
+        peak_flops: Optional[float] = None, iters: int = 10,
+        **kwargs) -> dict:
+    """Model FLOPs Utilization of a jitted computation: achieved FLOP/s /
+    accelerator peak — the 'how far from speed-of-light' number
+    (PaLM appendix-B convention: model flops from XLA's cost analysis, so
+    attention recompute under remat counts; measured wall time with a real
+    :func:`sync` barrier).
+
+    seconds_per_call: supply an externally measured time (e.g. a full
+    Learner epoch / steps) instead of timing fn here.  peak_flops: override
+    the per-chip peak (defaults to the current device kind's entry in
+    :data:`PEAK_FLOPS`).  Returns {'flops', 'seconds_per_call',
+    'achieved_flops_per_s', 'peak_flops', 'mfu'} (mfu None when the peak or
+    flops are unknown).
+    """
+    f = flops_of(fn, *args, **kwargs)
+    if seconds_per_call is None:
+        seconds_per_call = time_step(jax.jit(fn), *args, iters=iters,
+                                     **kwargs)["mean_s"]
+    if peak_flops is None:
+        kind = jax.devices()[0].device_kind.lower()
+        peak_flops = next((v for k, v in PEAK_FLOPS.items() if k in kind),
+                          None)
+    achieved = (f / seconds_per_call) if f else None
+    return {
+        "flops": f,
+        "seconds_per_call": seconds_per_call,
+        "achieved_flops_per_s": achieved,
+        "peak_flops": peak_flops,
+        "mfu": (achieved / peak_flops
+                if achieved and peak_flops else None),
+    }
+
+
 def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
     """Measure a learner's end-to-end and device-only train throughput.
 

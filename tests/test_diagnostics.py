@@ -82,6 +82,30 @@ def test_profiling_utilities(learner):
     assert prof["e2e_samples_per_s"] > 0
 
 
+def test_mfu_reporting():
+    """flops_of reads XLA's optimized-HLO cost analysis (within 20% of the
+    closed-form matmul count); mfu divides achieved by the stated peak."""
+    from neuralnetworklibrary_tpu.utils.profiling import flops_of, mfu
+
+    def f(a, b):
+        return (a @ b).sum()
+
+    a, b = jnp.ones((512, 256)), jnp.ones((256, 128))
+    fl = flops_of(f, a, b)
+    exact = 2 * 512 * 256 * 128
+    assert fl is None or abs(fl - exact) / exact < 0.2
+    r = mfu(f, a, b, peak_flops=1e12, iters=3)
+    assert r["seconds_per_call"] > 0
+    if fl is not None:
+        assert 0 < r["mfu"] < 1
+        np.testing.assert_allclose(
+            r["achieved_flops_per_s"] * r["seconds_per_call"], r["flops"])
+    # externally supplied timing path (Learner-epoch style usage)
+    r2 = mfu(f, a, b, seconds_per_call=0.5, peak_flops=1e12)
+    if fl is not None:
+        np.testing.assert_allclose(r2["achieved_flops_per_s"], fl / 0.5)
+
+
 def test_async_checkpoint(learner, tmp_path):
     import os
 
