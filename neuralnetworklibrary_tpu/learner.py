@@ -230,6 +230,7 @@ class Learner:
 
         self.frozen = False
         self.bn_frozen: Optional[str] = None
+        self._trainable_override: Optional[tuple] = None
         self.loss_sched: list = []
         self.lr_sched: list = []
         self.mom_sched: list = []
@@ -388,7 +389,28 @@ class Learner:
         self.bn_frozen = None
         self._reset_opt_state()
 
+    def set_trainable(self, fn):
+        """Override trainability with an explicit per-leaf predicate
+        ``fn(path: tuple[str, ...]) -> bool`` — the parameter-efficient
+        fine-tuning hook (e.g. ``nn.lora.lora_trainable`` trains ONLY the
+        LoRA adapter leaves).  While set, it REPLACES the freeze/bn_freeze
+        masks entirely; ``set_trainable(None)`` restores them.  Frozen
+        leaves get stop_gradient inside the jitted step, so XLA dead-code
+        eliminates their entire backward graph.  Resets optimizer state
+        (the reference's freeze semantics, Learner.py:241)."""
+        if fn is None:
+            self._trainable_override = None
+        else:
+            mask = tuple(bool(fn(p)) for p in self.partition.paths)
+            if not any(mask):
+                raise ValueError(
+                    "set_trainable: the predicate selects no param leaf")
+            self._trainable_override = mask
+        self._reset_opt_state()
+
     def _trainable(self) -> tuple:
+        if self._trainable_override is not None:
+            return self._trainable_override
         return self.partition.trainable_mask(self.frozen, self.bn_frozen)
 
     # ------------------------------------------------------------ the step

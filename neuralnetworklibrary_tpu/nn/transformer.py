@@ -79,6 +79,20 @@ def rope(x, positions, base: float = 10000.0):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
 
+def _lora_delta(mod: nn.Module, base: str, x, features: int,
+                rank: int, alpha: float):
+    """Low-rank adapter delta for the sibling Dense named ``base``:
+    (x·A)·B · (alpha/rank), with A ~ N(0, 0.01) and B = 0 — so a freshly
+    added adapter leaves the forward EXACTLY equal to the base model
+    (LoRA, Hu et al. 2021).  Param leaves ``{base}_lora_a`` (in, r) and
+    ``{base}_lora_b`` (r, out) live in the same module scope as the Dense,
+    so base checkpoints graft in unchanged (nn/lora.py helpers)."""
+    a = mod.param(f"{base}_lora_a", nn.initializers.normal(0.01),
+                  (x.shape[-1], rank))
+    b = mod.param(f"{base}_lora_b", nn.initializers.zeros, (rank, features))
+    return ((x @ a) @ b) * (alpha / rank)
+
+
 class CausalSelfAttention(nn.Module):
     """Multi-head causal self-attention (pre-LN blocks call this on the
     normalized stream).  qkv is one fused column-parallel projection; the
@@ -116,6 +130,8 @@ class CausalSelfAttention(nn.Module):
                                # skips out-of-band blocks, ring falls back
     causal: bool = True        # False → bidirectional (encoder/ViT);
                                # decode/flash/ring/window are causal-only
+    lora_rank: int = 0         # > 0: low-rank adapters on qkv and out
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -127,10 +143,20 @@ class CausalSelfAttention(nn.Module):
         if H % Hkv:
             raise ValueError(f"n_heads {H} must be a multiple of "
                              f"n_kv_heads {Hkv}")
+
+        def proj_out(o):  # the row-parallel output projection (+ adapter)
+            y = nn.Dense(D, name="out")(o)
+            if self.lora_rank > 0:
+                y = y + _lora_delta(self, "out", o, D,
+                                    self.lora_rank, self.lora_alpha)
+            return y
         # one fused projection: [q (H·hd) | k (Hkv·hd) | v (Hkv·hd)] — the
         # column-parallel sharding of transformer_param_rule stays valid as
         # long as H and Hkv both divide the 'model' axis
         qkv = nn.Dense((H + 2 * Hkv) * hd, name="qkv")(x)
+        if self.lora_rank > 0:
+            qkv = qkv + _lora_delta(self, "qkv", x, (H + 2 * Hkv) * hd,
+                                    self.lora_rank, self.lora_alpha)
         q, k, v = jnp.split(qkv, [H * hd, (H + Hkv) * hd], axis=-1)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
@@ -173,7 +199,7 @@ class CausalSelfAttention(nn.Module):
                 q, expand_kv(k), expand_kv(v), self.mesh, axis=self.cp_axis,
                 batch_axis="data" if "data" in names else None,
                 head_axis=head_axis).reshape(B, T, D)
-            return nn.Dense(D, name="out")(out)
+            return proj_out(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
@@ -186,7 +212,7 @@ class CausalSelfAttention(nn.Module):
 
             out = flash_attention(q, expand_kv(k), expand_kv(v),
                                   window=self.window).reshape(B, T, D)
-            return nn.Dense(D, name="out")(out)
+            return proj_out(out)
         if decode:
             if not self.causal:
                 raise ValueError("decode=True needs causal attention")
@@ -228,7 +254,7 @@ class CausalSelfAttention(nn.Module):
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
                              expand_kv(cv.value)).reshape(B, T, D)
-            return nn.Dense(D, name="out")(out)
+            return proj_out(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
         if self.causal:
             mask = jnp.tril(jnp.ones((T, T), bool))
@@ -250,7 +276,7 @@ class CausalSelfAttention(nn.Module):
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, expand_kv(v)).reshape(B, T, D)
-        return nn.Dense(D, name="out")(out)
+        return proj_out(out)
 
 
 class MLP(nn.Module):
@@ -264,16 +290,24 @@ class MLP(nn.Module):
     gated: bool = False
     exact_gelu: bool = False   # erf gelu (HF ViT/BERT) vs the tanh approx
                                # (GPT-2 'gelu_new', the jax default)
+    lora_rank: int = 0         # > 0: low-rank adapters on every projection
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def dense(name, features, v):
+            y = nn.Dense(features, name=name)(v)
+            if self.lora_rank > 0:
+                y = y + _lora_delta(self, name, v, features,
+                                    self.lora_rank, self.lora_alpha)
+            return y
         if self.gated:
-            h = (jax.nn.silu(nn.Dense(self.d_ff, name="fc_in")(x))
-                 * nn.Dense(self.d_ff, name="fc_gate")(x))
+            h = jax.nn.silu(dense("fc_in", self.d_ff, x)) \
+                * dense("fc_gate", self.d_ff, x)
         else:
-            h = jax.nn.gelu(nn.Dense(self.d_ff, name="fc_in")(x),
+            h = jax.nn.gelu(dense("fc_in", self.d_ff, x),
                             approximate=not self.exact_gelu)
-        h = nn.Dense(self.d_model, name="fc_out")(h)
+        h = dense("fc_out", self.d_model, h)
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)
         return h
@@ -402,6 +436,8 @@ class TransformerBlock(nn.Module):
     window: int = 0
     causal: bool = True
     exact_gelu: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -430,6 +466,8 @@ class TransformerBlock(nn.Module):
                                     use_rope=self.use_rope,
                                     rope_base=self.rope_base,
                                     window=self.window, causal=self.causal,
+                                    lora_rank=self.lora_rank,
+                                    lora_alpha=self.lora_alpha,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset,
                                                  segment_ids=segment_ids,
@@ -446,6 +484,7 @@ class TransformerBlock(nn.Module):
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
                     gated=self.gated_mlp, exact_gelu=self.exact_gelu,
+                    lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                     name="mlp")(h, train=train)
             aux = jnp.zeros((), x.dtype)
         return seq(x + y), aux
@@ -503,6 +542,16 @@ class TransformerLM(nn.Module):
                                     # recompute per block in the backward
     window: int = 0                 # > 0: sliding-window attention (each
                                     # query sees the last `window` keys)
+    lora_rank: int = 0              # > 0: LoRA — rank-r adapters on every
+                                    # block projection (qkv, out, fc_in,
+                                    # fc_gate, fc_out; MoE experts excluded).
+                                    # B-init is zero, so grafting a base
+                                    # checkpoint (nn/lora.py graft_base)
+                                    # reproduces it EXACTLY; train only the
+                                    # adapters via Learner.set_trainable(
+                                    # lora_trainable); fold for serving with
+                                    # merge_lora.
+    lora_alpha: float = 16.0        # adapter scale = lora_alpha / lora_rank
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -621,6 +670,7 @@ class TransformerLM(nn.Module):
                 rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 window=self.window,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 name=f"block_{i}")(h, train, decode, offset, seg, pos_ids)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
@@ -1045,6 +1095,18 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model",
                 return P(None, axis)
             if any(n in parts for n in row):
                 return P(axis, None)
+        # LoRA adapters follow their base kernel's split on the WIDE dim
+        # (the rank dim is never sharded): column-parallel targets shard
+        # B's output features, row-parallel targets shard A's input features
+        if nd == 2:
+            la = next((p for p in parts if p.endswith("_lora_a")), None)
+            lb = next((p for p in parts if p.endswith("_lora_b")), None)
+            if la is not None and la[: -len("_lora_a")] in row \
+                    and shape[0] % tp == 0:
+                return P(axis, None)
+            if lb is not None and lb[: -len("_lora_b")] in col \
+                    and shape[1] % tp == 0:
+                return P(None, axis)
         return P()
 
     return rule

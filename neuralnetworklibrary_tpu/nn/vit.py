@@ -50,6 +50,8 @@ class ViT(nn.Module):
     remat: bool = False
     norm_eps: float = 1e-6     # HF ViT checkpoints use 1e-12
     exact_gelu: bool = False   # True matches HF ViT's erf gelu
+    lora_rank: int = 0         # > 0: LoRA adapters on the block projections
+    lora_alpha: float = 16.0   # (nn/lora.py — graft/merge/train helpers)
 
     head_prefixes = ("head",)
 
@@ -89,6 +91,8 @@ class ViT(nn.Module):
                              mesh=self.mesh, sp=self.sp, causal=False,
                              norm_eps=self.norm_eps,
                              exact_gelu=self.exact_gelu,
+                             lora_rank=self.lora_rank,
+                             lora_alpha=self.lora_alpha,
                              name=f"block_{i}")(h, train, False, None)
         h = nn.LayerNorm(epsilon=self.norm_eps, name="ln_f")(h)
         feat = h[:, 0] if self.pool == "cls" else jnp.mean(h, axis=1)
