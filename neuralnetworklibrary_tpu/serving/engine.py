@@ -27,9 +27,12 @@ TPU-first design — everything the chip executes has a static shape:
 
 Greedy decode (``k=1``) is token-for-token identical to
 ``nn.transformer.generate(k=1)`` per request (pinned in
-tests/test_serving.py); sampled decode draws from the same renormalized
-top-k/temperature family but consumes per-slot rng streams, so sequences are
-reproducible given the engine seed but differ from single-request streams.
+tests/test_serving.py); sampled decode draws from the same
+penalty → temperature → top-k → nucleus family as ``generate`` — with every
+Request free to override (k, temperature, top_p, repetition_penalty)
+individually, applied per slot inside the one jitted step — but consumes
+per-slot rng streams, so sequences are reproducible given the engine seed
+while differing from single-request streams.
 """
 
 from __future__ import annotations
@@ -44,13 +47,20 @@ import numpy as np
 
 class Request:
     """One generation request: ``prompt`` (token ids), ``max_new`` tokens to
-    emit, optional per-request ``eos_token`` override.  After the engine
-    finishes it: ``tokens`` (the emitted ids, EOS included when hit),
-    ``finished``, and scheduling telemetry (``admitted_at_step`` /
-    ``finished_at_step``, in engine decode steps)."""
+    emit, optional per-request ``eos_token`` override.  ``k`` /
+    ``temperature`` / ``top_p`` / ``repetition_penalty`` override the engine
+    defaults PER REQUEST (None keeps the engine's) — different requests in
+    the same continuous batch each sample under their own parameters, the
+    production-endpoint contract.  After the engine finishes it: ``tokens``
+    (the emitted ids, EOS included when hit), ``finished``, and scheduling
+    telemetry (``admitted_at_step`` / ``finished_at_step``, in engine decode
+    steps)."""
 
     def __init__(self, prompt: Sequence[int], max_new: int,
-                 eos_token: Optional[int] = None):
+                 eos_token: Optional[int] = None, k: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 top_p: Optional[float] = None,
+                 repetition_penalty: Optional[float] = None):
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
         self.prompt = list(int(t) for t in prompt)
@@ -58,6 +68,10 @@ class Request:
             raise ValueError("empty prompt")
         self.max_new = int(max_new)
         self.eos_token = eos_token
+        self.k = k
+        self.temperature = temperature
+        self.top_p = top_p
+        self.repetition_penalty = repetition_penalty
         self.tokens: list = []
         self.finished = False
         self.admitted_at_step: Optional[int] = None
@@ -75,7 +89,16 @@ class ServingEngine:
     prompt_buckets: prefill jit specializations; a prompt pads up to the
         smallest bucket >= its length (longer prompts fall back to the next
         power of two, adding one compile).
-    k / temperature: top-k sampling family (k=1 => greedy, argmax).
+    k / temperature / top_p / repetition_penalty: DEFAULT sampling family
+        (k=1 => exact greedy); every Request may override any of them, and
+        each slot of the jitted decode step samples under its own values
+        (the parameters enter as (slots,) vectors, so mixed batches never
+        recompile).  Semantics match nn.transformer.generate: penalty →
+        temperature → top-k → nucleus.  The repetition penalty reads a
+        device-resident (slots, V) seen-count buffer seeded from the prompt
+        at admission.
+    max_k: static top-k width of the jitted sampler; any request k <= max_k
+        shares the same compilation.
     eos_token: default stop token (None: run to max_new).
     pad_token: id used to right-pad prefill buckets (inert, any id works).
     chunk: decode steps per host round-trip.  1 = pure iteration-level
@@ -85,13 +108,28 @@ class ServingEngine:
         surplus tokens are trimmed (emitted sequences are IDENTICAL; only
         admission latency coarsens).  Use when host↔device latency, not
         compute, binds the decode loop.
+    mesh / param_rule: tensor-parallel serving.  Pass the model's
+        ``jax.sharding.Mesh`` (the model itself should be built with
+        ``mesh=`` so its internal activation constraints apply) and a
+        param rule (``transformer_param_rule(mesh)``): the weights are
+        device_put under the Megatron layout, the KV cache is sharded on
+        its head axis over '{model}' (when tp divides n_kv_heads;
+        replicated otherwise), and every jitted engine fn — prefill,
+        suffix prefill, chunked decode — runs under GSPMD, which derives
+        the per-layer collectives.  A model too big for one chip serves
+        at 1/tp weights + 1/tp KV per chip; emitted tokens are EXACTLY
+        the single-chip engine's (pinned in tests/test_serving.py).
+        Quantized params are replicated (QTensor leaves don't match the
+        Megatron rule's path shapes).
     """
 
     def __init__(self, model, params, slots: int = 4,
                  prompt_buckets: Sequence[int] = (32, 128, 512),
                  eos_token: Optional[int] = None, k: int = 1,
-                 temperature: float = 1.0, pad_token: int = 0,
-                 seed: int = 0, chunk: int = 1):
+                 temperature: float = 1.0, top_p: float = 1.0,
+                 repetition_penalty: float = 1.0, max_k: int = 64,
+                 pad_token: int = 0, seed: int = 0, chunk: int = 1,
+                 mesh=None, param_rule=None):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
         if not getattr(model, "n_experts", 0) == 0:
@@ -115,7 +153,27 @@ class ServingEngine:
         self.slots = int(slots)
         self.eos_token = eos_token
         self.k, self.temperature = int(k), float(temperature)
+        self.top_p, self.repetition_penalty = float(top_p), float(
+            repetition_penalty)
+        # static top-k width of the jitted sampler — per-request k masks
+        # within it, so any k <= max_k never recompiles
+        self.max_k = min(int(max_k), model.vocab_size)
+        self._check_sampling(self.k, self.temperature, self.top_p,
+                             self.repetition_penalty)
         self.pad_token = int(pad_token)
+        # per-slot sampling parameters (host mirrors, shipped per decode
+        # call) and the device-resident seen-token counts the repetition
+        # penalty reads (row s is fully rebuilt when a request is admitted
+        # into slot s)
+        self._k_arr = np.full(self.slots, self.k, np.int32)
+        self._t_arr = np.full(self.slots, self.temperature, np.float32)
+        self._p_arr = np.full(self.slots, self.top_p, np.float32)
+        self._r_arr = np.full(self.slots, self.repetition_penalty,
+                              np.float32)
+        self._seen = jnp.zeros((self.slots, model.vocab_size), jnp.int32)
+        self._seen_put = jax.jit(
+            lambda s, row, i: jax.lax.dynamic_update_slice(
+                s, row[None], (i, 0)))
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.chunk = int(chunk)
@@ -125,6 +183,29 @@ class ServingEngine:
 
         self._init_cache = init_cache
         self.cache = init_cache(model, self.slots)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+            if self._quantized or param_rule is None:
+                self.params = pmesh.replicate_tree(self.params, mesh)
+            else:
+                self.params = pmesh.shard_params(self.params, mesh,
+                                                 param_rule)
+            tp = dict(zip(mesh.axis_names, mesh.devices.shape)
+                      ).get("model", 1)
+
+            def put_cache(x):
+                # (B, max_len, Hkv, hd) K/V rows: shard heads over 'model'
+                spec = (PartitionSpec(None, None, "model", None)
+                        if x.ndim == 4 and x.shape[2] % tp == 0
+                        else PartitionSpec())
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            self.cache = jax.tree_util.tree_map(put_cache, self.cache)
+            self._seen = jax.device_put(
+                self._seen, NamedSharding(mesh, PartitionSpec()))
         self._key = jax.random.PRNGKey(seed)
         self._prefill_jits: dict = {}
         self._suffix_jits: dict = {}
@@ -160,7 +241,7 @@ class ServingEngine:
         self.stats["prefill_tokens"] += len(tokens)
 
     def _prefill_suffix(self, params, cache, pcache, suffix, true_len,
-                        slot, key):
+                        slot, key, k, temp, top_p, rep, seen_row):
         """Continue the saved prefix cache with the request's suffix (the
         internal position counter resumes at the prefix length), then insert
         the filled batch-1 rows at ``slot``."""
@@ -177,22 +258,42 @@ class ServingEngine:
                 big, small, (slot,) + (0,) * (big.ndim - 1))
 
         cache = jax.tree_util.tree_map(ins, cache, mut["cache"])
-        return cache, self._sample(key, logits)
+        return cache, self._sample(key, logits, k, temp, top_p, rep,
+                                   seen_row)
 
     # ------------------------------------------------------------- device fns
 
-    def _sample(self, key, logits):
-        """Renormalized top-k / temperature sampling over the last axis;
-        k=1 is exact greedy (argmax, first-index tie-break like top_k)."""
-        if self.k == 1:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits = logits / jnp.maximum(self.temperature, 1e-6)
-        vals, idxs = jax.lax.top_k(logits, self.k)
-        choice = jax.random.categorical(key, vals)
-        return jnp.take_along_axis(
-            idxs, choice[..., None], -1)[..., 0].astype(jnp.int32)
+    def _check_sampling(self, k, temperature, top_p, rep):
+        if not 1 <= int(k) <= self.max_k:
+            raise ValueError(f"k must be in [1, max_k={self.max_k}], got {k}")
+        if temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        if not 0 < top_p <= 1:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if rep <= 0:
+            raise ValueError(
+                f"repetition_penalty must be > 0, got {rep}")
 
-    def _prefill_into(self, params, cache, prompt, true_len, slot, key):
+    def _sample(self, key, logits, k, temp, top_p, rep, seen):
+        """One slot's sample under ITS parameters — the same semantics chain
+        as nn.transformer.generate (repetition penalty → temperature →
+        top-k → nucleus → categorical over the renormalized survivors).
+        logits (V,), seen (V,) int32 emitted/prompt counts.  k=1 is exact
+        greedy: only rank 0 survives the k mask, and rank 0 always survives
+        the nucleus mask (its exclusive cumulative mass is 0 < top_p), so
+        the choice is argmax with top_k's first-index tie-break."""
+        pen = jnp.where(logits > 0, logits / rep, logits * rep)
+        logits = jnp.where(seen > 0, pen, logits)
+        logits = logits / jnp.maximum(temp, 1e-6)
+        vals, idxs = jax.lax.top_k(logits, self.max_k)
+        vals = jnp.where(jnp.arange(self.max_k) < k, vals, -jnp.inf)
+        probs = jax.nn.softmax(vals)
+        vals = jnp.where(jnp.cumsum(probs) - probs < top_p, vals, -jnp.inf)
+        choice = jax.random.categorical(key, vals)
+        return idxs[choice].astype(jnp.int32)
+
+    def _prefill_into(self, params, cache, prompt, true_len, slot, key,
+                      k, temp, top_p, rep, seen_row):
         """Run the prompt through a batch-1 cache, insert the filled rows at
         ``slot`` of the engine cache, sample the first continuation token
         from the logits at position true_len-1 (right-padding beyond it is
@@ -211,37 +312,42 @@ class ServingEngine:
                 big, small, (slot,) + (0,) * (big.ndim - 1))
 
         cache = jax.tree_util.tree_map(ins, cache, mut["cache"])
-        return cache, self._sample(key, logits)
+        return cache, self._sample(key, logits, k, temp, top_p, rep,
+                                   seen_row)
 
-    def _decode_step(self, params, cache, toks, lengths, active, key):
-        """One token for every slot at its own offset; inactive slots recycle
-        their last token (their writes land in rows a future prefill fully
-        replaces)."""
+    def _decode_step(self, params, cache, toks, lengths, active, seen,
+                     kv, tv, pv, rv, key):
+        """One token for every slot at its own offset, each slot sampling
+        under ITS OWN (k, temperature, top_p, repetition_penalty); inactive
+        slots recycle their last token (their writes land in rows a future
+        prefill fully replaces)."""
         if self._quantized:
             params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": cache},
                                     toks[:, None], decode=True,
                                     offsets=lengths, mutable=["cache"])
         logits = out[0][:, -1]                                  # (S, V)
-        if self.k == 1:
-            nxt = self._sample(key, logits)
-        else:
-            keys = jax.random.split(key, self.slots)
-            nxt = jax.vmap(self._sample)(keys, logits)
-        return mut["cache"], jnp.where(active, nxt, toks)
+        keys = jax.random.split(key, self.slots)
+        nxt = jax.vmap(self._sample)(keys, logits, kv, tv, pv, rv, seen)
+        nxt = jnp.where(active, nxt, toks)
+        seen = seen + (jax.nn.one_hot(nxt, seen.shape[-1], dtype=seen.dtype)
+                       * active[:, None])
+        return mut["cache"], seen, nxt
 
-    def _decode_chunk(self, params, cache, toks, lengths, active, key):
+    def _decode_chunk(self, params, cache, toks, lengths, active, seen,
+                      kv, tv, pv, rv, key):
         """``chunk`` decode steps in one device program — per-step offsets
         advance on device, the host sees (chunk, S) tokens at the end."""
         def step(carry, k1):
-            cache, toks, lens = carry
-            cache, nxt = self._decode_step(params, cache, toks, lens,
-                                           active, k1)
-            return (cache, nxt, lens + active.astype(jnp.int32)), nxt
+            cache, toks, lens, seen = carry
+            cache, seen, nxt = self._decode_step(
+                params, cache, toks, lens, active, seen, kv, tv, pv, rv, k1)
+            return (cache, nxt, lens + active.astype(jnp.int32), seen), nxt
 
-        (cache, _, _), seq = jax.lax.scan(
-            step, (cache, toks, lengths), jax.random.split(key, self.chunk))
-        return cache, seq                                       # (chunk, S)
+        (cache, _, _, seen), seq = jax.lax.scan(
+            step, (cache, toks, lengths, seen),
+            jax.random.split(key, self.chunk))
+        return cache, seen, seq                                 # (chunk, S)
 
     # ------------------------------------------------------------- scheduling
 
@@ -260,6 +366,18 @@ class ServingEngine:
             raise ValueError(
                 f"prompt length {len(p)} leaves no room to decode under "
                 f"max_len {self.model.max_len}")
+        # per-request sampling parameters (engine defaults unless overridden)
+        rk = self.k if req.k is None else int(req.k)
+        rt = self.temperature if req.temperature is None else float(
+            req.temperature)
+        rp = self.top_p if req.top_p is None else float(req.top_p)
+        rr = (self.repetition_penalty if req.repetition_penalty is None
+              else float(req.repetition_penalty))
+        self._check_sampling(rk, rt, rp, rr)
+        self._k_arr[slot], self._t_arr[slot] = rk, rt
+        self._p_arr[slot], self._r_arr[slot] = rp, rr
+        seen_row = np.bincount(p, minlength=self.model.vocab_size) \
+            .astype(np.int32)
         self._key, k1 = jax.random.split(self._key)
         pre = self._prefix
         if (pre is not None and len(p) > len(pre[0])
@@ -274,7 +392,8 @@ class ServingEngine:
             if fn is None:
                 fn = self._suffix_jits[tb] = jax.jit(self._prefill_suffix)
             self.cache, tok = fn(self.params, self.cache, pre[1],
-                                 jnp.asarray(padded), len(suf), slot, k1)
+                                 jnp.asarray(padded), len(suf), slot, k1,
+                                 rk, rt, rp, rr, jnp.asarray(seen_row))
             self.stats["prefix_hits"] += 1
             self.stats["prefill_tokens"] += len(suf)
         else:
@@ -285,9 +404,13 @@ class ServingEngine:
             if fn is None:
                 fn = self._prefill_jits[tb] = jax.jit(self._prefill_into)
             self.cache, tok = fn(self.params, self.cache,
-                                 jnp.asarray(padded), len(p), slot, k1)
+                                 jnp.asarray(padded), len(p), slot, k1,
+                                 rk, rt, rp, rr, jnp.asarray(seen_row))
             self.stats["prefill_tokens"] += len(p)
         req.tokens.append(int(tok))
+        seen_row[int(tok)] += 1
+        self._seen = self._seen_put(self._seen, jnp.asarray(seen_row),
+                                    slot)
         req.admitted_at_step = self.stats["decode_steps"]
         self.stats["prefills"] += 1
         lengths[slot] = len(p)
@@ -326,9 +449,11 @@ class ServingEngine:
             if not active.any():
                 continue
             self._key, k1 = jax.random.split(self._key)
-            self.cache, seq = self._decode(
+            self.cache, self._seen, seq = self._decode(
                 self.params, self.cache, jnp.asarray(toks),
-                jnp.asarray(lengths), jnp.asarray(active), k1)
+                jnp.asarray(lengths), jnp.asarray(active), self._seen,
+                jnp.asarray(self._k_arr), jnp.asarray(self._t_arr),
+                jnp.asarray(self._p_arr), jnp.asarray(self._r_arr), k1)
             seq = np.asarray(seq)                        # (chunk, S)
             n_steps = seq.shape[0]
             self.stats["decode_steps"] += n_steps

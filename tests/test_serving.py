@@ -187,3 +187,88 @@ def test_engine_sampled_mode_runs():
     a, b = run_once(), run_once()
     assert a == b
     assert all(len(t) == 8 and all(0 <= x < V for x in t) for t in a)
+
+
+def test_engine_per_request_repetition_penalty_matches_generate():
+    """Greedy + repetition penalty is deterministic, so the engine must
+    reproduce generate(k=1, repetition_penalty=r) token-for-token — pinning
+    the device-resident seen-count buffer (prompt seeding at admission,
+    per-step updates inside the chunked scan)."""
+    model, params = _model_and_params(seed=5)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, V, n).tolist() for n in (4, 9, 6)]
+    reqs = [Request(p, 10, repetition_penalty=1.5) for p in prompts]
+    ServingEngine(model, params, slots=2, chunk=3,
+                  prompt_buckets=(8, 16)).run(reqs)
+    for req in reqs:
+        want = generate(model, params, jnp.asarray([req.prompt], jnp.int32),
+                        10, k=1, repetition_penalty=1.5)
+        assert req.tokens == [int(t) for t in np.asarray(want)[0]]
+
+
+def test_engine_mixed_sampling_params_greedy_slot_exact():
+    """A greedy request sharing the batch with sampled requests (different
+    k/temperature/top_p per slot) still matches its solo generate(k=1)
+    stream exactly — per-slot parameters never leak across slots."""
+    model, params = _model_and_params(seed=1)
+    rng = np.random.default_rng(7)
+    greedy = Request(rng.integers(0, V, 5).tolist(), 12, k=1)
+    sampled = [Request(rng.integers(0, V, n).tolist(), 12, top_p=0.9)
+               for n in (6, 8, 3)]
+    engine = ServingEngine(model, params, slots=2, k=5, temperature=0.7,
+                           prompt_buckets=(8, 16), seed=3)
+    engine.run([greedy] + sampled)
+    assert greedy.tokens == _oracle(model, params, greedy.prompt, 12)
+    assert all(len(r.tokens) == 12 and all(0 <= t < V for t in r.tokens)
+               for r in sampled)
+
+
+def test_engine_validates_sampling_params():
+    model, params = _model_and_params()
+    with pytest.raises(ValueError, match="top_p"):
+        ServingEngine(model, params, top_p=0.0)
+    with pytest.raises(ValueError, match="max_k"):
+        ServingEngine(model, params, k=200)
+    engine = ServingEngine(model, params)
+    with pytest.raises(ValueError, match="temperature"):
+        engine.run([Request([1, 2], 2, temperature=-1.0)])
+    with pytest.raises(ValueError, match="max_k"):
+        engine.run([Request([1, 2], 2, k=V + 10)])
+
+
+def test_engine_tensor_parallel_matches_single_chip():
+    """TP serving: the engine on a 2-way 'model' mesh (Megatron-sharded
+    params, head-sharded KV cache) emits token-for-token what the unsharded
+    engine emits — greedy AND seeded-sampled — while the cache rows actually
+    live 1/tp per device."""
+    from neuralnetworklibrary_tpu.nn.transformer import transformer_param_rule
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(2, axis_names=("model",))
+    base, params = _model_and_params(seed=2)
+    tp_model = TransformerLM(vocab_size=V, d_model=32, n_heads=4, n_layers=2,
+                             max_len=64, drop=0.0, mesh=mesh)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, V, n).tolist() for n in (4, 11, 7, 15, 3)]
+
+    def run(engine):
+        reqs = [Request(p, 8) for p in prompts]
+        reqs += [Request(prompts[0], 8, k=4, top_p=0.9,
+                         repetition_penalty=1.3)]
+        engine.run(reqs)
+        return [r.tokens for r in reqs]
+
+    want = run(ServingEngine(base, params, slots=2, chunk=2,
+                             prompt_buckets=(8, 16), k=1, seed=9))
+    got_engine = ServingEngine(tp_model, params, slots=2, chunk=2,
+                               prompt_buckets=(8, 16), k=1, seed=9,
+                               mesh=mesh,
+                               param_rule=transformer_param_rule(mesh))
+    got = run(got_engine)
+    assert got == want
+    # the KV cache is genuinely sharded: head axis split over 'model'
+    leaves = [x for x in jax.tree_util.tree_leaves(got_engine.cache)
+              if x.ndim == 4]
+    assert leaves and all(
+        len(x.sharding.spec) >= 3 and x.sharding.spec[2] == "model"
+        for x in leaves)
