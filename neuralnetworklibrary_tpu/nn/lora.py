@@ -55,10 +55,12 @@ def graft_base(base_params: Mapping, lora_params: Mapping):
     forward equals the base model's exactly).  Raises on shape mismatch or
     base leaves with no destination.
 
-    Leaves are returned BY REFERENCE: assigning the result to
-    ``learner.params`` hands the base's device buffers to the jitted train
-    step, which donates them — snapshot any copy of ``base_params`` you
-    want to keep (``jax.tree_util.tree_map(np.asarray, ...)``) first."""
+    Base leaves are COPIED, not aliased: the jitted train step donates its
+    params buffers, so handing the caller's base arrays to a Learner would
+    DELETE them on the first step — the caller's ``base_params`` stays
+    valid for grafting further adapters / serving the base model (the
+    failure mode is a delayed "Array has been deleted" on the second
+    graft; pinned in tests/test_lora.py)."""
 
     def walk(base, tree, prefix):
         out = {}
@@ -73,7 +75,7 @@ def graft_base(base_params: Mapping, lora_params: Mapping):
                         f"graft_base: shape mismatch at "
                         f"{'/'.join(prefix + (k,))}: base {jnp.shape(b)} "
                         f"vs lora-model {jnp.shape(v)}")
-                out[k] = b
+                out[k] = jnp.array(b)   # copy: never alias donated buffers
             else:
                 out[k] = v
         return out
@@ -89,6 +91,52 @@ def graft_base(base_params: Mapping, lora_params: Mapping):
         raise ValueError(f"graft_base: base leaves with no destination in "
                          f"the LoRA model: {names[:5]}")
     return grafted
+
+
+def stack_adapters(base_params: Mapping, adapters):
+    """Build params for a MULTI-adapter model (``n_adapters=len(adapters)+1``)
+    from a base checkpoint plus N single-adapter LoRA params trees (each
+    trained via the usual rank-r graft/fine-tune flow, same rank): every
+    ``*_lora_a``/``*_lora_b`` leaf becomes a stacked (N+1, ...) array whose
+    row 0 is ZERO (the base adapter — exact base forward) and row i+1 is
+    adapter i's leaf; non-adapter leaves come from ``base_params``.
+
+    The result serves through ``TransformerLM(..., lora_rank=r,
+    n_adapters=N+1)`` with per-row ``adapter_ids`` — the
+    ``ServingEngine(adapters=[...])`` multi-tenant path: one base model,
+    one batch, every request under its own fine-tune."""
+    adapters = list(adapters)
+    if not adapters:
+        raise ValueError("stack_adapters: need at least one adapter")
+
+    def walk(trees, base, prefix):
+        out = {}
+        first = trees[0]
+        for k, v in first.items():
+            here = prefix + (k,)
+            if isinstance(v, Mapping):
+                out[k] = walk([t[k] for t in trees],
+                              base.get(k, {}) if isinstance(base, Mapping)
+                              else {}, here)
+            elif isinstance(k, str) and k.endswith(("_lora_a", "_lora_b")):
+                leaves = [t[k] for t in trees]
+                shp = jnp.shape(leaves[0])
+                if any(jnp.shape(le) != shp for le in leaves):
+                    raise ValueError(
+                        f"stack_adapters: adapter shapes differ at "
+                        f"{'/'.join(here)}")
+                out[k] = jnp.concatenate(
+                    [jnp.zeros((1,) + shp, leaves[0].dtype)]
+                    + [jnp.asarray(le)[None] for le in leaves], axis=0)
+            else:
+                if not (isinstance(base, Mapping) and k in base):
+                    raise ValueError(
+                        f"stack_adapters: base_params missing leaf "
+                        f"{'/'.join(here)}")
+                out[k] = base[k]
+        return out
+
+    return walk([dict(a) for a in adapters], dict(base_params), ())
 
 
 def merge_lora(params: Mapping, alpha: float = 16.0):

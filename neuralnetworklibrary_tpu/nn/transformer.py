@@ -80,13 +80,30 @@ def rope(x, positions, base: float = 10000.0):
 
 
 def _lora_delta(mod: nn.Module, base: str, x, features: int,
-                rank: int, alpha: float):
+                rank: int, alpha: float, n_adapters: int = 0,
+                adapter_ids=None):
     """Low-rank adapter delta for the sibling Dense named ``base``:
     (x·A)·B · (alpha/rank), with A ~ N(0, 0.01) and B = 0 — so a freshly
     added adapter leaves the forward EXACTLY equal to the base model
     (LoRA, Hu et al. 2021).  Param leaves ``{base}_lora_a`` (in, r) and
     ``{base}_lora_b`` (r, out) live in the same module scope as the Dense,
-    so base checkpoints graft in unchanged (nn/lora.py helpers)."""
+    so base checkpoints graft in unchanged (nn/lora.py helpers).
+
+    ``n_adapters`` > 0 is MULTI-adapter serving: A/B gain a leading (N,)
+    axis and each batch row selects its own adapter via ``adapter_ids``
+    (B,) int32 — row id 0 is conventionally the base (all-zero) adapter
+    (nn/lora.py stack_adapters).  The per-row gather + batched einsums are
+    XLA-friendly: (B,T,in)·(B,in,r)·(B,r,out), no recompile across any
+    id mix."""
+    if n_adapters > 0:
+        a = mod.param(f"{base}_lora_a", nn.initializers.normal(0.01),
+                      (n_adapters, x.shape[-1], rank))
+        b = mod.param(f"{base}_lora_b", nn.initializers.zeros,
+                      (n_adapters, rank, features))
+        ids = (jnp.zeros((x.shape[0],), jnp.int32) if adapter_ids is None
+               else jnp.asarray(adapter_ids, jnp.int32))
+        h = jnp.einsum("btd,bdr->btr", x, a[ids])
+        return jnp.einsum("btr,bro->bto", h, b[ids]) * (alpha / rank)
     a = mod.param(f"{base}_lora_a", nn.initializers.normal(0.01),
                   (x.shape[-1], rank))
     b = mod.param(f"{base}_lora_b", nn.initializers.zeros, (rank, features))
@@ -132,10 +149,13 @@ class CausalSelfAttention(nn.Module):
                                # decode/flash/ring/window are causal-only
     lora_rank: int = 0         # > 0: low-rank adapters on qkv and out
     lora_alpha: float = 16.0
+    n_adapters: int = 0        # > 0: stacked multi-adapter serving — each
+                               # batch row applies ITS adapter_ids row
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offset=None, segment_ids=None, positions=None):
+                 offset=None, segment_ids=None, positions=None,
+                 adapter_ids=None):
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
@@ -148,7 +168,8 @@ class CausalSelfAttention(nn.Module):
             y = nn.Dense(D, name="out")(o)
             if self.lora_rank > 0:
                 y = y + _lora_delta(self, "out", o, D,
-                                    self.lora_rank, self.lora_alpha)
+                                    self.lora_rank, self.lora_alpha,
+                                    self.n_adapters, adapter_ids)
             return y
         # one fused projection: [q (H·hd) | k (Hkv·hd) | v (Hkv·hd)] — the
         # column-parallel sharding of transformer_param_rule stays valid as
@@ -156,7 +177,8 @@ class CausalSelfAttention(nn.Module):
         qkv = nn.Dense((H + 2 * Hkv) * hd, name="qkv")(x)
         if self.lora_rank > 0:
             qkv = qkv + _lora_delta(self, "qkv", x, (H + 2 * Hkv) * hd,
-                                    self.lora_rank, self.lora_alpha)
+                                    self.lora_rank, self.lora_alpha,
+                                    self.n_adapters, adapter_ids)
         q, k, v = jnp.split(qkv, [H * hd, (H + Hkv) * hd], axis=-1)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
@@ -292,14 +314,16 @@ class MLP(nn.Module):
                                # (GPT-2 'gelu_new', the jax default)
     lora_rank: int = 0         # > 0: low-rank adapters on every projection
     lora_alpha: float = 16.0
+    n_adapters: int = 0        # > 0: stacked multi-adapter serving
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, adapter_ids=None):
         def dense(name, features, v):
             y = nn.Dense(features, name=name)(v)
             if self.lora_rank > 0:
                 y = y + _lora_delta(self, name, v, features,
-                                    self.lora_rank, self.lora_alpha)
+                                    self.lora_rank, self.lora_alpha,
+                                    self.n_adapters, adapter_ids)
             return y
         if self.gated:
             h = jax.nn.silu(dense("fc_in", self.d_ff, x)) \
@@ -438,10 +462,12 @@ class TransformerBlock(nn.Module):
     exact_gelu: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    n_adapters: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offset=None, segment_ids=None, positions=None):
+                 offset=None, segment_ids=None, positions=None,
+                 adapter_ids=None):
         def seq(h):  # sequence-/context-parallel region constraint
             t_axes = []
             if self.cp_axis is not None and not decode:
@@ -468,10 +494,12 @@ class TransformerBlock(nn.Module):
                                     window=self.window, causal=self.causal,
                                     lora_rank=self.lora_rank,
                                     lora_alpha=self.lora_alpha,
+                                    n_adapters=self.n_adapters,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset,
                                                  segment_ids=segment_ids,
-                                                 positions=positions)
+                                                 positions=positions,
+                                                 adapter_ids=adapter_ids)
         x = seq(x)
         h = norm("ln2")(x)
         if self.n_experts > 0:
@@ -485,7 +513,8 @@ class TransformerBlock(nn.Module):
             y = MLP(self.d_model, self.d_ff, self.drop,
                     gated=self.gated_mlp, exact_gelu=self.exact_gelu,
                     lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                    name="mlp")(h, train=train)
+                    n_adapters=self.n_adapters,
+                    name="mlp")(h, train=train, adapter_ids=adapter_ids)
             aux = jnp.zeros((), x.dtype)
         return seq(x + y), aux
 
@@ -552,6 +581,15 @@ class TransformerLM(nn.Module):
                                     # lora_trainable); fold for serving with
                                     # merge_lora.
     lora_alpha: float = 16.0        # adapter scale = lora_alpha / lora_rank
+    n_adapters: int = 0             # > 0: MULTI-adapter serving — the LoRA
+                                    # A/B leaves gain a leading (N,) axis
+                                    # and __call__ takes adapter_ids (B,)
+                                    # int32 selecting each row's adapter
+                                    # (id 0 = the all-zero base row; build
+                                    # the stacked params with
+                                    # nn.lora.stack_adapters).  One jitted
+                                    # step serves any id mix — the
+                                    # ServingEngine(adapters=[...]) path.
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -572,10 +610,12 @@ class TransformerLM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offsets=None):
+                 offsets=None, adapter_ids=None):
         B, T = x.shape
         if T > self.max_len:
             raise ValueError(f"sequence length {T} > max_len {self.max_len}")
+        if adapter_ids is not None and self.n_adapters <= 0:
+            raise ValueError("adapter_ids needs n_adapters > 0")
         d_ff = self.d_ff or 4 * self.d_model
 
         if self.pos_embedding not in ("learned", "rope"):
@@ -671,7 +711,9 @@ class TransformerLM(nn.Module):
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 window=self.window,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                name=f"block_{i}")(h, train, decode, offset, seg, pos_ids)
+                n_adapters=self.n_adapters,
+                name=f"block_{i}")(h, train, decode, offset, seg, pos_ids,
+                                   adapter_ids)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
              else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)

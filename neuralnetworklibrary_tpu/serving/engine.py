@@ -60,7 +60,8 @@ class Request:
                  eos_token: Optional[int] = None, k: Optional[int] = None,
                  temperature: Optional[float] = None,
                  top_p: Optional[float] = None,
-                 repetition_penalty: Optional[float] = None):
+                 repetition_penalty: Optional[float] = None,
+                 adapter: Optional[int] = None):
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
         self.prompt = list(int(t) for t in prompt)
@@ -72,6 +73,10 @@ class Request:
         self.temperature = temperature
         self.top_p = top_p
         self.repetition_penalty = repetition_penalty
+        # LoRA adapter index into the engine's ``adapters`` list (None =
+        # the base model) — multi-tenant serving: every request in the
+        # batch decodes under ITS OWN fine-tune
+        self.adapter = adapter
         self.tokens: list = []
         self.finished = False
         self.admitted_at_step: Optional[int] = None
@@ -121,6 +126,17 @@ class ServingEngine:
         the single-chip engine's (pinned in tests/test_serving.py).
         Quantized params are replicated (QTensor leaves don't match the
         Megatron rule's path shapes).
+    adapters: MULTI-LoRA serving (LoRAX-style multi-tenant).  A list of N
+        single-adapter LoRA params trees (each trained at the model's
+        ``lora_rank``); the engine stacks them into the model's
+        ``n_adapters = N+1`` leaves (row 0 = zero base adapter,
+        nn.lora.stack_adapters) and every Request picks its fine-tune via
+        ``adapter=i`` (None = base).  Per-slot adapter ids ride the same
+        jitted decode step — any adapter mix in the batch, zero
+        recompiles.  Requires ``model.n_adapters == N+1``; pass
+        ``adapters=None`` with a pre-stacked params tree to address rows
+        directly.  Prefix caching applies only to base-adapter requests
+        (a prefix prefilled by the base would be stale under an adapter).
     """
 
     def __init__(self, model, params, slots: int = 4,
@@ -129,7 +145,7 @@ class ServingEngine:
                  temperature: float = 1.0, top_p: float = 1.0,
                  repetition_penalty: float = 1.0, max_k: int = 64,
                  pad_token: int = 0, seed: int = 0, chunk: int = 1,
-                 mesh=None, param_rule=None):
+                 mesh=None, param_rule=None, adapters=None):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
         if not getattr(model, "n_experts", 0) == 0:
@@ -174,6 +190,22 @@ class ServingEngine:
         self._seen_put = jax.jit(
             lambda s, row, i: jax.lax.dynamic_update_slice(
                 s, row[None], (i, 0)))
+        # multi-LoRA: stacked adapter rows + per-slot adapter ids
+        self._n_adapters = int(getattr(model, "n_adapters", 0) or 0)
+        self._adapter_base_row = 0
+        if adapters is not None:
+            from neuralnetworklibrary_tpu.nn.lora import stack_adapters
+
+            adapters = list(adapters)
+            if self._n_adapters != len(adapters) + 1:
+                raise ValueError(
+                    f"model.n_adapters must be len(adapters)+1 = "
+                    f"{len(adapters) + 1}, got {self._n_adapters}")
+            if getattr(model, "lora_rank", 0) <= 0:
+                raise ValueError("adapters= needs a model with lora_rank > 0")
+            self.params = stack_adapters(self.params, adapters)
+            self._adapter_base_row = 1
+        self._ad_arr = np.zeros(self.slots, np.int32)
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.chunk = int(chunk)
@@ -241,14 +273,15 @@ class ServingEngine:
         self.stats["prefill_tokens"] += len(tokens)
 
     def _prefill_suffix(self, params, cache, pcache, suffix, true_len,
-                        slot, key, k, temp, top_p, rep, seen_row):
+                        slot, key, k, temp, top_p, rep, seen_row, aid=0):
         """Continue the saved prefix cache with the request's suffix (the
         internal position counter resumes at the prefix length), then insert
         the filled batch-1 rows at ``slot``."""
         if self._quantized:
             params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": pcache},
-                                    suffix, decode=True, mutable=["cache"])
+                                    suffix, decode=True, mutable=["cache"],
+                                    **self._adapter_kw(aid, 1))
         logits = out[0][0, true_len - 1]
 
         def ins(big, small):
@@ -262,6 +295,15 @@ class ServingEngine:
                                    seen_row)
 
     # ------------------------------------------------------------- device fns
+
+    def _adapter_kw(self, aid, bs):
+        """adapter_ids kwarg for a batch-``bs`` apply — empty for plain
+        models, so non-LoRA models never see the argument."""
+        if self._n_adapters <= 0:
+            return {}
+        ids = (aid if hasattr(aid, "ndim") and getattr(aid, "ndim", 0)
+               else jnp.full((bs,), aid, jnp.int32))
+        return {"adapter_ids": ids}
 
     def _check_sampling(self, k, temperature, top_p, rep):
         if not 1 <= int(k) <= self.max_k:
@@ -293,7 +335,7 @@ class ServingEngine:
         return idxs[choice].astype(jnp.int32)
 
     def _prefill_into(self, params, cache, prompt, true_len, slot, key,
-                      k, temp, top_p, rep, seen_row):
+                      k, temp, top_p, rep, seen_row, aid=0):
         """Run the prompt through a batch-1 cache, insert the filled rows at
         ``slot`` of the engine cache, sample the first continuation token
         from the logits at position true_len-1 (right-padding beyond it is
@@ -302,7 +344,8 @@ class ServingEngine:
         if self._quantized:
             params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": cache1},
-                                    prompt, decode=True, mutable=["cache"])
+                                    prompt, decode=True, mutable=["cache"],
+                                    **self._adapter_kw(aid, 1))
         logits = out[0][0, true_len - 1]
 
         def ins(big, small):
@@ -316,16 +359,18 @@ class ServingEngine:
                                    seen_row)
 
     def _decode_step(self, params, cache, toks, lengths, active, seen,
-                     kv, tv, pv, rv, key):
+                     kv, tv, pv, rv, av, key):
         """One token for every slot at its own offset, each slot sampling
-        under ITS OWN (k, temperature, top_p, repetition_penalty); inactive
-        slots recycle their last token (their writes land in rows a future
-        prefill fully replaces)."""
+        under ITS OWN (k, temperature, top_p, repetition_penalty) — and,
+        multi-LoRA, under its own adapter; inactive slots recycle their
+        last token (their writes land in rows a future prefill fully
+        replaces)."""
         if self._quantized:
             params = self._dequantize(params)
         out, mut = self.model.apply({"params": params, "cache": cache},
                                     toks[:, None], decode=True,
-                                    offsets=lengths, mutable=["cache"])
+                                    offsets=lengths, mutable=["cache"],
+                                    **self._adapter_kw(av, self.slots))
         logits = out[0][:, -1]                                  # (S, V)
         keys = jax.random.split(key, self.slots)
         nxt = jax.vmap(self._sample)(keys, logits, kv, tv, pv, rv, seen)
@@ -335,13 +380,14 @@ class ServingEngine:
         return mut["cache"], seen, nxt
 
     def _decode_chunk(self, params, cache, toks, lengths, active, seen,
-                      kv, tv, pv, rv, key):
+                      kv, tv, pv, rv, av, key):
         """``chunk`` decode steps in one device program — per-step offsets
         advance on device, the host sees (chunk, S) tokens at the end."""
         def step(carry, k1):
             cache, toks, lens, seen = carry
             cache, seen, nxt = self._decode_step(
-                params, cache, toks, lens, active, seen, kv, tv, pv, rv, k1)
+                params, cache, toks, lens, active, seen, kv, tv, pv, rv,
+                av, k1)
             return (cache, nxt, lens + active.astype(jnp.int32), seen), nxt
 
         (cache, _, _, seen), seq = jax.lax.scan(
@@ -376,11 +422,24 @@ class ServingEngine:
         self._check_sampling(rk, rt, rp, rr)
         self._k_arr[slot], self._t_arr[slot] = rk, rt
         self._p_arr[slot], self._r_arr[slot] = rp, rr
+        # adapter row: 0 = base; engine-stacked adapters are 1-indexed rows
+        if req.adapter is not None and self._n_adapters <= 0:
+            raise ValueError(
+                "Request.adapter needs an engine built with adapters= "
+                "(or a pre-stacked n_adapters model)")
+        row = 0 if req.adapter is None \
+            else int(req.adapter) + self._adapter_base_row
+        if not 0 <= row < max(1, self._n_adapters):
+            raise ValueError(
+                f"adapter {req.adapter} out of range (engine serves "
+                f"{max(0, self._n_adapters - self._adapter_base_row)} "
+                f"adapters + base)")
+        self._ad_arr[slot] = row
         seen_row = np.bincount(p, minlength=self.model.vocab_size) \
             .astype(np.int32)
         self._key, k1 = jax.random.split(self._key)
         pre = self._prefix
-        if (pre is not None and len(p) > len(pre[0])
+        if (pre is not None and row == 0 and len(p) > len(pre[0])
                 and list(p[:len(pre[0])]) == pre[0]):
             # shared-prefix hit: prefill only the suffix on top of the saved
             # prefix cache
@@ -393,7 +452,7 @@ class ServingEngine:
                 fn = self._suffix_jits[tb] = jax.jit(self._prefill_suffix)
             self.cache, tok = fn(self.params, self.cache, pre[1],
                                  jnp.asarray(padded), len(suf), slot, k1,
-                                 rk, rt, rp, rr, jnp.asarray(seen_row))
+                                 rk, rt, rp, rr, jnp.asarray(seen_row), row)
             self.stats["prefix_hits"] += 1
             self.stats["prefill_tokens"] += len(suf)
         else:
@@ -405,7 +464,7 @@ class ServingEngine:
                 fn = self._prefill_jits[tb] = jax.jit(self._prefill_into)
             self.cache, tok = fn(self.params, self.cache,
                                  jnp.asarray(padded), len(p), slot, k1,
-                                 rk, rt, rp, rr, jnp.asarray(seen_row))
+                                 rk, rt, rp, rr, jnp.asarray(seen_row), row)
             self.stats["prefill_tokens"] += len(p)
         req.tokens.append(int(tok))
         seen_row[int(tok)] += 1
@@ -453,7 +512,8 @@ class ServingEngine:
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.asarray(lengths), jnp.asarray(active), self._seen,
                 jnp.asarray(self._k_arr), jnp.asarray(self._t_arr),
-                jnp.asarray(self._p_arr), jnp.asarray(self._r_arr), k1)
+                jnp.asarray(self._p_arr), jnp.asarray(self._r_arr),
+                jnp.asarray(self._ad_arr), k1)
             seq = np.asarray(seq)                        # (chunk, S)
             n_steps = seq.shape[0]
             self.stats["decode_steps"] += n_steps

@@ -152,6 +152,28 @@ def test_merge_lora_parity_and_serving():
     np.testing.assert_array_equal(np.asarray(g_lora), np.asarray(g_merged))
 
 
+def test_graft_base_survives_donating_train_step():
+    """graft_base COPIES base leaves: training adapter 1 (whose jitted step
+    donates its params buffers) must not delete the caller's base
+    checkpoint — grafting and serving a SECOND adapter from the same
+    ``bp`` tree used to die with "Array has been deleted"."""
+    data = _lm_data()
+    model = _model(lora_rank=4)
+    base = _model()
+    bp = base.init(jax.random.PRNGKey(0), _batch())["params"]
+    for seed in (1, 2):   # two successive adapters off the SAME base tree
+        lp = model.init(jax.random.PRNGKey(seed), _batch())["params"]
+        learner = Learner("/tmp/test_lora", data, model, "Adam2",
+                          loss_func=SeqCrossEntropyLoss(), seed=seed)
+        learner.params = graft_base(bp, lp)
+        learner.set_trainable(lora_trainable)
+        b = next(iter(data.train_dl))
+        learner.train1minibatch(b, 1e-2)
+    # the base tree is still alive and serveable
+    out, _ = base.apply({"params": bp}, _batch(5))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_lora_tp_matches_dp():
     """Adapter training under dp4×tp2 (Megatron rule shards the wide adapter
     dims) matches dp8 step-for-step."""
@@ -205,3 +227,106 @@ def test_vit_lora_graft_and_merge():
     np.testing.assert_allclose(
         np.asarray(base.apply({"params": merged}, x)),
         np.asarray(base.apply({"params": bp}, x)), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------- multi-adapter (LoRAX-style)
+
+
+def _randomized_adapter(model, base_params, seed):
+    """A single-adapter params tree whose A/B leaves are random NON-zero
+    (as if fine-tuned), base leaves shared with ``base_params``."""
+    lp = model.init(jax.random.PRNGKey(seed), _batch())["params"]
+    grafted = graft_base(base_params, lp)
+    rng = np.random.default_rng(seed)
+
+    def rand(path, x):
+        names = tuple(str(p).strip("[].'\"") for p in path)
+        if is_lora_path(names):
+            return jnp.asarray(rng.normal(0, 0.05, x.shape), x.dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(rand, grafted)
+
+
+def test_multi_adapter_forward_matches_per_row_single_adapter():
+    """stack_adapters + adapter_ids: each batch row's output equals the
+    single-adapter model run with that adapter's params (row 0 = base)."""
+    from neuralnetworklibrary_tpu.nn.lora import stack_adapters
+
+    base = _model()
+    single = _model(lora_rank=4)
+    multi = _model(lora_rank=4, n_adapters=3)
+    x = _batch(5, bs=6)
+    bp = base.init(jax.random.PRNGKey(0), x)["params"]
+    ad1 = _randomized_adapter(single, bp, 1)
+    ad2 = _randomized_adapter(single, bp, 2)
+    mp = stack_adapters(bp, [ad1, ad2])
+    ids = jnp.asarray([0, 1, 2, 2, 1, 0], jnp.int32)
+    got, _ = multi.apply({"params": mp}, x, adapter_ids=ids)
+    want_rows = []
+    for r, aid in enumerate([0, 1, 2, 2, 1, 0]):
+        if aid == 0:
+            out, _ = base.apply({"params": bp}, x[r : r + 1])
+        else:
+            out, _ = single.apply({"params": (ad1, ad2)[aid - 1]},
+                                  x[r : r + 1])
+        want_rows.append(np.asarray(out)[0])
+    np.testing.assert_allclose(np.asarray(got), np.stack(want_rows),
+                               rtol=2e-4, atol=2e-5)
+    # ids default to the base row
+    got_none, _ = multi.apply({"params": mp}, x)
+    want_base, _ = base.apply({"params": bp}, x)
+    np.testing.assert_allclose(np.asarray(got_none), np.asarray(want_base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multi_adapter_engine_serves_mixed_fine_tunes():
+    """ServingEngine(adapters=[...]): greedy requests under base / adapter 1
+    / adapter 2 in ONE continuous batch each reproduce their own
+    single-adapter generate stream token-for-token."""
+    from neuralnetworklibrary_tpu.serving import Request, ServingEngine
+
+    base = _model()
+    single = _model(lora_rank=4)
+    multi = _model(lora_rank=4, n_adapters=3)
+    bp = base.init(jax.random.PRNGKey(0), _batch())["params"]
+    ad1 = _randomized_adapter(single, bp, 11)
+    ad2 = _randomized_adapter(single, bp, 12)
+
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, V, n).tolist() for n in (5, 9, 4, 7)]
+    reqs = [Request(prompts[0], 8),                      # base
+            Request(prompts[1], 8, adapter=0),           # fine-tune 1
+            Request(prompts[2], 8, adapter=1),           # fine-tune 2
+            Request(prompts[3], 8, adapter=1)]
+    engine = ServingEngine(multi, bp, slots=2, chunk=2,
+                           prompt_buckets=(8, 16), adapters=[ad1, ad2])
+    engine.run(reqs)
+
+    def oracle(model, params, prompt):
+        out = generate(model, params, jnp.asarray([prompt], jnp.int32), 8,
+                       k=1)
+        return [int(t) for t in np.asarray(out)[0]]
+
+    assert reqs[0].tokens == oracle(base, bp, prompts[0])
+    assert reqs[1].tokens == oracle(single, ad1, prompts[1])
+    assert reqs[2].tokens == oracle(single, ad2, prompts[2])
+    assert reqs[3].tokens == oracle(single, ad2, prompts[3])
+
+
+def test_multi_adapter_engine_validates():
+    from neuralnetworklibrary_tpu.serving import Request, ServingEngine
+
+    base = _model()
+    single = _model(lora_rank=4)
+    bp = base.init(jax.random.PRNGKey(0), _batch())["params"]
+    ad1 = _randomized_adapter(single, bp, 1)
+    with pytest.raises(ValueError, match="n_adapters"):
+        ServingEngine(_model(lora_rank=4, n_adapters=5), bp, adapters=[ad1])
+    engine = ServingEngine(base, bp)
+    with pytest.raises(ValueError, match="adapter"):
+        engine.run([Request([1, 2], 2, adapter=0)])
+    multi = ServingEngine(_model(lora_rank=4, n_adapters=2), bp,
+                          adapters=[ad1])
+    with pytest.raises(ValueError, match="out of range"):
+        multi.run([Request([1, 2], 2, adapter=5)])
