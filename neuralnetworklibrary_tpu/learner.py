@@ -314,6 +314,24 @@ class Learner:
             self.opt_state = pmesh.shard_params(trees["opt_state"], self.mesh,
                                                 self.opt_rule)
 
+    def set_params(self, params, state=None):
+        """Adopt an in-memory params tree (e.g. a converted checkpoint, a
+        grafted LoRA base, another learner's weights) — COPYING every leaf.
+
+        The jitted train step DONATES its params buffers, so assigning a
+        shared tree to ``learner.params`` directly would let the first step
+        delete the caller's arrays (a delayed "Array has been deleted" at
+        their next use).  This is the safe path for weights that arrive by
+        reference rather than from disk; optimizer state resets (the new
+        weights invalidate old moments)."""
+        params = jax.tree_util.tree_map(jnp.array, params)
+        self.params = pmesh.shard_params(params, self.mesh,
+                                         self.param_sharding)
+        if state is not None:
+            state = jax.tree_util.tree_map(jnp.array, state)
+            self.state = pmesh.replicate_tree(state, self.mesh)
+        self.opt_state = self._committed_opt_state()
+
     # ---------------------------------------------------- freeze / unfreeze
 
     def _reset_opt_state(self):

@@ -36,7 +36,8 @@ Typical run::
     data   = ...  # target_type="dpo", train_dl/val_dl = dl
     learner = Learner(path, data, PairedLM(lm=model), "Adam2",
                       loss_func=DPOLoss(beta=0.1))
-    learner.params = {"lm": base_params}          # start FROM the reference
+    learner.set_params({"lm": base_params})       # start FROM the reference
+                                                  # (copies — donation-safe)
     learner.fit_one_cycle(lr, epochs, metrics=[DPORewardAccuracy(beta=0.1)])
 """
 
