@@ -590,6 +590,13 @@ class TransformerLM(nn.Module):
                                     # nn.lora.stack_adapters).  One jitted
                                     # step serves any id mix — the
                                     # ServingEngine(adapters=[...]) path.
+    tied_decoder: bool = True       # False → a separate (V, D) 'lm_head'
+                                    # decoder matrix instead of reusing the
+                                    # input embedding (Llama-family
+                                    # checkpoints are untied; GPT-2 and the
+                                    # AWD-LSTM tie).  Layer groups put the
+                                    # head in its own (last) group either
+                                    # way.
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -601,11 +608,17 @@ class TransformerLM(nn.Module):
                                     # data.packing.pack_documents +
                                     # PackedSeqCrossEntropyLoss.
 
-    head_prefixes = ("word_embed",)
+    @property
+    def head_prefixes(self):
+        return ("word_embed",) if self.tied_decoder else ("lm_head",)
 
     @property
     def layer_group_prefixes(self):
         blocks = tuple(f"block_{i}" for i in range(self.n_layers))
+        if not self.tied_decoder:
+            # untied: the input embedding is backbone, the decoder is head
+            return (("pos_embed", "ln_f", "word_embed") + blocks,
+                    ("lm_head",))
         return (("pos_embed", "ln_f") + blocks, ("word_embed",))
 
     @nn.compact
@@ -717,15 +730,18 @@ class TransformerLM(nn.Module):
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
              else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)
+        head = emb if self.tied_decoder else self.param(
+            "lm_head", nn.initializers.normal(0.02),
+            (self.vocab_size, self.d_model))
         n_moe = max(1, self.n_layers // max(1, self.moe_every))
         if self.fused_ce and not decode:
             # hand the loss the decoder INPUTS; chunked_softmax_ce streams
             # the vocab so the (B,T,V) logits never exist.  Gradients reach
-            # the tied embedding through the returned emb leaf.
+            # the decoder matrix through the returned head leaf.
             if self.n_experts > 0:
-                return h, emb, aux_total / n_moe
-            return h, emb
-        logits = jnp.einsum("btd,vd->btv", h, emb)
+                return h, head, aux_total / n_moe
+            return h, head
+        logits = jnp.einsum("btd,vd->btv", h, head)
         if self.n_experts > 0:
             return logits, h, aux_total / n_moe
         return logits, h

@@ -1,0 +1,127 @@
+"""Convert HuggingFace Llama-family weights into
+:class:`nn.transformer.TransformerLM`.
+
+The Llama block is exactly this framework's "modern" transformer
+configuration — pre-RMSNorm blocks, rotary position embeddings in the
+split-half (rotate_half) convention, grouped-query attention, SwiGLU MLP,
+untied lm_head — so conversion is renaming plus two mechanical surgeries:
+
+- HF ``nn.Linear`` stores weights (out_features, in_features); flax Dense
+  kernels are (in, out) → every kernel is transposed.
+- HF keeps q/k/v as separate projections; this framework fuses them into
+  one column-blocked [q | k | v] Dense → the transposed kernels concatenate
+  along the OUTPUT axis (widths H·hd | Hkv·hd | Hkv·hd, matching
+  CausalSelfAttention's split).
+
+Llama projections carry no biases; flax Dense biases are loaded as zeros
+(numerically exact).  Works for Llama 1/2/3-style checkpoints (Mistral's
+dense path shares the layout): set ``rope_base`` to the checkpoint's
+``rope_theta`` (Llama-3 uses 500000) and ``n_kv_heads`` to
+``num_key_value_heads``.
+
+Usage (weights from any source — HF hub snapshot on disk, a .bin/.pt,
+safetensors loaded to a dict):
+
+    sd = torch.load("pytorch_model.bin", map_location="cpu")
+    model, params = load_llama(sd, n_layers=32, n_heads=32, n_kv_heads=8,
+                               d_model=4096, d_ff=14336, vocab_size=128256,
+                               max_len=8192, rope_base=500000.0)
+
+Activation + greedy-generation parity vs the HF torch implementation is
+pinned (random-init, environment-safe) in tests/test_llama_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(x):
+    import torch
+
+    if isinstance(x, torch.Tensor):
+        return np.asarray(x.detach().cpu().float().numpy(), np.float32)
+    return np.asarray(x, np.float32)
+
+
+def convert_llama_state_dict(state_dict, n_layers: int) -> dict:
+    """HF LlamaForCausalLM (or LlamaModel) state_dict → TransformerLM params.
+
+    Returns params for ``TransformerLM(..., tied_decoder=False)`` — or, when
+    the checkpoint has no ``lm_head.weight`` (``tie_word_embeddings=True``,
+    e.g. TinyLlama variants), for the default tied decoder.
+    """
+    sd = dict(state_dict)
+    if any(k.startswith("model.") for k in sd):
+        head = (_t(sd["lm_head.weight"]) if "lm_head.weight" in sd
+                else None)
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    else:                     # bare LlamaModel
+        head = None
+    if head is not None and np.array_equal(head, _t(sd["embed_tokens.weight"])):
+        # tie_word_embeddings=True: torch state_dicts alias lm_head to the
+        # embedding (safetensors exports usually omit it instead) — either
+        # way it's the tied decoder
+        head = None
+    params: dict = {
+        "word_embed": _t(sd["embed_tokens.weight"]),
+        "ln_f": {"scale": _t(sd["norm.weight"])},
+    }
+    if head is not None:
+        params["lm_head"] = head
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        q = _t(sd[p + "self_attn.q_proj.weight"]).T     # (D, H·hd)
+        k = _t(sd[p + "self_attn.k_proj.weight"]).T     # (D, Hkv·hd)
+        v = _t(sd[p + "self_attn.v_proj.weight"]).T     # (D, Hkv·hd)
+        qkv = np.concatenate([q, k, v], axis=1)
+        o = _t(sd[p + "self_attn.o_proj.weight"]).T     # (H·hd, D)
+        gate = _t(sd[p + "mlp.gate_proj.weight"]).T     # (D, F)
+        up = _t(sd[p + "mlp.up_proj.weight"]).T         # (D, F)
+        down = _t(sd[p + "mlp.down_proj.weight"]).T     # (F, D)
+        params[f"block_{i}"] = {
+            "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
+            "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
+            "attn": {
+                "qkv": {"kernel": qkv,
+                        "bias": np.zeros(qkv.shape[1], np.float32)},
+                "out": {"kernel": o,
+                        "bias": np.zeros(o.shape[1], np.float32)},
+            },
+            "mlp": {
+                # MLP(gated=True): silu(fc_in) ⊙ fc_gate → fc_out, i.e.
+                # fc_in ↔ HF gate_proj (the silu side), fc_gate ↔ up_proj
+                "fc_in": {"kernel": gate,
+                          "bias": np.zeros(gate.shape[1], np.float32)},
+                "fc_gate": {"kernel": up,
+                            "bias": np.zeros(up.shape[1], np.float32)},
+                "fc_out": {"kernel": down,
+                           "bias": np.zeros(down.shape[1], np.float32)},
+            },
+        }
+    return params
+
+
+def load_llama(state_dict, n_layers: int, n_heads: int, d_model: int,
+               vocab_size: int, n_kv_heads: int = 0, d_ff: int = 0,
+               max_len: int = 4096, rope_base: float = 10000.0,
+               norm_eps: float = 1e-5, drop: float = 0.0, **model_kw):
+    """Build the matching TransformerLM and its converted params.
+
+    Returns (model, params).  ``n_kv_heads``/``d_ff``/``rope_base``/
+    ``norm_eps`` mirror the HF config fields num_key_value_heads /
+    intermediate_size / rope_theta / rms_norm_eps.  Pass mesh/param-rule
+    kwargs through ``model_kw`` (e.g. mesh=, flash_attention=True,
+    remat=True); shard with Learner/param rules as usual.
+    """
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    params = convert_llama_state_dict(state_dict, n_layers)
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
+        norm_eps=norm_eps, tied_decoder="lm_head" not in params, **model_kw)
+    return model, params

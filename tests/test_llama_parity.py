@@ -1,0 +1,130 @@
+"""Activation parity: a random-init HuggingFace Llama (torch, CPU) and the
+converted TransformerLM produce the same logits — the pretrained-load proof
+for the Llama family (same pattern as test_gpt2_parity.py: no weight
+downloads; the ARCHITECTURE — RoPE/RMSNorm/SwiGLU/GQA/untied head — and
+the converter are what's validated)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from neuralnetworklibrary_tpu.nn.transformer import generate  # noqa: E402
+from neuralnetworklibrary_tpu.utils.llama_convert import (  # noqa: E402
+    load_llama,
+)
+
+L, H, HKV, D, F, V, M = 3, 4, 2, 64, 88, 128, 96
+THETA = 10000.0
+
+
+def _hf_model(seed=0, tie=False, theta=THETA):
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=theta, tie_word_embeddings=tie,
+        attention_dropout=0.0)
+    torch.manual_seed(seed)
+    m = transformers.LlamaForCausalLM(cfg)
+    m.eval()
+    return m
+
+
+def _load(hf, theta=THETA):
+    return load_llama(hf.state_dict(), n_layers=L, n_heads=H,
+                      n_kv_heads=HKV, d_model=D, d_ff=F, vocab_size=V,
+                      max_len=M, rope_base=theta, norm_eps=1e-5)
+
+
+def test_llama_logits_parity():
+    hf = _hf_model()
+    model, params = _load(hf)
+    assert not model.tied_decoder
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, V, (2, 17)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_logits_parity_nondefault_theta():
+    """rope_base is threaded through (Llama-3 ships theta=500000)."""
+    hf = _hf_model(seed=5, theta=500000.0)
+    model, params = _load(hf, theta=500000.0)
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, V, (1, 31)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_tied_variant():
+    """tie_word_embeddings=True checkpoints (no lm_head.weight) convert to
+    the default tied decoder."""
+    hf = _hf_model(seed=7, tie=True)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, V, (2, 11)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    # torch state_dicts ALIAS lm_head.weight to the embedding when tied;
+    # safetensors exports usually omit it — both must convert to tied
+    sd_alias = hf.state_dict()
+    assert "lm_head.weight" in sd_alias
+    sd_omit = {k: v for k, v in sd_alias.items() if k != "lm_head.weight"}
+    for sd in (sd_alias, sd_omit):
+        model, params = load_llama(sd, n_layers=L, n_heads=H,
+                                   n_kv_heads=HKV, d_model=D, d_ff=F,
+                                   vocab_size=V, max_len=M,
+                                   rope_base=THETA, norm_eps=1e-5)
+        assert model.tied_decoder and "lm_head" not in params
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_cached_decode_and_generation_parity():
+    """Greedy continuation through OUR KV-cached decode (GQA cache,
+    post-rotation K) equals HF's greedy generate on the same weights."""
+    hf = _hf_model(seed=3)
+    model, params = _load(hf)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, V, (1, 9)).astype(np.int32)
+    n = 6
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor(x, dtype=torch.long), max_new_tokens=n,
+            do_sample=False, pad_token_id=0)
+    want = hf_out.numpy()[:, x.shape[1]:]
+    got = np.asarray(generate(model, params, jnp.asarray(x), n=n, k=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_untied_head_learner_contract():
+    """The untied model trains through the Learner: lm_head is its own
+    layer group (freeze() leaves only it trainable) and the fused-CE path
+    streams the untied decoder identically to materialized logits."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    model = TransformerLM(vocab_size=V, d_model=32, n_heads=2, n_layers=2,
+                          max_len=64, drop=0.0, tied_decoder=False)
+    assert model.head_prefixes == ("lm_head",)
+    groups = model.layer_group_prefixes
+    assert groups[-1] == ("lm_head",) and "word_embed" in groups[0]
+    x = jnp.asarray(np.random.default_rng(0).integers(0, V, (2, 10)),
+                    jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert params["lm_head"].shape == (V, 32)
+    logits, _ = model.apply({"params": params}, x)
+    fused = TransformerLM(vocab_size=V, d_model=32, n_heads=2, n_layers=2,
+                          max_len=64, drop=0.0, tied_decoder=False,
+                          fused_ce=True)
+    h, head = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("btd,vd->btv", h, head)), np.asarray(logits),
+        rtol=1e-5, atol=1e-6)
