@@ -151,11 +151,20 @@ class CausalSelfAttention(nn.Module):
     lora_alpha: float = 16.0
     n_adapters: int = 0        # > 0: stacked multi-adapter serving — each
                                # batch row applies ITS adapter_ids row
+    kv_quant: bool = False     # int8 KV cache: K/V stored as int8 with one
+                               # float scale per (row, position, kv-head) —
+                               # 4x less serving HBM and decode bandwidth
+                               # than f32 (2x vs bf16); dequant fuses into
+                               # the attention einsum reads
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
                  offset=None, segment_ids=None, positions=None,
-                 adapter_ids=None):
+                 adapter_ids=None, kv_mask=None):
+        # kv_mask (B, T) bool: keys at False positions are unattendable —
+        # the padded-source mask of a bidirectional encoder (seq2seq.py).
+        # Einsum path only (flash/ring/decode are causal-only and never
+        # carry it).
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
@@ -208,6 +217,7 @@ class CausalSelfAttention(nn.Module):
         # at an all-gather of K/V); decode (KV cache) is never ring-run.
         if (self.cp_axis is not None and self.mesh is not None
                 and self.window <= 0 and self.causal and segment_ids is None
+                and kv_mask is None
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -226,7 +236,7 @@ class CausalSelfAttention(nn.Module):
         # attention-prob dropout has no flash equivalent, so an active drop
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and self.causal and not decode and T % 128 == 0
-                and segment_ids is None
+                and segment_ids is None and kv_mask is None
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -238,17 +248,45 @@ class CausalSelfAttention(nn.Module):
         if decode:
             if not self.causal:
                 raise ValueError("decode=True needs causal attention")
+            if kv_mask is not None:
+                raise ValueError("kv_mask is not supported in decode mode")
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
             M = self.max_len
-            ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd), x.dtype)
-            cv = self.variable("cache", "v", jnp.zeros, (B, M, Hkv, hd), x.dtype)
+            ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd),
+                               jnp.int8 if self.kv_quant else x.dtype)
+            cv = self.variable("cache", "v", jnp.zeros, (B, M, Hkv, hd),
+                               jnp.int8 if self.kv_quant else x.dtype)
+            if self.kv_quant:
+                # int8 cache rows + one f32 scale per (b, position, head):
+                # scale = amax/127 over the head dim at WRITE time; reads
+                # dequantize int8·scale, which XLA fuses into the einsum,
+                # so HBM streams a quarter of the f32 bytes per step
+                sk = self.variable("cache", "k_scale", jnp.zeros,
+                                   (B, M, Hkv), jnp.float32)
+                sv = self.variable("cache", "v_scale", jnp.zeros,
+                                   (B, M, Hkv), jnp.float32)
+
+                def kv_q(t):  # (B, T, Hkv, hd) -> int8 codes + f32 scales
+                    s = jnp.max(jnp.abs(t), axis=-1).astype(jnp.float32)
+                    s = jnp.maximum(s / 127.0, 1e-8)
+                    codes = jnp.clip(
+                        jnp.round(t.astype(jnp.float32) / s[..., None]),
+                        -127, 127).astype(jnp.int8)
+                    return codes, s
+                k, sk_new = kv_q(k)
+                v, sv_new = kv_q(v)
             off = jnp.asarray(0 if offset is None else offset, jnp.int32)
             if off.ndim == 0:
                 ck.value = jax.lax.dynamic_update_slice(ck.value, k,
                                                         (0, off, 0, 0))
                 cv.value = jax.lax.dynamic_update_slice(cv.value, v,
                                                         (0, off, 0, 0))
+                if self.kv_quant:
+                    sk.value = jax.lax.dynamic_update_slice(
+                        sk.value, sk_new, (0, off, 0))
+                    sv.value = jax.lax.dynamic_update_slice(
+                        sv.value, sv_new, (0, off, 0))
                 q_pos = off + jnp.arange(T)                        # (T,)
                 mask = jnp.arange(M)[None, :] <= q_pos[:, None]    # (T, M)
                 if self.window > 0:
@@ -263,6 +301,12 @@ class CausalSelfAttention(nn.Module):
                     c, u, (o, 0, 0)))
                 ck.value = upd(ck.value, k, off)
                 cv.value = upd(cv.value, v, off)
+                if self.kv_quant:
+                    upd_s = jax.vmap(
+                        lambda c, u, o: jax.lax.dynamic_update_slice(
+                            c, u, (o, 0)))
+                    sk.value = upd_s(sk.value, sk_new, off)
+                    sv.value = upd_s(sv.value, sv_new, off)
                 q_pos = off[:, None] + jnp.arange(T)               # (B, T)
                 mask = (jnp.arange(M)[None, None, :]
                         <= q_pos[..., None])                       # (B, T, M)
@@ -270,14 +314,23 @@ class CausalSelfAttention(nn.Module):
                     mask &= (jnp.arange(M)[None, None, :]
                              > q_pos[..., None] - self.window)
                 mask = mask[:, None]                               # (B,1,T,M)
+            if self.kv_quant:
+                kf = (ck.value.astype(jnp.float32)
+                      * sk.value[..., None]).astype(x.dtype)
+                vf = (cv.value.astype(jnp.float32)
+                      * sv.value[..., None]).astype(x.dtype)
+            else:
+                kf, vf = ck.value, cv.value
             att = jnp.einsum("bqhd,bkhd->bhqk", q,
-                             expand_kv(ck.value)) / math.sqrt(hd)
+                             expand_kv(kf)) / math.sqrt(hd)
             att = jnp.where(mask, att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
-                             expand_kv(cv.value)).reshape(B, T, D)
+                             expand_kv(vf)).reshape(B, T, D)
             return proj_out(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
+        if kv_mask is not None:
+            att = jnp.where(kv_mask[:, None, None, :], att, -1e30)
         if self.causal:
             mask = jnp.tril(jnp.ones((T, T), bool))
             if self.window > 0:
@@ -463,6 +516,7 @@ class TransformerBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     n_adapters: int = 0
+    kv_quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -495,6 +549,7 @@ class TransformerBlock(nn.Module):
                                     lora_rank=self.lora_rank,
                                     lora_alpha=self.lora_alpha,
                                     n_adapters=self.n_adapters,
+                                    kv_quant=self.kv_quant,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset,
                                                  segment_ids=segment_ids,
@@ -597,6 +652,15 @@ class TransformerLM(nn.Module):
                                     # AWD-LSTM tie).  Layer groups put the
                                     # head in its own (last) group either
                                     # way.
+    kv_quant: bool = False          # int8 KV cache for decode: K/V rows
+                                    # stored int8 + per-(row, position,
+                                    # kv-head) f32 scales — 4x less serving
+                                    # HBM/bandwidth than f32 caches (2x vs
+                                    # bf16), composes with GQA for the full
+                                    # (H/Hkv)·4 shrink.  Training/scoring
+                                    # paths are untouched (no cache there);
+                                    # quantization error is bounded by
+                                    # amax/254 per written vector.
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -724,7 +788,7 @@ class TransformerLM(nn.Module):
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 window=self.window,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                n_adapters=self.n_adapters,
+                n_adapters=self.n_adapters, kv_quant=self.kv_quant,
                 name=f"block_{i}")(h, train, decode, offset, seg, pos_ids,
                                    adapter_ids)
             aux_total = aux_total + aux
