@@ -1,0 +1,359 @@
+"""Encoder–decoder sequence-to-sequence transformer (BART-style layout).
+
+The reference framework is decoder-only / classifier-only (its generation
+entry point is the AWD-LSTM ``predict_from_string``, Applications/
+Text.py:655-676); translation/summarization-shaped tasks need an encoder the
+target stream can cross-attend.  This module builds that family from the
+same primitives as :mod:`~neuralnetworklibrary_tpu.nn.transformer` — the
+bidirectional encoder blocks reuse ``CausalSelfAttention(causal=False)``
+with a padded-source key mask, the decoder self-attention reuses the
+KV-cached causal path — so every serving trick (static-shape caches, jitted
+scan decode) carries over.
+
+TPU-first decode design: the encoder runs ONCE per sequence and its
+per-layer cross-attention K/V are PRECOMPUTED once (``memory_kv``) — a
+decode step touches only one token's worth of projections plus two
+memory-read einsums, never re-projecting the source.  All shapes static;
+``seq2seq_generate`` runs the whole continuation as one jitted
+prefill + ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import math
+
+from neuralnetworklibrary_tpu.nn.transformer import (
+    MLP,
+    CausalSelfAttention,
+)
+
+
+class CrossAttention(nn.Module):
+    """Decoder→memory attention: queries from the target stream, K/V from
+    the (precomputed) encoder memory, padded source positions masked.
+
+    ``memory_kv`` projects the encoder output once — the decode loop reuses
+    the result for every step, which is what makes cached seq2seq decode
+    O(1) in source length per step (re-projecting would cost 2·S·D² per
+    layer per token, ~100× the token's own FLOPs at production shapes)."""
+
+    d_model: int
+    n_heads: int
+    drop: float = 0.0
+
+    def setup(self):
+        D = self.d_model
+        self.q_proj = nn.Dense(D, name="q")
+        self.kv_proj = nn.Dense(2 * D, name="kv")
+        self.out = nn.Dense(D, name="out")
+        self.att_drop = nn.Dropout(self.drop)
+
+    def memory_kv(self, memory):
+        """(B, S, D) encoder output → ((B, S, H, hd), (B, S, H, hd))."""
+        B, S, D = memory.shape
+        H, hd = self.n_heads, D // self.n_heads
+        k, v = jnp.split(self.kv_proj(memory), 2, axis=-1)
+        return k.reshape(B, S, H, hd), v.reshape(B, S, H, hd)
+
+    def __call__(self, x, mk, mv, mem_mask, train: bool = False):
+        B, T, D = x.shape
+        H, hd = self.n_heads, D // self.n_heads
+        q = self.q_proj(x).reshape(B, T, H, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, mk) / math.sqrt(hd)
+        att = jnp.where(mem_mask[:, None, None, :], att, -1e30)
+        att = jax.nn.softmax(att, axis=-1)
+        if train and self.drop > 0.0:
+            att = self.att_drop(att, deterministic=False)
+        o = jnp.einsum("bhqk,bkhd->bqhd", att, mv).reshape(B, T, D)
+        return self.out(o)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN bidirectional block over the padded source (key mask keeps
+    pad positions unattendable; pad QUERIES produce garbage rows that the
+    cross-attention mask makes unreadable downstream)."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    drop: float = 0.0
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(name="ln1")
+        self.attn = CausalSelfAttention(self.d_model, self.n_heads,
+                                        self.drop, causal=False, name="attn")
+        self.ln2 = nn.LayerNorm(name="ln2")
+        self.mlp = MLP(self.d_model, self.d_ff, self.drop, name="mlp")
+
+    def __call__(self, x, kv_mask, train: bool = False):
+        x = x + self.attn(self.ln1(x), train=train, kv_mask=kv_mask)
+        return x + self.mlp(self.ln2(x), train=train)
+
+
+class DecoderBlock(nn.Module):
+    """Pre-LN decoder block: causal self-attention (KV-cache capable via
+    the shared CausalSelfAttention decode path) → cross-attention into the
+    encoder memory → MLP."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    drop: float = 0.0
+    max_len: int = 0
+    kv_quant: bool = False
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(name="ln1")
+        self.self_attn = CausalSelfAttention(
+            self.d_model, self.n_heads, self.drop, max_len=self.max_len,
+            kv_quant=self.kv_quant, name="self_attn")
+        self.ln2 = nn.LayerNorm(name="ln2")
+        self.cross = CrossAttention(self.d_model, self.n_heads, self.drop,
+                                    name="cross")
+        self.ln3 = nn.LayerNorm(name="ln3")
+        self.mlp = MLP(self.d_model, self.d_ff, self.drop, name="mlp")
+
+    def __call__(self, x, mk, mv, mem_mask, train: bool = False,
+                 decode: bool = False, offset=None):
+        x = x + self.self_attn(self.ln1(x), train=train, decode=decode,
+                               offset=offset)
+        x = x + self.cross(self.ln2(x), mk, mv, mem_mask, train=train)
+        return x + self.mlp(self.ln3(x), train=train)
+
+
+class TransformerSeq2Seq(nn.Module):
+    """Encoder–decoder LM with a shared source/target vocabulary and
+    tied-embedding decoder head (BART layout).
+
+    Training call: ``model(src, tgt_in)`` → (logits, h); pair with
+    ``SeqCrossEntropyLoss`` on the shifted targets (``seq2seq_collate``
+    builds (src, tgt_in) / tgt_out with ``pad_token`` masking).  Inference:
+    :func:`seq2seq_generate` — encode once, precompute cross K/V, jitted
+    cached decode scan.
+
+    Learner contract mirrors TransformerLM: ``head_prefixes`` /
+    ``layer_group_prefixes`` give [encoder, decoder, embedding] groups for
+    discriminative lrs / freeze().
+    """
+
+    vocab_size: int
+    pad_token: int = 0
+    d_model: int = 256
+    n_heads: int = 8
+    enc_layers: int = 4
+    dec_layers: int = 4
+    d_ff: int = 0                  # 0 → 4·d_model
+    max_src_len: int = 512
+    max_len: int = 512             # target/decode length bound (cache size)
+    drop: float = 0.1
+    kv_quant: bool = False         # int8 decoder self-attn KV cache
+
+    @property
+    def head_prefixes(self):
+        return ("word_embed",)
+
+    @property
+    def layer_group_prefixes(self):
+        enc = tuple(f"enc_block_{i}" for i in range(self.enc_layers)) \
+            + ("enc_pos", "enc_ln")
+        dec = tuple(f"dec_block_{i}" for i in range(self.dec_layers)) \
+            + ("dec_pos", "dec_ln")
+        return (enc, dec, ("word_embed",))
+
+    def setup(self):
+        D, ff = self.d_model, self.d_ff or 4 * self.d_model
+        self.word_embed = self.param("word_embed",
+                                     nn.initializers.normal(0.02),
+                                     (self.vocab_size, D))
+        self.enc_pos = self.param("enc_pos", nn.initializers.normal(0.02),
+                                  (self.max_src_len, D))
+        self.dec_pos = self.param("dec_pos", nn.initializers.normal(0.02),
+                                  (self.max_len, D))
+        self.enc_blocks = [EncoderBlock(D, self.n_heads, ff, self.drop,
+                                        name=f"enc_block_{i}")
+                           for i in range(self.enc_layers)]
+        self.enc_ln = nn.LayerNorm(name="enc_ln")
+        self.dec_blocks = [DecoderBlock(D, self.n_heads, ff, self.drop,
+                                        max_len=self.max_len,
+                                        kv_quant=self.kv_quant,
+                                        name=f"dec_block_{i}")
+                           for i in range(self.dec_layers)]
+        self.dec_ln = nn.LayerNorm(name="dec_ln")
+        self.embed_drop = nn.Dropout(self.drop)
+
+    # --------------------------------------------------------------- encoder
+
+    def encode(self, src, train: bool = False):
+        """(B, S) int32 padded source → ((B, S, D) memory, (B, S) bool
+        valid-position mask)."""
+        B, S = src.shape
+        if S > self.max_src_len:
+            raise ValueError(f"source length {S} > max_src_len "
+                             f"{self.max_src_len}")
+        mask = src != self.pad_token
+        h = jnp.take(self.word_embed, src, axis=0) + self.enc_pos[None, :S]
+        if train and self.drop > 0.0:
+            h = self.embed_drop(h, deterministic=False)
+        for blk in self.enc_blocks:
+            h = blk(h, mask, train=train)
+        return self.enc_ln(h), mask
+
+    def memory_kv(self, memory):
+        """Per-decoder-layer cross-attention K/V, projected ONCE."""
+        return [blk.cross.memory_kv(memory) for blk in self.dec_blocks]
+
+    # --------------------------------------------------------------- decoder
+
+    def decode_tgt(self, tgt, mem_kv, mem_mask, train: bool = False,
+                   decode: bool = False, offset=None):
+        """Target stream through the decoder stack against precomputed
+        memory K/V.  ``decode=True`` uses the self-attention KV cache at
+        ``offset`` (scalar, or (B,) per-row for slot serving) — the
+        caller owns the position counter."""
+        B, T = tgt.shape
+        if T > self.max_len:
+            raise ValueError(f"target length {T} > max_len {self.max_len}")
+        h = jnp.take(self.word_embed, tgt, axis=0)
+        if decode and offset is not None:
+            off = jnp.asarray(offset, jnp.int32)
+            if off.ndim == 0:
+                h = h + jax.lax.dynamic_slice_in_dim(
+                    self.dec_pos, off, T, axis=0)[None]
+            else:
+                h = h + jnp.take(self.dec_pos,
+                                 off[:, None] + jnp.arange(T), axis=0)
+        else:
+            h = h + self.dec_pos[None, :T]
+        if train and self.drop > 0.0:
+            h = self.embed_drop(h, deterministic=False)
+        for blk, (mk, mv) in zip(self.dec_blocks, mem_kv):
+            h = blk(h, mk, mv, mem_mask, train=train, decode=decode,
+                    offset=offset)
+        h = self.dec_ln(h)
+        logits = jnp.einsum("btd,vd->btv", h, self.word_embed)
+        return logits, h
+
+    def __call__(self, src, tgt, train: bool = False):
+        memory, mem_mask = self.encode(src, train=train)
+        mem_kv = self.memory_kv(memory)
+        return self.decode_tgt(tgt, mem_kv, mem_mask, train=train)
+
+
+def init_seq2seq_cache(model: TransformerSeq2Seq, bs: int):
+    """Allocate the decoder self-attention KV cache (static
+    (B, max_len, H, hd) per decoder layer; int8 + scales under
+    ``kv_quant``)."""
+    D, H = model.d_model, model.n_heads
+    dummy_kv = [(jnp.zeros((bs, 1, H, D // H)),) * 2
+                for _ in range(model.dec_layers)]
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((bs, 1), jnp.int32), dummy_kv,
+            jnp.ones((bs, 1), bool), decode=True, offset=0,
+            method=TransformerSeq2Seq.decode_tgt))
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  variables["cache"])
+
+
+def seq2seq_generate(model: TransformerSeq2Seq, params, src, n: int,
+                     bos: int, k: int = 1, temperature: float = 1.0,
+                     seed: int = 0):
+    """Cached encoder–decoder continuation: ONE encoder pass + ONE cross-K/V
+    projection, then a jitted prefill + ``lax.scan`` emits ``n`` target
+    tokens (top-k sampled; k=1 greedy).  Returns (B, n) int32.
+
+    Mirrors :func:`nn.transformer.generate`'s decode discipline — static
+    shapes, no recompilation across calls of the same (B, S, n).
+    """
+    src = jnp.asarray(src, jnp.int32)
+    B, S = src.shape
+    if n + 1 > model.max_len:
+        raise ValueError(f"n + bos ({n + 1}) exceeds max_len "
+                         f"{model.max_len}")
+
+    def sample(key, logits):
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        vals, idxs = jax.lax.top_k(logits, k)
+        choice = jax.random.categorical(key, vals)
+        return jnp.take_along_axis(idxs, choice[..., None], -1)[..., 0]
+
+    @jax.jit
+    def run(params, cache, src, key):
+        memory, mem_mask = model.apply(
+            {"params": params}, src, method=TransformerSeq2Seq.encode)
+        mem_kv = model.apply({"params": params}, memory,
+                             method=TransformerSeq2Seq.memory_kv)
+        start = jnp.full((B, 1), bos, jnp.int32)
+        (out, _), mut = model.apply(
+            {"params": params, "cache": cache}, start, mem_kv, mem_mask,
+            decode=True, offset=0, mutable=["cache"],
+            method=TransformerSeq2Seq.decode_tgt)
+
+        def step(carry, inp):
+            cache, last, off = carry
+            key = inp
+            tok = sample(key, last)
+            (out, _), mut = model.apply(
+                {"params": params, "cache": cache}, tok[:, None], mem_kv,
+                mem_mask, decode=True, offset=off, mutable=["cache"],
+                method=TransformerSeq2Seq.decode_tgt)
+            return (mut["cache"], out[:, -1], off + 1), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            step, (mut["cache"], out[:, -1], jnp.asarray(1, jnp.int32)),
+            jax.random.split(key, n))
+        return toks.T
+
+    cache = init_seq2seq_cache(model, B)
+    return run(params, cache, src, jax.random.PRNGKey(seed))
+
+
+def seq2seq_collate(pairs, pad: int, bos: int, eos: int,
+                    max_src: Optional[int] = None,
+                    max_tgt: Optional[int] = None):
+    """Batch (source_ids, target_ids) pairs into the Learner's
+    ((src, tgt_in), tgt_out) layout: right-padded source, teacher-forced
+    target shifted by one ([bos] + tgt vs tgt + [eos]), pad everywhere
+    else.  Pair with ``SeqCrossEntropyLoss`` — pad target positions carry
+    ``pad`` and should be excluded by loss masks built from
+    ``tgt_out != pad`` at the call site (see tests for the pattern).
+    Returns (src, tgt_in, tgt_out) int32 arrays.
+    """
+    import numpy as np
+
+    S = max_src or max(len(s) for s, _ in pairs)
+    T = max_tgt + 1 if max_tgt else max(len(t) for _, t in pairs) + 1
+    src = np.full((len(pairs), S), pad, np.int32)
+    tin = np.full((len(pairs), T), pad, np.int32)
+    tout = np.full((len(pairs), T), pad, np.int32)
+    for i, (s, t) in enumerate(pairs):
+        s, t = list(s)[:S], list(t)[:T - 1]
+        src[i, :len(s)] = s
+        tin[i, 0], tin[i, 1:len(t) + 1] = bos, t
+        tout[i, :len(t)], tout[i, len(t)] = t, eos
+    return src, tin, tout
+
+
+class Seq2SeqCrossEntropyLoss:
+    """Token-masked sequence CE for the encoder–decoder: pad TARGET
+    positions (tgt_out == pad) carry no loss, composing with the Learner's
+    per-row short-batch mask.  (The stock SeqCrossEntropyLoss row-masks
+    only — LM windows have no pad tokens; teacher-forced targets do.)"""
+
+    def __init__(self, pad: int):
+        self.pad = pad
+
+    def __call__(self, outputs, target, mask=None):
+        logits = outputs[0] if isinstance(outputs, tuple) else outputs
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        w = (target != self.pad).astype(nll.dtype)
+        if mask is not None:
+            w = w * mask[:, None].astype(nll.dtype)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
