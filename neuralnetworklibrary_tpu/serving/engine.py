@@ -61,7 +61,8 @@ class Request:
                  temperature: Optional[float] = None,
                  top_p: Optional[float] = None,
                  repetition_penalty: Optional[float] = None,
-                 adapter: Optional[int] = None):
+                 adapter: Optional[int] = None,
+                 stop_sequences: Optional[Sequence[Sequence[int]]] = None):
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
         self.prompt = list(int(t) for t in prompt)
@@ -77,6 +78,13 @@ class Request:
         # the base model) — multi-tenant serving: every request in the
         # batch decodes under ITS OWN fine-tune
         self.adapter = adapter
+        # multi-token stop: generation ends when the emitted tail equals any
+        # of these id sequences (the matched sequence is kept, like EOS)
+        self.stop_sequences = ([list(int(t) for t in s)
+                                for s in stop_sequences]
+                               if stop_sequences else [])
+        if any(not s for s in self.stop_sequences):
+            raise ValueError("empty stop sequence")
         self.tokens: list = []
         self.finished = False
         self.admitted_at_step: Optional[int] = None
@@ -229,10 +237,14 @@ class ServingEngine:
                       ).get("model", 1)
 
             def put_cache(x):
-                # (B, max_len, Hkv, hd) K/V rows: shard heads over 'model'
-                spec = (PartitionSpec(None, None, "model", None)
-                        if x.ndim == 4 and x.shape[2] % tp == 0
-                        else PartitionSpec())
+                # (B, max_len, Hkv, hd) K/V rows: shard heads over 'model';
+                # (B, max_len, Hkv) int8-KV scale rows shard the same axis
+                if x.ndim == 4 and x.shape[2] % tp == 0:
+                    spec = PartitionSpec(None, None, "model", None)
+                elif x.ndim == 3 and x.shape[2] % tp == 0:
+                    spec = PartitionSpec(None, None, "model")
+                else:
+                    spec = PartitionSpec()
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             self.cache = jax.tree_util.tree_map(put_cache, self.cache)
@@ -479,12 +491,19 @@ class ServingEngine:
         eos = req.eos_token if req.eos_token is not None else self.eos_token
         return (len(req.tokens) >= req.max_new
                 or (eos is not None and req.tokens[-1] == int(eos))
+                or any(req.tokens[-len(s):] == s
+                       for s in req.stop_sequences)
                 or length + 1 >= self.model.max_len)
 
-    def run(self, requests: Sequence[Request]):
+    def run(self, requests: Sequence[Request], on_token=None):
         """Process requests to completion with continuous batching; returns
         the same list with ``tokens`` / ``finished`` / telemetry filled in.
-        Callable repeatedly; the engine state (cache, rng, stats) persists."""
+        Callable repeatedly; the engine state (cache, rng, stats) persists.
+
+        ``on_token(request, token_id)`` streams every emitted token to the
+        caller as the host sees it — per decode step at ``chunk=1`` (true
+        token streaming), per chunk boundary otherwise (trimmed tokens are
+        never streamed).  The prefill's first token streams at admission."""
         queue = deque(requests)
         slot_req: list = [None] * self.slots
         lengths = np.zeros(self.slots, np.int32)
@@ -501,6 +520,8 @@ class ServingEngine:
                 if slot_req[s] is None and queue:
                     req = queue.popleft()
                     self._admit(req, s, lengths, toks)
+                    if on_token is not None:
+                        on_token(req, req.tokens[-1])
                     slot_req[s] = req
                     if self._finished(req, int(lengths[s])):
                         retire(s)
@@ -526,6 +547,8 @@ class ServingEngine:
                     lengths[s] += 1
                     toks[s] = int(seq[t, s])
                     req.tokens.append(int(seq[t, s]))
+                    if on_token is not None:
+                        on_token(req, int(seq[t, s]))
                     self.stats["slot_steps_active"] += 1
                     if self._finished(req, int(lengths[s])):
                         retire(s)      # surplus chunk tokens are trimmed

@@ -272,3 +272,36 @@ def test_engine_tensor_parallel_matches_single_chip():
     assert leaves and all(
         len(x.sharding.spec) >= 3 and x.sharding.spec[2] == "model"
         for x in leaves)
+
+
+def test_stop_sequences():
+    """A request stops as soon as its emitted tail equals a stop sequence
+    (sequence kept, like EOS); other requests are unaffected."""
+    model, params = _model_and_params(seed=7)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, V, 5).tolist()
+    free = Request(prompt, 12)
+    ServingEngine(model, params, slots=1, prompt_buckets=(8,)).run([free])
+    assert len(free.tokens) == 12
+    # stop right after the 4th greedy token
+    stop = Request(prompt, 12, stop_sequences=[free.tokens[2:4], [99999]])
+    ServingEngine(model, params, slots=1, prompt_buckets=(8,)).run([stop])
+    assert stop.tokens == free.tokens[:4]
+    with pytest.raises(ValueError):
+        Request(prompt, 4, stop_sequences=[[]])
+
+
+def test_on_token_streaming():
+    """on_token sees every token of every request, in emission order per
+    request, equal to the final token lists — at chunk=1 AND chunked."""
+    model, params = _model_and_params(seed=8)
+    rng = np.random.default_rng(12)
+    for chunk in (1, 3):
+        reqs = [Request(rng.integers(0, V, 4).tolist(), m)
+                for m in (5, 9, 3)]
+        streamed = {id(r): [] for r in reqs}
+        engine = ServingEngine(model, params, slots=2, prompt_buckets=(8,),
+                               chunk=chunk)
+        engine.run(reqs, on_token=lambda r, t: streamed[id(r)].append(t))
+        for r in reqs:
+            assert streamed[id(r)] == r.tokens
