@@ -52,13 +52,89 @@ _PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
         r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
 
 
+class _NativeBPE:
+    """ctypes wrapper around native/bpe.cpp — the merge loop on vocabulary
+    ids.  ``build`` returns None (python fallback) if the library doesn't
+    compile or any merge string is missing from the vocab."""
+
+    def __init__(self, lib, handle, byte_ids):
+        self._lib, self._handle = lib, handle
+        self._byte_ids = byte_ids          # byte value -> base vocab id
+
+    @classmethod
+    def build(cls, encoder: dict, merges):
+        import ctypes
+
+        import numpy as np
+
+        from neuralnetworklibrary_tpu.native.build import load_library
+
+        lib = load_library("bpe")
+        if lib is None:
+            return None
+        byte_enc = bytes_to_unicode()
+        try:
+            byte_ids = np.array([encoder[byte_enc[b]] for b in range(256)],
+                                np.int32)
+            triples = np.array(
+                [(encoder[a], encoder[b], encoder[a + b])
+                 for a, b in merges], np.int32).reshape(-1, 3)
+        except KeyError:
+            return None                    # exotic vocab: keep python path
+        lib.bpe_new.restype = ctypes.c_void_p
+        lib.bpe_new.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int32]
+        lib.bpe_free.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int64
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        handle = lib.bpe_new(
+            np.ascontiguousarray(triples).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)), len(triples))
+        return cls(lib, handle, byte_ids)
+
+    def encode_pieces(self, pieces):
+        """[bytes, ...] → [list of ids, ...] in one library call."""
+        import ctypes
+
+        import numpy as np
+
+        offsets = np.zeros(len(pieces) + 1, np.int64)
+        for i, p in enumerate(pieces):
+            offsets[i + 1] = offsets[i] + len(p)
+        symbols = self._byte_ids[
+            np.frombuffer(b"".join(pieces), np.uint8)] \
+            if offsets[-1] else np.zeros(0, np.int32)
+        symbols = np.ascontiguousarray(symbols, np.int32)
+        out = np.empty(max(1, int(offsets[-1])), np.int32)
+        out_off = np.zeros(len(pieces) + 1, np.int64)
+        self._lib.bpe_encode(
+            self._handle,
+            symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pieces),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return [out[out_off[i]:out_off[i + 1]].tolist()
+                for i in range(len(pieces))]
+
+    def __del__(self):
+        try:
+            self._lib.bpe_free(self._handle)
+        except Exception:
+            pass
+
+
 class GPT2BPE:
     """Encoder/decoder over a GPT-2-format (vocab.json, merges.txt) pair.
 
     vocab: token-string → id.  merges: list of (a, b) pairs in rank order.
     """
 
-    def __init__(self, vocab: dict, merges, errors: str = "replace"):
+    def __init__(self, vocab: dict, merges, errors: str = "replace",
+                 native: bool = True):
         import regex
 
         self.encoder = dict(vocab)
@@ -69,6 +145,14 @@ class GPT2BPE:
         self.byte_dec = {c: b for b, c in self.byte_enc.items()}
         self._pat = regex.compile(_PAT)
         self._cache: dict = {}
+        # native merge kernel (native/bpe.cpp): the same greedy algorithm
+        # over vocabulary IDS instead of strings (a bijection — outputs are
+        # token-identical, differential-tested).  Falls back to the python
+        # loop whenever the library doesn't build or a merge string is
+        # missing from the vocab.
+        self._native = None
+        if native:
+            self._native = _NativeBPE.build(self.encoder, merges)
 
     @classmethod
     def from_files(cls, vocab_file: str, merges_file: str, **kw):
@@ -118,11 +202,26 @@ class GPT2BPE:
 
     def encode(self, text: str) -> list:
         """Text → token ids (byte-exact round-trip with :meth:`decode`)."""
+        if self._native is not None:
+            return self._encode_native(text)
         ids = []
         for piece in self._pat.findall(text):
             chars = "".join(self.byte_enc[b] for b in piece.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(chars))
         return ids
+
+    def _encode_native(self, text: str) -> list:
+        """One native call merges ALL uncached pieces of the text; the
+        per-piece id lists are memoized exactly like the python path."""
+        pieces = [p.encode("utf-8") for p in self._pat.findall(text)]
+        fresh = [p for p in set(pieces) if p not in self._cache]
+        if fresh:
+            for p, ids in zip(fresh, self._native.encode_pieces(fresh)):
+                self._cache[p] = ids
+        out = []
+        for p in pieces:
+            out.extend(self._cache[p])
+        return out
 
     def decode(self, ids) -> str:
         text = "".join(self.decoder[int(i)] for i in ids)

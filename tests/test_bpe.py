@@ -109,3 +109,21 @@ def test_feeds_transformer_generate(files):
     out = generate(model, params, prompt, n=5, k=1)
     text = tok.decode(np.asarray(out)[0].tolist())
     assert isinstance(text, str)
+
+
+def test_native_merge_kernel_matches_python(files):
+    """native/bpe.cpp (id-space merge loop) is token-for-token the python
+    string-space loop — on the tricky corpus AND randomized unicode."""
+    vf, mf = files
+    nat = GPT2BPE.from_files(vf, mf)
+    py = GPT2BPE.from_files(vf, mf, native=False)
+    if nat._native is None:
+        pytest.skip("native bpe library unavailable")
+    rng = np.random.default_rng(0)
+    rand = ["".join(chr(int(c)) for c in rng.integers(32, 0x2FF, n))
+            for n in (5, 40, 200)]
+    for s in TRICKY + rand:
+        assert nat.encode(s) == py.encode(s), s
+    # memoization across calls stays consistent
+    for s in TRICKY[:4]:
+        assert nat.encode(s) == py.encode(s)
