@@ -357,3 +357,93 @@ class Seq2SeqCrossEntropyLoss:
         if mask is not None:
             w = w * mask[:, None].astype(nll.dtype)
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def seq2seq_beam_search(model: TransformerSeq2Seq, params, src, n: int,
+                        bos: int, beam: int = 4):
+    """Exact KV-cached beam search over the encoder–decoder (the
+    :func:`nn.transformer.beam_search` discipline: joint (parent beam ×
+    vocab) top-k per step, per-step cache reordering, parent backtracking).
+    The encoder memory and cross K/V are computed once and beam-tiled.
+
+    Returns (tokens (B, n) int32 — the best beam — and its total log-prob
+    (B,) float32).  beam=1 reduces exactly to greedy
+    :func:`seq2seq_generate`.
+    """
+    src = jnp.asarray(src, jnp.int32)
+    B, S = src.shape
+    V = model.vocab_size
+    if n + 1 > model.max_len:
+        raise ValueError(f"n + bos ({n + 1}) exceeds max_len "
+                         f"{model.max_len}")
+
+    @jax.jit
+    def run(params, cache, src):
+        memory, mem_mask = model.apply(
+            {"params": params}, src, method=TransformerSeq2Seq.encode)
+        mem_kv = model.apply({"params": params}, memory,
+                             method=TransformerSeq2Seq.memory_kv)
+        start = jnp.full((B, 1), bos, jnp.int32)
+        (out, _), mut = model.apply(
+            {"params": params, "cache": cache}, start, mem_kv, mem_mask,
+            decode=True, offset=0, mutable=["cache"],
+            method=TransformerSeq2Seq.decode_tgt)
+        last_lp = jax.nn.log_softmax(out[:, -1].astype(jnp.float32), -1)
+
+        def tile(x):
+            return (jnp.repeat(x, beam, axis=0)
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B
+                    else x)
+
+        cache = jax.tree_util.tree_map(tile, mut["cache"])
+        mem_kv = jax.tree_util.tree_map(tile, mem_kv)
+        mem_mask = tile(mem_mask)
+        init_scores = jnp.broadcast_to(
+            jnp.where(jnp.arange(beam) == 0, 0.0, -jnp.inf), (B, beam))
+        init_lp = jnp.repeat(last_lp[:, None], beam, axis=1)
+
+        def step(carry, off):
+            cache, scores, lp = carry
+            total = scores[:, :, None] + lp
+            top, idx = jax.lax.top_k(total.reshape(B, beam * V), beam)
+            parent = idx // V
+            tok = (idx % V).astype(jnp.int32)
+
+            def reorder(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B * beam:
+                    xb = x.reshape(B, beam, *x.shape[1:])
+                    pb = parent.reshape(
+                        B, beam, *([1] * (x.ndim - 1))).astype(jnp.int32)
+                    return jnp.take_along_axis(
+                        xb, jnp.broadcast_to(pb, (B, beam) + x.shape[1:]),
+                        axis=1).reshape(x.shape)
+                return x
+
+            cache = jax.tree_util.tree_map(reorder, cache)
+            (out, _), mut = model.apply(
+                {"params": params, "cache": cache},
+                tok.reshape(B * beam, 1), mem_kv, mem_mask, decode=True,
+                offset=off, mutable=["cache"],
+                method=TransformerSeq2Seq.decode_tgt)
+            lp = jax.nn.log_softmax(
+                out[:, -1].astype(jnp.float32), -1).reshape(B, beam, V)
+            return (mut["cache"], top, lp), (tok, parent)
+
+        (_, scores, _), (toks, parents) = jax.lax.scan(
+            step, (cache, init_scores, init_lp),
+            jnp.arange(1, n + 1, dtype=jnp.int32))
+
+        def backtrack(carry, inp):
+            b = carry
+            tok, parent = inp
+            t = jnp.take_along_axis(tok, b[:, None], 1)[:, 0]
+            b = jnp.take_along_axis(parent, b[:, None], 1)[:, 0]
+            return b, t
+
+        best = jnp.argmax(scores, axis=-1)
+        _, rev = jax.lax.scan(backtrack, best, (toks, parents),
+                              reverse=True)
+        return rev.T, jnp.max(scores, axis=-1)
+
+    cache = init_seq2seq_cache(model, B)
+    return run(params, cache, src)

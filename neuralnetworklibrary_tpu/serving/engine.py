@@ -156,10 +156,14 @@ class ServingEngine:
                  mesh=None, param_rule=None, adapters=None):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
-        if not getattr(model, "n_experts", 0) == 0:
-            # MoE decode works through the same path; capacity routing at
-            # batch 1-per-slot is untested for serving — keep it explicit.
-            raise ValueError("ServingEngine currently supports dense models")
+        # MoE models serve through the same decode path (generate/beam
+        # already handle the 3-tuple output).  Caveat inherited from GShard
+        # capacity routing: when capacity BINDS, a token's expert slot
+        # depends on the other rows in the decode batch, so emitted tokens
+        # can differ from a solo generate of the same prompt.  With
+        # capacity_factor >= n_experts the FCFS fill can never overflow
+        # (C >= top_k*N), routing is per-token independent, and engine
+        # greedy is token-exact vs generate (pinned in tests/test_serving).
         from neuralnetworklibrary_tpu.utils.quantize import (
             _is_qtensor,
             dequantize_params,

@@ -152,3 +152,18 @@ def test_kv_quant_composes():
     te = np.asarray(seq2seq_generate(model, params, src, 5, bos=BOS))
     tq = np.asarray(seq2seq_generate(qmodel, params, src, 5, bos=BOS))
     assert te.shape == tq.shape == (1, 5)
+
+
+def test_beam_search():
+    """beam=1 equals greedy seq2seq_generate; wider beams never score
+    worse than greedy under the model's own log-probs."""
+    from neuralnetworklibrary_tpu.nn.seq2seq import seq2seq_beam_search
+
+    model, params = _model_and_params(seed=8)
+    rng = np.random.default_rng(7)
+    src = rng.integers(3, V, (2, 6))
+    greedy = np.asarray(seq2seq_generate(model, params, src, 5, bos=BOS))
+    b1, s1 = seq2seq_beam_search(model, params, src, 5, bos=BOS, beam=1)
+    np.testing.assert_array_equal(np.asarray(b1), greedy)
+    _, s4 = seq2seq_beam_search(model, params, src, 5, bos=BOS, beam=4)
+    assert (np.asarray(s4) >= np.asarray(s1) - 1e-5).all()

@@ -305,3 +305,19 @@ def test_on_token_streaming():
         engine.run(reqs, on_token=lambda r, t: streamed[id(r)].append(t))
         for r in reqs:
             assert streamed[id(r)] == r.tokens
+
+
+def test_moe_serving_matches_generate():
+    """A mixture-of-experts model serves through the engine; with capacity
+    that can never bind (capacity_factor >= n_experts) routing is
+    per-token independent and greedy slots are token-exact vs generate."""
+    model, params = _model_and_params(seed=9, n_experts=2, moe_every=1,
+                                      capacity_factor=4.0)
+    rng = np.random.default_rng(13)
+    reqs = [Request(rng.integers(0, V, plen).tolist(), m)
+            for plen, m in [(4, 6), (9, 5), (6, 4)]]
+    engine = ServingEngine(model, params, slots=2, prompt_buckets=(8, 16))
+    engine.run(reqs)
+    for req in reqs:
+        assert req.tokens == _oracle(model, params, req.prompt,
+                                     req.max_new)
