@@ -125,3 +125,40 @@ def load_llama(state_dict, n_layers: int, n_heads: int, d_model: int,
         rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
         norm_eps=norm_eps, tied_decoder="lm_head" not in params, **model_kw)
     return model, params
+
+
+def load_llama_dir(path: str, max_len: int = 0, **model_kw):
+    """Load a Llama-family HF snapshot DIRECTORY (config.json +
+    .safetensors, single-file or index-sharded) → (model, params).
+
+    Reads the architecture hyperparameters from ``config.json``
+    (hidden_size / num_attention_heads / num_key_value_heads /
+    num_hidden_layers / intermediate_size / vocab_size / rope_theta /
+    rms_norm_eps) and the weights via
+    :func:`utils.safetensors_io.load_safetensors_auto` — no torch, no
+    transformers.  ``max_len`` defaults to the checkpoint's
+    ``max_position_embeddings`` (pass a smaller value to bound the KV
+    cache); remaining kwargs (mesh=, flash_attention=, kv_quant=, ...)
+    flow to TransformerLM.
+    """
+    import json
+    import os
+
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        load_safetensors_auto)
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    sd = load_safetensors_auto(path)
+    return load_llama(
+        sd,
+        n_layers=cfg["num_hidden_layers"],
+        n_heads=cfg["num_attention_heads"],
+        n_kv_heads=cfg.get("num_key_value_heads", 0) or 0,
+        d_model=cfg["hidden_size"],
+        d_ff=cfg.get("intermediate_size", 0) or 0,
+        vocab_size=cfg["vocab_size"],
+        max_len=max_len or cfg.get("max_position_embeddings", 4096),
+        rope_base=float(cfg.get("rope_theta", 10000.0)),
+        norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+        **model_kw)

@@ -59,6 +59,49 @@ def load_safetensors(path: str) -> dict:
     return out
 
 
+def load_safetensors_auto(path: str) -> dict:
+    """Load a checkpoint given any of the shapes HF snapshots come in:
+
+    - a single ``.safetensors`` file,
+    - a ``*.safetensors.index.json`` (multi-shard checkpoints — the
+      ``weight_map`` names each tensor's shard file; shards are resolved
+      relative to the index),
+    - a directory containing either of the above (the index wins when both
+      exist; with neither, every ``*.safetensors`` file in the directory is
+      merged).
+
+    Returns one flat ``{name: np.ndarray}`` dict spanning all shards.
+    """
+    import os
+
+    if os.path.isdir(path):
+        idx = [f for f in sorted(os.listdir(path))
+               if f.endswith(".safetensors.index.json")]
+        if idx:
+            return load_safetensors_auto(os.path.join(path, idx[0]))
+        shards = [f for f in sorted(os.listdir(path))
+                  if f.endswith(".safetensors")]
+        if not shards:
+            raise FileNotFoundError(f"no .safetensors files under {path!r}")
+        out = {}
+        for f in shards:
+            out.update(load_safetensors(os.path.join(path, f)))
+        return out
+    if path.endswith(".index.json"):
+        with open(path) as f:
+            index = json.load(f)
+        base = os.path.dirname(path)
+        out = {}
+        for shard in sorted(set(index["weight_map"].values())):
+            out.update(load_safetensors(os.path.join(base, shard)))
+        missing = set(index["weight_map"]) - set(out)
+        if missing:
+            raise ValueError(f"index names {len(missing)} tensors absent "
+                             f"from shards, e.g. {sorted(missing)[:3]}")
+        return out
+    return load_safetensors(path)
+
+
 def save_safetensors(tensors: dict, path: str, metadata: dict | None = None):
     """Write {name: array} → .safetensors (spec-conformant; readable by the
     reference library)."""
