@@ -156,11 +156,24 @@ class CausalSelfAttention(nn.Module):
                                # 4x less serving HBM and decode bandwidth
                                # than f32 (2x vs bf16); dequant fuses into
                                # the attention einsum reads
+    paged_blocks: int = 0      # > 0: PAGED KV cache for decode (vLLM) —
+                               # K/V live in a shared (paged_blocks,
+                               # paged_block, Hkv, hd) pool instead of
+                               # per-row (B, max_len) strips; each decode
+                               # call carries a (B, ceil(max_len/block))
+                               # ``block_table`` mapping logical positions
+                               # to pool rows.  HBM holds only the blocks
+                               # sequences actually occupy, so a serving
+                               # engine can run far more slots than dense
+                               # caches allow.  Decode-only (T=1, per-row
+                               # offsets); pool row 0 is the conventional
+                               # trash block for unallocated table entries.
+    paged_block: int = 32      # tokens per pool block
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
                  offset=None, segment_ids=None, positions=None,
-                 adapter_ids=None, kv_mask=None):
+                 adapter_ids=None, kv_mask=None, block_table=None):
         # kv_mask (B, T) bool: keys at False positions are unattendable —
         # the padded-source mask of a bidirectional encoder (seq2seq.py).
         # Einsum path only (flash/ring/decode are causal-only and never
@@ -252,6 +265,60 @@ class CausalSelfAttention(nn.Module):
                 raise ValueError("kv_mask is not supported in decode mode")
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
+            if self.paged_blocks > 0:
+                # paged decode: K/V pool shared by every slot, one block
+                # table row per batch row.  The write scatters this step's
+                # K/V at (table[b, off//bs], off%bs); the read gathers the
+                # slot's logical strip back from the pool.  Positions past
+                # a slot's offset are masked, so trash-block rows (table
+                # entries 0 for unallocated logical blocks) never reach the
+                # softmax.
+                if self.kv_quant:
+                    raise ValueError(
+                        "paged_blocks does not compose with kv_quant yet")
+                if block_table is None and not self.is_initializing():
+                    raise ValueError(
+                        "a paged model needs block_table= on every decode "
+                        "call (serve it through PagedServingEngine, or "
+                        "clone with paged_kv_blocks=0 for dense decode)")
+                if T != 1:
+                    raise ValueError(
+                        "paged decode is one token per step (prefill runs "
+                        "through a dense batch-1 cache, then the engine "
+                        "scatters it into the pool)")
+                bs_ = self.paged_block
+                MB = -(-self.max_len // bs_)
+                pk = self.variable("cache", "pool_k", jnp.zeros,
+                                   (self.paged_blocks, bs_, Hkv, hd),
+                                   x.dtype)
+                pv = self.variable("cache", "pool_v", jnp.zeros,
+                                   (self.paged_blocks, bs_, Hkv, hd),
+                                   x.dtype)
+                table = (jnp.zeros((B, MB), jnp.int32)
+                         if block_table is None
+                         else jnp.asarray(block_table, jnp.int32))
+                off = jnp.asarray(0 if offset is None else offset,
+                                  jnp.int32)
+                if off.ndim == 0:
+                    off = jnp.full((B,), off)
+                rows = table[jnp.arange(B), off // bs_]        # (B,)
+                pk.value = pk.value.at[rows, off % bs_].set(k[:, 0])
+                pv.value = pv.value.at[rows, off % bs_].set(v[:, 0])
+                Mp = MB * bs_
+                kf = pk.value[table].reshape(B, Mp, Hkv, hd)
+                vf = pv.value[table].reshape(B, Mp, Hkv, hd)
+                mask = (jnp.arange(Mp)[None, None, :]
+                        <= off[:, None, None])                 # (B, 1, Mp)
+                if self.window > 0:
+                    mask &= (jnp.arange(Mp)[None, None, :]
+                             > off[:, None, None] - self.window)
+                att = jnp.einsum("bqhd,bkhd->bhqk", q,
+                                 expand_kv(kf)) / math.sqrt(hd)
+                att = jnp.where(mask[:, None], att, -1e30)
+                att = jax.nn.softmax(att, axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", att,
+                                 expand_kv(vf)).reshape(B, T, D)
+                return proj_out(out)
             M = self.max_len
             ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd),
                                jnp.int8 if self.kv_quant else x.dtype)
@@ -416,6 +483,16 @@ class MoEMLP(nn.Module):
     z_weight: float = 0.0     # router z-loss (ST-MoE): z_weight·mean(lse²)
                               # of the gate logits, folded into aux —
                               # bounds logit growth, stabilizes training
+    gated: bool = False       # SwiGLU experts (silu(x·w1) ⊙ (x·w3) → w2),
+                              # the Mixtral layout; w1/w3 are both
+                              # column-parallel under the param rule
+    eval_dense: bool = False  # train=False runs the EXACT dropless path:
+                              # every expert over every token ((N,E,F)
+                              # einsums, E× the FLOPs of one expert, no
+                              # O(N²·E) dispatch tensor) combined with the
+                              # top-k renormalized gate — HF Mixtral's
+                              # inference semantics.  Training keeps the
+                              # capacity/dropping GShard semantics.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -443,6 +520,36 @@ class MoEMLP(nn.Module):
             oh2 = jnp.zeros_like(oh1)
             p2 = jnp.zeros_like(p1)
 
+        w_init = nn.initializers.variance_scaling(1.0, "fan_in",
+                                                  "truncated_normal")
+        w1 = self.param("w1", w_init, (E, D, F))
+        b1 = self.param("b1", nn.initializers.zeros, (E, F))
+        w2 = self.param("w2", w_init, (E, F, D))
+        b2 = self.param("b2", nn.initializers.zeros, (E, D))
+        if self.gated:
+            w3 = self.param("w3", w_init, (E, D, F))
+            b3 = self.param("b3", nn.initializers.zeros, (E, F))
+
+        if self.eval_dense and not train:
+            # exact dropless inference: every expert over every token,
+            # combined by the top-k renormalized gate (no capacity, no FCFS
+            # order dependence — a token's output is independent of the
+            # rest of the batch, so engine decode == solo generate always)
+            if self.top_k == 2:
+                cw = (p1 / (p1 + p2 + 1e-9))[:, None] * oh1 \
+                    + (p2 / (p1 + p2 + 1e-9))[:, None] * oh2      # (N, E)
+            else:
+                cw = p1[:, None] * oh1
+            h1 = jnp.einsum("nd,edf->nef", xf, w1) + b1[None]
+            if self.gated:
+                act = jax.nn.silu(h1) * (
+                    jnp.einsum("nd,edf->nef", xf, w3) + b3[None])
+            else:
+                act = jax.nn.gelu(h1)
+            out = jnp.einsum("nef,efd->ned", act, w2) + b2[None]
+            y = jnp.einsum("ne,ned->nd", cw, out)
+            return y.reshape(B, T, D), jnp.zeros((), x.dtype)
+
         # first-come-first-served positions; choice-1 fills before choice-2
         pos1 = jnp.cumsum(oh1, axis=0) - oh1
         pos2 = jnp.cumsum(oh2, axis=0) - oh2 + jnp.sum(oh1, axis=0)
@@ -467,15 +574,15 @@ class MoEMLP(nn.Module):
         dispatch = (keep1[:, :, None] * slot1[:, None, :]
                     + keep2[:, :, None] * slot2[:, None, :])      # (N, E, C)
 
-        w_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
-        w1 = self.param("w1", w_init, (E, D, F))
-        b1 = self.param("b1", nn.initializers.zeros, (E, F))
-        w2 = self.param("w2", w_init, (E, F, D))
-        b2 = self.param("b2", nn.initializers.zeros, (E, D))
-
         xin = jnp.einsum("nec,nd->ecd", dispatch, xf)
         xin = _constrain(xin, self.mesh, P(self.expert_axis, None, None))
-        h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xin, w1) + b1[:, None, :])
+        if self.gated:
+            h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", xin, w1)
+                            + b1[:, None, :]) \
+                * (jnp.einsum("ecd,edf->ecf", xin, w3) + b3[:, None, :])
+        else:
+            h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xin, w1)
+                            + b1[:, None, :])
         out = jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
         out = _constrain(out, self.mesh, P(self.expert_axis, None, None))
         y = jnp.einsum("nec,ecd->nd", combine, out)
@@ -498,6 +605,7 @@ class TransformerBlock(nn.Module):
     capacity_factor: float = 1.25
     moe_top_k: int = 2
     moe_z_weight: float = 0.0
+    moe_eval_dense: bool = False
     expert_axis: str = "model"
     mesh: Optional[Mesh] = None
     sp: bool = False
@@ -517,11 +625,13 @@ class TransformerBlock(nn.Module):
     lora_alpha: float = 16.0
     n_adapters: int = 0
     kv_quant: bool = False
+    paged_blocks: int = 0
+    paged_block: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
                  offset=None, segment_ids=None, positions=None,
-                 adapter_ids=None):
+                 adapter_ids=None, block_table=None):
         def seq(h):  # sequence-/context-parallel region constraint
             t_axes = []
             if self.cp_axis is not None and not decode:
@@ -550,11 +660,14 @@ class TransformerBlock(nn.Module):
                                     lora_alpha=self.lora_alpha,
                                     n_adapters=self.n_adapters,
                                     kv_quant=self.kv_quant,
+                                    paged_blocks=self.paged_blocks,
+                                    paged_block=self.paged_block,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset,
                                                  segment_ids=segment_ids,
                                                  positions=positions,
-                                                 adapter_ids=adapter_ids)
+                                                 adapter_ids=adapter_ids,
+                                                 block_table=block_table)
         x = seq(x)
         h = norm("ln2")(x)
         if self.n_experts > 0:
@@ -562,7 +675,9 @@ class TransformerBlock(nn.Module):
                             self.capacity_factor, self.mesh,
                             expert_axis=self.expert_axis,
                             top_k=self.moe_top_k,
-                            z_weight=self.moe_z_weight, name="moe")(
+                            z_weight=self.moe_z_weight,
+                            gated=self.gated_mlp,
+                            eval_dense=self.moe_eval_dense, name="moe")(
                                 h, train=train)
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
@@ -597,6 +712,10 @@ class TransformerLM(nn.Module):
     moe_every: int = 2
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     moe_z_weight: float = 0.0       # router z-loss weight (ST-MoE)
+    moe_eval_dense: bool = False    # eval/decode run the exact dropless
+                                    # all-experts path (HF Mixtral
+                                    # inference semantics; training keeps
+                                    # capacity routing)
     capacity_factor: float = 1.25
     expert_axis: str = "model"      # mesh axis the (E, ...) expert weights
                                     # shard over; a DEDICATED axis (e.g.
@@ -661,6 +780,18 @@ class TransformerLM(nn.Module):
                                     # paths are untouched (no cache there);
                                     # quantization error is bounded by
                                     # amax/254 per written vector.
+    paged_kv_blocks: int = 0        # > 0: PAGED KV cache for decode — K/V
+                                    # live in one shared (blocks, block,
+                                    # Hkv, hd) pool per layer; __call__
+                                    # takes a (B, ceil(max_len/block))
+                                    # block_table mapping each row's
+                                    # logical positions to pool rows.  The
+                                    # vLLM memory model: HBM holds only
+                                    # occupied blocks, so PagedServingEngine
+                                    # runs many more slots than dense
+                                    # (B, max_len) caches fit.  Pool row 0
+                                    # is the trash block.
+    paged_kv_block: int = 32        # tokens per pool block
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -687,7 +818,7 @@ class TransformerLM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
-                 offsets=None, adapter_ids=None):
+                 offsets=None, adapter_ids=None, block_table=None):
         B, T = x.shape
         if T > self.max_len:
             raise ValueError(f"sequence length {T} > max_len {self.max_len}")
@@ -780,6 +911,7 @@ class TransformerLM(nn.Module):
                 n_experts=self.n_experts if is_moe else 0,
                 capacity_factor=self.capacity_factor,
                 moe_top_k=self.moe_top_k, moe_z_weight=self.moe_z_weight,
+                moe_eval_dense=self.moe_eval_dense,
                 expert_axis=self.expert_axis,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
@@ -789,8 +921,10 @@ class TransformerLM(nn.Module):
                 window=self.window,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 n_adapters=self.n_adapters, kv_quant=self.kv_quant,
+                paged_blocks=self.paged_kv_blocks,
+                paged_block=self.paged_kv_block,
                 name=f"block_{i}")(h, train, decode, offset, seg, pos_ids,
-                                   adapter_ids)
+                                   adapter_ids, block_table)
             aux_total = aux_total + aux
         h = (nn.RMSNorm if self.norm == "rmsnorm"
              else nn.LayerNorm)(epsilon=self.norm_eps, name="ln_f")(h)
@@ -1197,7 +1331,7 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model",
         shape = getattr(leaf, "shape", ())
         if "moe" in parts:
             inner = ea != axis  # dedicated expert axis frees 'model' for TP
-            if "w1" in parts and nd == 3:
+            if ("w1" in parts or "w3" in parts) and nd == 3:
                 if inner and shape[2] % tp == 0:
                     return P(ea, None, axis)        # column-parallel per expert
                 return P(ea, None, None)
@@ -1205,7 +1339,7 @@ def transformer_param_rule(mesh: Mesh, axis: str = "model",
                 if inner and shape[1] % tp == 0:
                     return P(ea, axis, None)        # row-parallel per expert
                 return P(ea, None, None)
-            if "b1" in parts and nd == 2:
+            if ("b1" in parts or "b3" in parts) and nd == 2:
                 if inner and shape[1] % tp == 0:
                     return P(ea, axis)
                 return P(ea, None)

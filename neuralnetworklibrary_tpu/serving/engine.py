@@ -156,6 +156,11 @@ class ServingEngine:
                  mesh=None, param_rule=None, adapters=None):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
+        if getattr(model, "paged_kv_blocks", 0) > 0 \
+                and not hasattr(self, "n_blocks"):
+            raise ValueError(
+                "paged_kv_blocks > 0 models serve through "
+                "serving.paged.PagedServingEngine, not the dense engine")
         # MoE models serve through the same decode path (generate/beam
         # already handle the 3-tuple output).  Caveat inherited from GShard
         # capacity routing: when capacity BINDS, a token's expert slot
@@ -375,18 +380,20 @@ class ServingEngine:
                                    seen_row)
 
     def _decode_step(self, params, cache, toks, lengths, active, seen,
-                     kv, tv, pv, rv, av, key):
+                     kv, tv, pv, rv, av, key, table=None):
         """One token for every slot at its own offset, each slot sampling
         under ITS OWN (k, temperature, top_p, repetition_penalty) — and,
         multi-LoRA, under its own adapter; inactive slots recycle their
         last token (their writes land in rows a future prefill fully
-        replaces)."""
+        replaces).  ``table`` is the paged-KV block table (PagedServingEngine
+        threads it; dense engines never pass it)."""
         if self._quantized:
             params = self._dequantize(params)
+        kw = {} if table is None else {"block_table": table}
         out, mut = self.model.apply({"params": params, "cache": cache},
                                     toks[:, None], decode=True,
                                     offsets=lengths, mutable=["cache"],
-                                    **self._adapter_kw(av, self.slots))
+                                    **kw, **self._adapter_kw(av, self.slots))
         logits = out[0][:, -1]                                  # (S, V)
         keys = jax.random.split(key, self.slots)
         nxt = jax.vmap(self._sample)(keys, logits, kv, tv, pv, rv, seen)
@@ -396,20 +403,45 @@ class ServingEngine:
         return mut["cache"], seen, nxt
 
     def _decode_chunk(self, params, cache, toks, lengths, active, seen,
-                      kv, tv, pv, rv, av, key):
+                      kv, tv, pv, rv, av, key, table=None):
         """``chunk`` decode steps in one device program — per-step offsets
         advance on device, the host sees (chunk, S) tokens at the end."""
         def step(carry, k1):
             cache, toks, lens, seen = carry
             cache, seen, nxt = self._decode_step(
                 params, cache, toks, lens, active, seen, kv, tv, pv, rv,
-                av, k1)
+                av, k1, table)
             return (cache, nxt, lens + active.astype(jnp.int32), seen), nxt
 
         (cache, _, _, seen), seq = jax.lax.scan(
             step, (cache, toks, lengths, seen),
             jax.random.split(key, self.chunk))
         return cache, seen, seq                                 # (chunk, S)
+
+    # ------------------------------------------------- paged-engine hooks
+
+    def _extra_decode_args(self) -> tuple:
+        """Extra positional args appended to every jitted decode call
+        (the paged engine ships its block table here)."""
+        return ()
+
+    def _extra_prefill_args(self, slot: int) -> tuple:
+        """Extra positional args appended to the jitted prefill calls
+        (the paged engine ships the slot's pool-row vector here)."""
+        return ()
+
+    def _can_admit(self, req: Request) -> bool:
+        """May ``req`` be admitted right now?  The paged engine gates on
+        free pool blocks for the prompt."""
+        return True
+
+    def _on_retire(self, slot: int):
+        """A slot's request just finished (paged engine frees its blocks)."""
+
+    def _pre_decode(self, queue, slot_req, lengths, toks):
+        """Runs before every decode chunk — the paged engine allocates the
+        blocks the chunk will write (preempting a slot if the pool is
+        exhausted)."""
 
     # ------------------------------------------------------------- scheduling
 
@@ -468,7 +500,8 @@ class ServingEngine:
                 fn = self._suffix_jits[tb] = jax.jit(self._prefill_suffix)
             self.cache, tok = fn(self.params, self.cache, pre[1],
                                  jnp.asarray(padded), len(suf), slot, k1,
-                                 rk, rt, rp, rr, jnp.asarray(seen_row), row)
+                                 rk, rt, rp, rr, jnp.asarray(seen_row), row,
+                                 *self._extra_prefill_args(slot))
             self.stats["prefix_hits"] += 1
             self.stats["prefill_tokens"] += len(suf)
         else:
@@ -480,7 +513,8 @@ class ServingEngine:
                 fn = self._prefill_jits[tb] = jax.jit(self._prefill_into)
             self.cache, tok = fn(self.params, self.cache,
                                  jnp.asarray(padded), len(p), slot, k1,
-                                 rk, rt, rp, rr, jnp.asarray(seen_row), row)
+                                 rk, rt, rp, rr, jnp.asarray(seen_row), row,
+                                 *self._extra_prefill_args(slot))
             self.stats["prefill_tokens"] += len(p)
         req.tokens.append(int(tok))
         seen_row[int(tok)] += 1
@@ -518,10 +552,12 @@ class ServingEngine:
             req.finished = True
             req.finished_at_step = self.stats["decode_steps"]
             slot_req[s] = None
+            self._on_retire(s)
 
         while queue or any(r is not None for r in slot_req):
             for s in range(self.slots):
-                if slot_req[s] is None and queue:
+                if slot_req[s] is None and queue \
+                        and self._can_admit(queue[0]):
                     req = queue.popleft()
                     self._admit(req, s, lengths, toks)
                     if on_token is not None:
@@ -529,6 +565,7 @@ class ServingEngine:
                     slot_req[s] = req
                     if self._finished(req, int(lengths[s])):
                         retire(s)
+            self._pre_decode(queue, slot_req, lengths, toks)
             active = np.array([r is not None for r in slot_req])
             if not active.any():
                 continue
@@ -538,7 +575,7 @@ class ServingEngine:
                 jnp.asarray(lengths), jnp.asarray(active), self._seen,
                 jnp.asarray(self._k_arr), jnp.asarray(self._t_arr),
                 jnp.asarray(self._p_arr), jnp.asarray(self._r_arr),
-                jnp.asarray(self._ad_arr), k1)
+                jnp.asarray(self._ad_arr), k1, *self._extra_decode_args())
             seq = np.asarray(seq)                        # (chunk, S)
             n_steps = seq.shape[0]
             self.stats["decode_steps"] += n_steps

@@ -14,10 +14,14 @@ untied lm_head — so conversion is renaming plus two mechanical surgeries:
   CausalSelfAttention's split).
 
 Llama projections carry no biases; flax Dense biases are loaded as zeros
-(numerically exact).  Works for Llama 1/2/3-style checkpoints (Mistral's
-dense path shares the layout): set ``rope_base`` to the checkpoint's
-``rope_theta`` (Llama-3 uses 500000) and ``n_kv_heads`` to
-``num_key_value_heads``.
+(numerically exact).  Checkpoints that DO ship attention biases (Qwen2's
+q/k/v biases) load them.  Works for Llama 1/2/3-style checkpoints
+(Mistral's dense path shares the layout; Qwen2 differs only in the
+biases): set ``rope_base`` to the checkpoint's ``rope_theta`` (Llama-3
+uses 500000) and ``n_kv_heads`` to ``num_key_value_heads``.  Mixtral's
+sparse-MoE layers load via :func:`load_mixtral`; ``load_llama_dir``
+dispatches on config.json's model_type and picks up Mistral/Qwen2 sliding
+windows.
 
 Usage (weights from any source — HF hub snapshot on disk, a .bin/.pt,
 safetensors loaded to a dict):
@@ -70,12 +74,22 @@ def convert_llama_state_dict(state_dict, n_layers: int) -> dict:
     }
     if head is not None:
         params["lm_head"] = head
+    def _b(key, width):
+        # biases load when the checkpoint has them (Qwen2-style q/k/v
+        # biases), zeros otherwise (Llama/Mistral are bias-free) — both
+        # numerically exact
+        return _t(sd[key]) if key in sd else np.zeros(width, np.float32)
+
     for i in range(n_layers):
         p = f"layers.{i}."
         q = _t(sd[p + "self_attn.q_proj.weight"]).T     # (D, H·hd)
         k = _t(sd[p + "self_attn.k_proj.weight"]).T     # (D, Hkv·hd)
         v = _t(sd[p + "self_attn.v_proj.weight"]).T     # (D, Hkv·hd)
         qkv = np.concatenate([q, k, v], axis=1)
+        qkv_b = np.concatenate([
+            _b(p + "self_attn.q_proj.bias", q.shape[1]),
+            _b(p + "self_attn.k_proj.bias", k.shape[1]),
+            _b(p + "self_attn.v_proj.bias", v.shape[1])])
         o = _t(sd[p + "self_attn.o_proj.weight"]).T     # (H·hd, D)
         gate = _t(sd[p + "mlp.gate_proj.weight"]).T     # (D, F)
         up = _t(sd[p + "mlp.up_proj.weight"]).T         # (D, F)
@@ -84,10 +98,10 @@ def convert_llama_state_dict(state_dict, n_layers: int) -> dict:
             "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
             "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
             "attn": {
-                "qkv": {"kernel": qkv,
-                        "bias": np.zeros(qkv.shape[1], np.float32)},
+                "qkv": {"kernel": qkv, "bias": qkv_b},
                 "out": {"kernel": o,
-                        "bias": np.zeros(o.shape[1], np.float32)},
+                        "bias": _b(p + "self_attn.o_proj.bias",
+                                   o.shape[1])},
             },
             "mlp": {
                 # MLP(gated=True): silu(fc_in) ⊙ fc_gate → fc_out, i.e.
@@ -127,6 +141,93 @@ def load_llama(state_dict, n_layers: int, n_heads: int, d_model: int,
     return model, params
 
 
+def convert_mixtral_state_dict(state_dict, n_layers: int,
+                               n_experts: int) -> dict:
+    """HF MixtralForCausalLM state_dict → TransformerLM params.
+
+    Mixtral = the Llama block with the dense SwiGLU MLP replaced by a
+    top-2 sparse MoE in EVERY layer (``moe_every=1``): a bias-free (D, E)
+    router plus per-expert w1 (silu side) / w3 (up) / w2 (down).  The
+    per-expert (F, D)/(D, F) torch matrices transpose and stack into this
+    framework's (E, D, F)/(E, F, D) leaves; biases load as zeros (Mixtral
+    has none).  Use with ``TransformerLM(..., n_experts=E, moe_every=1,
+    mlp="swiglu", moe_eval_dense=True)`` — the dense-eval path reproduces
+    HF's dropless inference exactly (tests/test_llama_parity.py).
+    """
+    sd = dict(state_dict)
+    head = _t(sd["lm_head.weight"]) if "lm_head.weight" in sd else None
+    sd = {k[len("model."):]: v for k, v in sd.items()
+          if k.startswith("model.")}
+    if head is not None and np.array_equal(head,
+                                           _t(sd["embed_tokens.weight"])):
+        head = None
+    params: dict = {
+        "word_embed": _t(sd["embed_tokens.weight"]),
+        "ln_f": {"scale": _t(sd["norm.weight"])},
+    }
+    if head is not None:
+        params["lm_head"] = head
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        q = _t(sd[p + "self_attn.q_proj.weight"]).T
+        k = _t(sd[p + "self_attn.k_proj.weight"]).T
+        v = _t(sd[p + "self_attn.v_proj.weight"]).T
+        qkv = np.concatenate([q, k, v], axis=1)
+        o = _t(sd[p + "self_attn.o_proj.weight"]).T
+        m = p + "block_sparse_moe."
+        gate = _t(sd[m + "gate.weight"]).T                  # (D, E)
+        w1 = np.stack([_t(sd[f"{m}experts.{e}.w1.weight"]).T
+                       for e in range(n_experts)])          # (E, D, F)
+        w3 = np.stack([_t(sd[f"{m}experts.{e}.w3.weight"]).T
+                       for e in range(n_experts)])          # (E, D, F)
+        w2 = np.stack([_t(sd[f"{m}experts.{e}.w2.weight"]).T
+                       for e in range(n_experts)])          # (E, F, D)
+        E, D, F = w1.shape
+        params[f"block_{i}"] = {
+            "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
+            "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
+            "attn": {
+                "qkv": {"kernel": qkv,
+                        "bias": np.zeros(qkv.shape[1], np.float32)},
+                "out": {"kernel": o,
+                        "bias": np.zeros(o.shape[1], np.float32)},
+            },
+            "moe": {
+                "gate": gate,
+                "w1": w1, "b1": np.zeros((E, F), np.float32),
+                "w2": w2, "b2": np.zeros((E, D), np.float32),
+                "w3": w3, "b3": np.zeros((E, F), np.float32),
+            },
+        }
+    return params
+
+
+def load_mixtral(state_dict, n_layers: int, n_heads: int, d_model: int,
+                 vocab_size: int, n_experts: int = 8, moe_top_k: int = 2,
+                 n_kv_heads: int = 0, d_ff: int = 0, max_len: int = 4096,
+                 rope_base: float = 10000.0, norm_eps: float = 1e-5,
+                 window: int = 0, drop: float = 0.0, **model_kw):
+    """Build the matching MoE TransformerLM and its converted params.
+
+    Returns (model, params).  The model is configured with
+    ``moe_eval_dense=True`` so eval/decode reproduce HF's dropless
+    inference exactly; training on top of the loaded weights uses the
+    GShard capacity path (set ``capacity_factor`` via ``model_kw``).
+    """
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    params = convert_mixtral_state_dict(state_dict, n_layers, n_experts)
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
+        norm_eps=norm_eps, n_experts=n_experts, moe_every=1,
+        moe_top_k=moe_top_k, moe_eval_dense=True, window=window,
+        tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
 def load_llama_dir(path: str, max_len: int = 0, **model_kw):
     """Load a Llama-family HF snapshot DIRECTORY (config.json +
     .safetensors, single-file or index-sharded) → (model, params).
@@ -150,8 +251,7 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
     with open(os.path.join(path, "config.json")) as f:
         cfg = json.load(f)
     sd = load_safetensors_auto(path)
-    return load_llama(
-        sd,
+    common = dict(
         n_layers=cfg["num_hidden_layers"],
         n_heads=cfg["num_attention_heads"],
         n_kv_heads=cfg.get("num_key_value_heads", 0) or 0,
@@ -160,5 +260,15 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
         vocab_size=cfg["vocab_size"],
         max_len=max_len or cfg.get("max_position_embeddings", 4096),
         rope_base=float(cfg.get("rope_theta", 10000.0)),
-        norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
-        **model_kw)
+        norm_eps=float(cfg.get("rms_norm_eps", 1e-5)))
+    # Mistral-style local attention: both HF and this framework let query t
+    # attend keys (t − W, t], so the config value passes straight through
+    window = int(cfg.get("sliding_window") or 0)
+    if cfg.get("model_type") == "mixtral":
+        return load_mixtral(
+            sd, n_experts=cfg.get("num_local_experts", 8),
+            moe_top_k=cfg.get("num_experts_per_tok", 2),
+            window=window, **common, **model_kw)
+    if window:
+        model_kw.setdefault("window", window)
+    return load_llama(sd, **common, **model_kw)

@@ -128,3 +128,194 @@ def test_untied_head_learner_contract():
     np.testing.assert_allclose(
         np.asarray(jnp.einsum("btd,vd->btv", h, head)), np.asarray(logits),
         rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- Mixtral
+
+EM = 4  # experts (tiny)
+
+
+def _hf_mixtral(seed=0, window=0):
+    cfg = transformers.MixtralConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        num_local_experts=EM, num_experts_per_tok=2,
+        rms_norm_eps=1e-5, rope_theta=THETA,
+        sliding_window=window or None, tie_word_embeddings=False,
+        attention_dropout=0.0, router_jitter_noise=0.0)
+    torch.manual_seed(seed)
+    m = transformers.MixtralForCausalLM(cfg)
+    m.eval()
+    return m
+
+
+def _load_mixtral(hf, window=0):
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_mixtral
+
+    return load_mixtral(hf.state_dict(), n_layers=L, n_heads=H,
+                        n_kv_heads=HKV, d_model=D, d_ff=F, vocab_size=V,
+                        n_experts=EM, moe_top_k=2, max_len=M,
+                        rope_base=THETA, norm_eps=1e-5, window=window)
+
+
+def test_mixtral_logits_parity():
+    """Random-init HF Mixtral and the converted sparse-MoE TransformerLM
+    (moe_eval_dense: exact dropless top-2 inference) agree on logits."""
+    hf = _hf_mixtral()
+    model, params = _load_mixtral(hf)
+    assert model.n_experts == EM and model.moe_every == 1
+    assert model.moe_eval_dense and model.mlp == "swiglu"
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, V, (2, 17)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_mixtral_greedy_generation_parity():
+    """KV-cached greedy decode through the MoE blocks equals HF generate."""
+    hf = _hf_mixtral(seed=3)
+    model, params = _load_mixtral(hf)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, V, (1, 9)).astype(np.int32)
+    n = 6
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor(x, dtype=torch.long), max_new_tokens=n,
+            do_sample=False, pad_token_id=0)
+    want = hf_out.numpy()[:, x.shape[1]:]
+    got = np.asarray(generate(model, params, jnp.asarray(x), n=n, k=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_moe_eval_dense_matches_ample_capacity():
+    """The dropless dense-eval path equals the capacity path whenever
+    capacity cannot bind (C >= N): same weights, same eval output."""
+    from neuralnetworklibrary_tpu.nn.transformer import MoEMLP
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 16)),
+                    jnp.float32)
+    kw = dict(d_model=16, d_ff=32, n_experts=4, gated=True,
+              capacity_factor=8.0)
+    cap = MoEMLP(**kw)
+    variables = cap.init(jax.random.PRNGKey(0), x)
+    y_cap, _ = cap.apply(variables, x)
+    y_dense, aux = MoEMLP(**kw, eval_dense=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_cap),
+                               rtol=1e-5, atol=1e-6)
+    assert float(aux) == 0.0
+    # training still routes through the capacity/dropping path
+    y_tr, aux_tr = MoEMLP(**kw, eval_dense=True).apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_cap),
+                               rtol=1e-5, atol=1e-6)
+    assert float(aux_tr) > 0.0
+
+
+# ------------------------------------------------------- Mistral (window)
+
+
+def test_mistral_sliding_window_parity():
+    """A Mistral checkpoint with sliding_window=W converts with window=W
+    and matches HF logits at T > W — pinning that both sides use the
+    same (t-W, t] attention band."""
+    W = 4
+    cfg = transformers.MistralConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, sliding_window=W,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    torch.manual_seed(11)
+    hf = transformers.MistralForCausalLM(cfg)
+    hf.eval()
+    model, params = load_llama(hf.state_dict(), n_layers=L, n_heads=H,
+                               n_kv_heads=HKV, d_model=D, d_ff=F,
+                               vocab_size=V, max_len=M, rope_base=THETA,
+                               norm_eps=1e-5, window=W)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # the window is load-bearing: the unwindowed model must differ
+    full_model, full_params = load_llama(
+        hf.state_dict(), n_layers=L, n_heads=H, n_kv_heads=HKV, d_model=D,
+        d_ff=F, vocab_size=V, max_len=M, rope_base=THETA, norm_eps=1e-5)
+    un = np.asarray(full_model.apply({"params": full_params},
+                                     jnp.asarray(x))[0])
+    assert np.abs(un - want).max() > 1e-3
+
+
+def test_load_llama_dir_dispatches_mixtral(tmp_path):
+    """A Mixtral HF snapshot directory (config.json + safetensors) loads
+    through load_llama_dir with the MoE architecture auto-configured."""
+    import json
+
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        save_safetensors)
+
+    hf = _hf_mixtral(seed=9)
+    cfg = dict(model_type="mixtral", num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=HKV,
+               hidden_size=D, intermediate_size=F, vocab_size=V,
+               max_position_embeddings=M, rope_theta=THETA,
+               rms_norm_eps=1e-5, num_local_experts=EM,
+               num_experts_per_tok=2, sliding_window=None)
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_safetensors(sd, str(tmp_path / "model.safetensors"))
+    model, params = load_llama_dir(str(tmp_path))
+    assert model.n_experts == EM and model.moe_eval_dense
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, V, (1, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_logits_and_generation_parity():
+    """Qwen2 = the Llama layout plus q/k/v projection biases; the converter
+    picks them up from the state_dict (zeros elsewhere stay exact)."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0)
+    torch.manual_seed(13)
+    hf = transformers.Qwen2ForCausalLM(cfg)
+    hf.eval()
+    # HF _init_weights zeroes Linear biases at random init — randomize the
+    # q/k/v biases so the parity check actually exercises the bias path
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.3)
+    assert "model.layers.0.self_attn.q_proj.bias" in hf.state_dict()
+    model, params = load_llama(hf.state_dict(), n_layers=L, n_heads=H,
+                               n_kv_heads=HKV, d_model=D, d_ff=F,
+                               vocab_size=V, max_len=M, rope_base=THETA,
+                               norm_eps=1e-5)
+    assert np.abs(params["block_0"]["attn"]["qkv"]["bias"]).max() > 0
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, V, (2, 15)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    n = 5
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
