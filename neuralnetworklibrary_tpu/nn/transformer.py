@@ -110,6 +110,18 @@ def _lora_delta(mod: nn.Module, base: str, x, features: int,
     return ((x @ a) @ b) * (alpha / rank)
 
 
+def _kv_quantize(t):
+    """int8-quantize a K/V tensor over its head dim: (..., Hkv, hd) →
+    int8 codes + one f32 scale per (..., Hkv) written vector (amax/127;
+    error bounded by amax/254 per vector).  Shared by the dense and paged
+    int8 KV-cache paths so their codes are bit-identical."""
+    s = jnp.max(jnp.abs(t), axis=-1).astype(jnp.float32)
+    s = jnp.maximum(s / 127.0, 1e-8)
+    codes = jnp.clip(jnp.round(t.astype(jnp.float32) / s[..., None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, s
+
+
 class CausalSelfAttention(nn.Module):
     """Multi-head causal self-attention (pre-LN blocks call this on the
     normalized stream).  qkv is one fused column-parallel projection; the
@@ -273,9 +285,6 @@ class CausalSelfAttention(nn.Module):
                 # a slot's offset are masked, so trash-block rows (table
                 # entries 0 for unallocated logical blocks) never reach the
                 # softmax.
-                if self.kv_quant:
-                    raise ValueError(
-                        "paged_blocks does not compose with kv_quant yet")
                 if block_table is None and not self.is_initializing():
                     raise ValueError(
                         "a paged model needs block_table= on every decode "
@@ -290,10 +299,23 @@ class CausalSelfAttention(nn.Module):
                 MB = -(-self.max_len // bs_)
                 pk = self.variable("cache", "pool_k", jnp.zeros,
                                    (self.paged_blocks, bs_, Hkv, hd),
-                                   x.dtype)
+                                   jnp.int8 if self.kv_quant else x.dtype)
                 pv = self.variable("cache", "pool_v", jnp.zeros,
                                    (self.paged_blocks, bs_, Hkv, hd),
-                                   x.dtype)
+                                   jnp.int8 if self.kv_quant else x.dtype)
+                if self.kv_quant:
+                    # int8 pool + one f32 scale per (block row, block slot,
+                    # kv-head): same write-time quantization as the dense
+                    # int8 cache (shared _kv_quantize), so paged serving is
+                    # code-for-code exact vs the dense kv_quant engine
+                    psk = self.variable("cache", "pool_k_scale", jnp.zeros,
+                                        (self.paged_blocks, bs_, Hkv),
+                                        jnp.float32)
+                    psv = self.variable("cache", "pool_v_scale", jnp.zeros,
+                                        (self.paged_blocks, bs_, Hkv),
+                                        jnp.float32)
+                    k, sk_new = _kv_quantize(k)
+                    v, sv_new = _kv_quantize(v)
                 table = (jnp.zeros((B, MB), jnp.int32)
                          if block_table is None
                          else jnp.asarray(block_table, jnp.int32))
@@ -305,8 +327,22 @@ class CausalSelfAttention(nn.Module):
                 pk.value = pk.value.at[rows, off % bs_].set(k[:, 0])
                 pv.value = pv.value.at[rows, off % bs_].set(v[:, 0])
                 Mp = MB * bs_
-                kf = pk.value[table].reshape(B, Mp, Hkv, hd)
-                vf = pv.value[table].reshape(B, Mp, Hkv, hd)
+                if self.kv_quant:
+                    psk.value = psk.value.at[rows, off % bs_].set(
+                        sk_new[:, 0])
+                    psv.value = psv.value.at[rows, off % bs_].set(
+                        sv_new[:, 0])
+                    kf = (pk.value[table].reshape(B, Mp, Hkv, hd)
+                          .astype(jnp.float32)
+                          * psk.value[table].reshape(B, Mp, Hkv)[..., None]
+                          ).astype(x.dtype)
+                    vf = (pv.value[table].reshape(B, Mp, Hkv, hd)
+                          .astype(jnp.float32)
+                          * psv.value[table].reshape(B, Mp, Hkv)[..., None]
+                          ).astype(x.dtype)
+                else:
+                    kf = pk.value[table].reshape(B, Mp, Hkv, hd)
+                    vf = pv.value[table].reshape(B, Mp, Hkv, hd)
                 mask = (jnp.arange(Mp)[None, None, :]
                         <= off[:, None, None])                 # (B, 1, Mp)
                 if self.window > 0:
@@ -333,16 +369,8 @@ class CausalSelfAttention(nn.Module):
                                    (B, M, Hkv), jnp.float32)
                 sv = self.variable("cache", "v_scale", jnp.zeros,
                                    (B, M, Hkv), jnp.float32)
-
-                def kv_q(t):  # (B, T, Hkv, hd) -> int8 codes + f32 scales
-                    s = jnp.max(jnp.abs(t), axis=-1).astype(jnp.float32)
-                    s = jnp.maximum(s / 127.0, 1e-8)
-                    codes = jnp.clip(
-                        jnp.round(t.astype(jnp.float32) / s[..., None]),
-                        -127, 127).astype(jnp.int8)
-                    return codes, s
-                k, sk_new = kv_q(k)
-                v, sv_new = kv_q(v)
+                k, sk_new = _kv_quantize(k)
+                v, sv_new = _kv_quantize(v)
             off = jnp.asarray(0 if offset is None else offset, jnp.int32)
             if off.ndim == 0:
                 ck.value = jax.lax.dynamic_update_slice(ck.value, k,

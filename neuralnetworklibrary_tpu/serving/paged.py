@@ -31,7 +31,10 @@ Prefill runs through a dense batch-1 clone of the model (the causal
 right-pad argument of the dense engine applies unchanged), then one jitted
 scatter distributes the strip into the slot's blocks.  Greedy emission is
 token-for-token identical to the dense engine and to ``generate`` (pinned
-in tests/test_paged.py).  Not yet composable with ``kv_quant``.
+in tests/test_paged.py).  Composes with ``kv_quant=True``: the pools hold
+int8 codes plus (blocks, block, Hkv) f32 scales — write-time quantization
+is the SAME function as the dense int8 cache, so paged+quant greedy
+emission is token-exact vs the dense kv_quant engine (also pinned).
 
 Reference: the reference has no serving story (Applications/Text.py:655-676
 is its only generation entry point); this subsystem is beyond-parity.
@@ -54,12 +57,14 @@ def _pool_insert(pool, dense, rows, block):
     rows: (MB,) int32 pool rows for the slot's logical blocks (0 = trash
     for unallocated entries — those writes land in the trash block).
     """
+    dense_key = {"pool_k": "k", "pool_v": "v",
+                 "pool_k_scale": "k_scale", "pool_v_scale": "v_scale"}
     new = {}
     for kk, vv in pool.items():
         if isinstance(vv, dict):
             new[kk] = _pool_insert(vv, dense[kk], rows, block)
-        elif kk in ("pool_k", "pool_v"):
-            strip = dense["k" if kk == "pool_k" else "v"][0]  # (M, Hkv, hd)
+        elif kk in dense_key:
+            strip = dense[dense_key[kk]][0]   # (M, Hkv, hd) / (M, Hkv) scale
             mb = rows.shape[0]
             pad = mb * block - strip.shape[0]
             if pad > 0:
@@ -94,8 +99,6 @@ class PagedServingEngine(ServingEngine):
             raise ValueError(
                 "PagedServingEngine needs a model with paged_kv_blocks > 0 "
                 "(use the dense ServingEngine otherwise)")
-        if getattr(model, "kv_quant", False):
-            raise ValueError("paged KV does not compose with kv_quant yet")
         self.block = int(model.paged_kv_block)
         self.n_blocks = int(model.paged_kv_blocks)
         self.mb = -(-model.max_len // self.block)
@@ -111,6 +114,12 @@ class PagedServingEngine(ServingEngine):
         self._table = np.zeros((self.slots, self.mb), np.int32)
         self._free = list(range(self.n_blocks - 1, 0, -1))  # row 0 = trash
         self._owned: list = [[] for _ in range(self.slots)]
+        # shared-prefix block count per slot: the first _shared[s] table
+        # entries point at the engine-owned prefix rows (read-only for the
+        # slot — decode writes land at offsets past the prefix, and the
+        # suffix-prefill scatter rewrites them with identical bytes)
+        self._shared = np.zeros(self.slots, np.int32)
+        self._prefix_rows: list = []
         self._slot_seq = np.zeros(self.slots, np.int64)
         self._seq = 0
         self.stats.update(preemptions=0, blocks_peak=0)
@@ -118,13 +127,15 @@ class PagedServingEngine(ServingEngine):
     # ------------------------------------------------------------- allocator
 
     def _alloc(self, slot: int, n: int) -> bool:
-        """Grow ``slot`` to ``n`` owned blocks; False if the pool is dry."""
+        """Grow ``slot`` to ``n`` logical blocks (shared prefix rows count);
+        False if the pool is dry."""
         n = min(n, self.mb)
-        while len(self._owned[slot]) < n:
+        while int(self._shared[slot]) + len(self._owned[slot]) < n:
             if not self._free:
                 return False
             r = self._free.pop()
-            self._table[slot, len(self._owned[slot])] = r
+            self._table[slot, int(self._shared[slot])
+                        + len(self._owned[slot])] = r
             self._owned[slot].append(r)
         used = self.n_blocks - 1 - len(self._free)
         if used > self.stats["blocks_peak"]:
@@ -132,8 +143,11 @@ class PagedServingEngine(ServingEngine):
         return True
 
     def _free_slot(self, slot: int):
+        """Release the slot's OWNED rows; shared prefix rows belong to the
+        engine and outlive every slot."""
         self._free.extend(self._owned[slot])
         self._owned[slot].clear()
+        self._shared[slot] = 0
         self._table[slot, :] = 0
 
     def _preempt(self, slot: int, queue, slot_req, lengths, toks):
@@ -158,14 +172,35 @@ class PagedServingEngine(ServingEngine):
     def _extra_prefill_args(self, slot: int):
         return (jnp.asarray(self._table[slot]),)
 
+    def _prefix_hit(self, req: Request) -> bool:
+        """Mirror of the dense engine's prefix-hit test (engine.py _admit):
+        a set prefix, the base adapter, and a strictly-longer prompt that
+        starts with it."""
+        pre = self._prefix
+        return (pre is not None and req.adapter is None
+                and len(req.prompt) > len(pre[0])
+                and [int(t) for t in req.prompt[:len(pre[0])]] == pre[0])
+
     def _can_admit(self, req: Request) -> bool:
-        need = (len(req.prompt) + 1 + self.block - 1) // self.block
-        return len(self._free) >= min(need, self.mb)
+        need = min((len(req.prompt) + 1 + self.block - 1) // self.block,
+                   self.mb)
+        if self._prefix_hit(req):
+            need -= len(self._prefix_rows)
+        return len(self._free) >= max(need, 0)
 
     def _on_retire(self, slot: int):
         self._free_slot(slot)
 
     def _admit(self, req: Request, slot: int, lengths, toks):
+        if self._prefix_hit(req) and self._prefix_rows:
+            # point the slot's first table entries at the engine's shared
+            # prefix rows — the prefix KV occupies pool blocks ONCE however
+            # many slots reuse it (vLLM block sharing); the suffix prefill's
+            # scatter rewrites them with identical bytes, decode never
+            # writes them (its offsets start past the prefix)
+            nsh = len(self._prefix_rows)
+            self._table[slot, :nsh] = self._prefix_rows
+            self._shared[slot] = nsh
         need = (len(req.prompt) + 1 + self.block - 1) // self.block
         if not self._alloc(slot, need):
             raise RuntimeError("pool exhausted at admission "
@@ -197,10 +232,22 @@ class PagedServingEngine(ServingEngine):
     # ------------------------------------------------------------- prefill
 
     def set_prefix(self, tokens):
-        """Shared-prefix caching — the saved batch-1 cache is DENSE (it
-        belongs to the prefill clone); suffix prefill continues it densely,
-        then scatters the combined strip into the slot's blocks."""
+        """Shared-prefix caching, paged twice over: the saved batch-1 cache
+        is DENSE (it belongs to the prefill clone) so suffix prefill can
+        continue it, AND the prefix's FULL blocks are scattered once into
+        engine-owned pool rows every hitting slot's block table points at —
+        the prefix occupies ``len(tokens) // block`` pool blocks TOTAL, not
+        per slot (vLLM block sharing).  The partial tail block (and the
+        suffix) stay per-slot."""
         tokens = [int(t) for t in tokens]
+        # release the previous prefix's shared rows (no slot may be active)
+        if self._prefix_rows:
+            if any(self._shared[s] for s in range(self.slots)):
+                raise RuntimeError(
+                    "set_prefix while slots still reference the old prefix "
+                    "(call between run() batches)")
+            self._free.extend(self._prefix_rows)
+            self._prefix_rows = []
         if not tokens:
             self._prefix = None
             return
@@ -215,6 +262,20 @@ class PagedServingEngine(ServingEngine):
             self.params, cache1, jnp.asarray([tokens], jnp.int32))
         self._prefix = (tokens, mut["cache"])
         self.stats["prefill_tokens"] += len(tokens)
+        n_full = len(tokens) // self.block
+        if n_full:
+            if len(self._free) < n_full:
+                raise ValueError(
+                    f"prefix needs {n_full} free pool blocks, "
+                    f"{len(self._free)} free")
+            rows = [self._free.pop() for _ in range(n_full)]
+            self.cache = jax.jit(
+                lambda c, d, r: _pool_insert(c, d, r, self.block))(
+                self.cache, mut["cache"], jnp.asarray(rows, jnp.int32))
+            self._prefix_rows = rows
+            used = self.n_blocks - 1 - len(self._free)
+            if used > self.stats["blocks_peak"]:
+                self.stats["blocks_peak"] = used
 
     def _prefill_into(self, params, cache, prompt, true_len, slot, key,
                       k, temp, top_p, rep, seen_row, aid=0, rows=None):

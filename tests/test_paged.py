@@ -132,9 +132,9 @@ def test_paged_prefix_cache_exact():
 
 
 def test_paged_guards():
-    """Dense models reject the paged engine and vice versa; kv_quant and a
-    too-small pool are refused; generate() on a paged model demands a
-    block table instead of silently decoding through the trash block."""
+    """Dense models reject the paged engine and vice versa; a too-small
+    pool is refused; generate() on a paged model demands a block table
+    instead of silently decoding through the trash block."""
     paged, dense, params = _models()
     with pytest.raises(ValueError, match="paged_kv_blocks"):
         PagedServingEngine(dense, params)
@@ -145,13 +145,89 @@ def test_paged_guards():
                           paged_kv_block=8)
     with pytest.raises(ValueError, match="exceed"):
         PagedServingEngine(small, params)
-    quant = TransformerLM(vocab_size=V, d_model=32, n_heads=4, n_layers=2,
-                          max_len=64, drop=0.0, kv_quant=True,
-                          paged_kv_blocks=16, paged_kv_block=8)
-    with pytest.raises(ValueError, match="kv_quant"):
-        PagedServingEngine(quant, params)
     with pytest.raises(ValueError, match="block_table"):
         generate(paged, params, jnp.zeros((1, 4), jnp.int32), 2, k=1)
+
+
+def test_paged_kv_quant_matches_dense_quant_engine():
+    """paged_kv_blocks composes with kv_quant: int8 pools + per-(row, slot,
+    kv-head) scale pools quantize with the SAME function as the dense int8
+    cache, so greedy emission is token-exact vs the dense kv_quant engine —
+    including under pool pressure (preemption re-prefills through the
+    quantized dense clone, reproducing the codes bit-for-bit)."""
+    cfg = dict(vocab_size=V, d_model=32, n_heads=4, n_layers=2,
+               max_len=64, drop=0.0, kv_quant=True)
+    dense = TransformerLM(**cfg)
+    paged = TransformerLM(**cfg, paged_kv_blocks=13, paged_kv_block=8)
+    params = dense.init(jax.random.PRNGKey(12),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    spec = [(20, 24), (15, 20), (6, 9), (11, 14)]
+    rng = np.random.default_rng(13)
+    got_d = _requests(rng, spec)
+    rng = np.random.default_rng(13)
+    got_p = _requests(rng, spec)
+    ServingEngine(dense, params, slots=3, prompt_buckets=(8, 32)).run(got_d)
+    eng = PagedServingEngine(paged, params, slots=3,
+                             prompt_buckets=(8, 32))
+    eng.run(got_p)
+    assert eng.stats["preemptions"] > 0, eng.stats   # the pool is tight
+    for a, b in zip(got_d, got_p):
+        assert a.tokens == b.tokens
+
+
+def test_paged_prefix_blocks_are_shared():
+    """vLLM block sharing: the prefix's full blocks occupy pool rows ONCE,
+    every hitting slot's table points at them — emissions stay exact, the
+    peak block count is far below per-slot duplication, and clearing the
+    prefix returns its rows to the pool."""
+    paged, dense, params = _models(seed=14, blocks=40, block=8)
+    rng = np.random.default_rng(15)
+    prefix = rng.integers(0, V, 26).tolist()      # 3 full blocks + tail 2
+    engine = PagedServingEngine(paged, params, slots=4,
+                                prompt_buckets=(8, 16, 32))
+    engine.set_prefix(prefix)
+    assert len(engine._prefix_rows) == 26 // 8
+    reqs = [Request(prefix + rng.integers(0, V, s).tolist(), 6)
+            for s in (3, 7, 5, 4)]
+    engine.run(reqs)
+    assert engine.stats["prefix_hits"] == 4
+    for req in reqs:
+        assert req.tokens == _oracle(dense, params, req.prompt, req.max_new)
+    # duplicated-prefix cost would be >= slots * full-prompt blocks; shared
+    # cost is 3 + per-slot (tail + suffix + generated)
+    dup = sum(-(-(len(r.prompt) + r.max_new) // 8) for r in reqs)
+    assert engine.stats["blocks_peak"] < dup
+    # retired slots freed everything but the engine-owned prefix rows
+    assert len(engine._free) == engine.n_blocks - 1 - 3
+    engine.set_prefix([])
+    assert len(engine._free) == engine.n_blocks - 1
+
+
+def test_paged_prefix_sharing_composes_with_kv_quant():
+    """Shared prefix blocks + int8 pools together: the prefix scatter also
+    distributes the scale strips; emissions equal the dense kv_quant
+    engine's with the same prefix."""
+    cfg = dict(vocab_size=V, d_model=32, n_heads=4, n_layers=2,
+               max_len=64, drop=0.0, kv_quant=True)
+    dense = TransformerLM(**cfg)
+    paged = TransformerLM(**cfg, paged_kv_blocks=30, paged_kv_block=8)
+    params = dense.init(jax.random.PRNGKey(16),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    rng = np.random.default_rng(17)
+    prefix = rng.integers(0, V, 17).tolist()       # 2 full blocks + tail 1
+    d_eng = ServingEngine(dense, params, slots=2, prompt_buckets=(8, 32))
+    p_eng = PagedServingEngine(paged, params, slots=2,
+                               prompt_buckets=(8, 32))
+    d_eng.set_prefix(prefix)
+    p_eng.set_prefix(prefix)
+    sufs = [rng.integers(0, V, s).tolist() for s in (4, 8, 6)]
+    got_d = [Request(prefix + s, 7) for s in sufs]
+    got_p = [Request(prefix + s, 7) for s in sufs]
+    d_eng.run(got_d)
+    p_eng.run(got_p)
+    assert p_eng.stats["prefix_hits"] == 3
+    for a, b in zip(got_d, got_p):
+        assert a.tokens == b.tokens
 
 
 def test_paged_oversubscription_beats_dense_hbm():
