@@ -33,6 +33,33 @@ from neuralnetworklibrary_tpu.nn.transformer import (
 )
 
 
+def t5_relative_bucket(rel, bidirectional: bool, num_buckets: int = 32,
+                       max_dist: int = 128):
+    """T5 relative-position bucketing (Raffel et al. §2.1): map signed
+    relative distances ``rel = key_pos - query_pos`` to bucket ids — half
+    the buckets cover small exact distances, the rest log-spaced out to
+    ``max_dist`` (everything farther shares the last bucket).
+    Bidirectional (encoder) splits the budget between sign directions;
+    causal (decoder) buckets only the past and sends the (unattendable
+    anyway) future to bucket 0."""
+    rel = jnp.asarray(rel, jnp.int32)
+    n = num_buckets
+    buckets = jnp.zeros_like(rel)
+    if bidirectional:
+        n //= 2
+        buckets = buckets + (rel > 0).astype(jnp.int32) * n
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+    max_exact = n // 2
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_dist / max_exact)
+        * (n - max_exact)).astype(jnp.int32)
+    large = jnp.minimum(large, n - 1)
+    return buckets + jnp.where(rel < max_exact, rel, large)
+
+
 class CrossAttention(nn.Module):
     """Decoder→memory attention: queries from the target stream, K/V from
     the (precomputed) encoder memory, padded source positions masked.
@@ -73,32 +100,48 @@ class CrossAttention(nn.Module):
         return self.out(o)
 
 
+def _make_norm(kind: str, eps: float, name: str):
+    if kind == "rmsnorm":
+        return nn.RMSNorm(epsilon=eps, name=name)
+    if kind == "layernorm":
+        return nn.LayerNorm(epsilon=eps, name=name)
+    raise ValueError(f"norm must be 'layernorm' or 'rmsnorm', got {kind!r}")
+
+
 class EncoderBlock(nn.Module):
     """Pre-LN bidirectional block over the padded source (key mask keeps
     pad positions unattendable; pad QUERIES produce garbage rows that the
-    cross-attention mask makes unreadable downstream)."""
+    cross-attention mask makes unreadable downstream).  ``att_bias`` is the
+    T5 relative-position bias, shared across layers by the caller."""
 
     d_model: int
     n_heads: int
     d_ff: int
     drop: float = 0.0
+    norm: str = "layernorm"
+    norm_eps: float = 1e-6
+    mlp_act: Optional[str] = None
+    gated_mlp: bool = False
 
     def setup(self):
-        self.ln1 = nn.LayerNorm(name="ln1")
+        self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
         self.attn = CausalSelfAttention(self.d_model, self.n_heads,
                                         self.drop, causal=False, name="attn")
-        self.ln2 = nn.LayerNorm(name="ln2")
-        self.mlp = MLP(self.d_model, self.d_ff, self.drop, name="mlp")
+        self.ln2 = _make_norm(self.norm, self.norm_eps, "ln2")
+        self.mlp = MLP(self.d_model, self.d_ff, self.drop,
+                       gated=self.gated_mlp, act=self.mlp_act, name="mlp")
 
-    def __call__(self, x, kv_mask, train: bool = False):
-        x = x + self.attn(self.ln1(x), train=train, kv_mask=kv_mask)
+    def __call__(self, x, kv_mask, train: bool = False, att_bias=None):
+        x = x + self.attn(self.ln1(x), train=train, kv_mask=kv_mask,
+                          att_bias=att_bias)
         return x + self.mlp(self.ln2(x), train=train)
 
 
 class DecoderBlock(nn.Module):
     """Pre-LN decoder block: causal self-attention (KV-cache capable via
     the shared CausalSelfAttention decode path) → cross-attention into the
-    encoder memory → MLP."""
+    encoder memory → MLP.  ``att_bias`` applies to the SELF-attention only
+    (T5's cross-attention carries no position bias)."""
 
     d_model: int
     n_heads: int
@@ -106,22 +149,27 @@ class DecoderBlock(nn.Module):
     drop: float = 0.0
     max_len: int = 0
     kv_quant: bool = False
+    norm: str = "layernorm"
+    norm_eps: float = 1e-6
+    mlp_act: Optional[str] = None
+    gated_mlp: bool = False
 
     def setup(self):
-        self.ln1 = nn.LayerNorm(name="ln1")
+        self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
         self.self_attn = CausalSelfAttention(
             self.d_model, self.n_heads, self.drop, max_len=self.max_len,
             kv_quant=self.kv_quant, name="self_attn")
-        self.ln2 = nn.LayerNorm(name="ln2")
+        self.ln2 = _make_norm(self.norm, self.norm_eps, "ln2")
         self.cross = CrossAttention(self.d_model, self.n_heads, self.drop,
                                     name="cross")
-        self.ln3 = nn.LayerNorm(name="ln3")
-        self.mlp = MLP(self.d_model, self.d_ff, self.drop, name="mlp")
+        self.ln3 = _make_norm(self.norm, self.norm_eps, "ln3")
+        self.mlp = MLP(self.d_model, self.d_ff, self.drop,
+                       gated=self.gated_mlp, act=self.mlp_act, name="mlp")
 
     def __call__(self, x, mk, mv, mem_mask, train: bool = False,
-                 decode: bool = False, offset=None):
+                 decode: bool = False, offset=None, att_bias=None):
         x = x + self.self_attn(self.ln1(x), train=train, decode=decode,
-                               offset=offset)
+                               offset=offset, att_bias=att_bias)
         x = x + self.cross(self.ln2(x), mk, mv, mem_mask, train=train)
         return x + self.mlp(self.ln3(x), train=train)
 
@@ -152,39 +200,87 @@ class TransformerSeq2Seq(nn.Module):
     max_len: int = 512             # target/decode length bound (cache size)
     drop: float = 0.1
     kv_quant: bool = False         # int8 decoder self-attn KV cache
+    pos_embedding: str = "learned"  # 'learned' (BART) or 'relative' (T5):
+                                    # no absolute positions — bucketed
+                                    # relative biases on the attention
+                                    # logits, ONE (rel_buckets, H) table per
+                                    # stack shared by every layer (T5 shares
+                                    # layer 0's), none on cross-attention
+    rel_buckets: int = 32
+    rel_max_dist: int = 128
+    norm: str = "layernorm"        # 'layernorm' (BART) or 'rmsnorm' (T5)
+    norm_eps: float = 1e-6
+    mlp_act: Optional[str] = None  # None → gelu; 'relu' (T5 v1.0);
+                                   # with gated_mlp 'gelu' = T5 v1.1/Flan
+    gated_mlp: bool = False
+    tied_decoder: bool = True      # False → separate (V, D) lm_head
+                                   # (Flan-T5 unties)
+    logit_scale: float = 1.0       # pre-head hidden scale — tied T5 uses
+                                   # d_model**-0.5 (HF multiplies the
+                                   # sequence output when embeddings tie)
 
     @property
     def head_prefixes(self):
-        return ("word_embed",)
+        return (("word_embed",) if self.tied_decoder
+                else ("word_embed", "lm_head"))
 
     @property
     def layer_group_prefixes(self):
         enc = tuple(f"enc_block_{i}" for i in range(self.enc_layers)) \
-            + ("enc_pos", "enc_ln")
+            + ("enc_pos", "enc_rel_bias", "enc_ln")
         dec = tuple(f"dec_block_{i}" for i in range(self.dec_layers)) \
-            + ("dec_pos", "dec_ln")
-        return (enc, dec, ("word_embed",))
+            + ("dec_pos", "dec_rel_bias", "dec_ln")
+        return (enc, dec, self.head_prefixes)
 
     def setup(self):
         D, ff = self.d_model, self.d_ff or 4 * self.d_model
+        if self.pos_embedding not in ("learned", "relative"):
+            raise ValueError("pos_embedding must be 'learned' or "
+                             f"'relative', got {self.pos_embedding!r}")
         self.word_embed = self.param("word_embed",
                                      nn.initializers.normal(0.02),
                                      (self.vocab_size, D))
-        self.enc_pos = self.param("enc_pos", nn.initializers.normal(0.02),
-                                  (self.max_src_len, D))
-        self.dec_pos = self.param("dec_pos", nn.initializers.normal(0.02),
-                                  (self.max_len, D))
+        if not self.tied_decoder:
+            self.lm_head = self.param("lm_head",
+                                      nn.initializers.normal(0.02),
+                                      (self.vocab_size, D))
+        if self.pos_embedding == "learned":
+            self.enc_pos = self.param("enc_pos",
+                                      nn.initializers.normal(0.02),
+                                      (self.max_src_len, D))
+            self.dec_pos = self.param("dec_pos",
+                                      nn.initializers.normal(0.02),
+                                      (self.max_len, D))
+        else:
+            self.enc_rel_bias = self.param(
+                "enc_rel_bias", nn.initializers.normal(0.02),
+                (self.rel_buckets, self.n_heads))
+            self.dec_rel_bias = self.param(
+                "dec_rel_bias", nn.initializers.normal(0.02),
+                (self.rel_buckets, self.n_heads))
+        blk_kw = dict(norm=self.norm, norm_eps=self.norm_eps,
+                      mlp_act=self.mlp_act, gated_mlp=self.gated_mlp)
         self.enc_blocks = [EncoderBlock(D, self.n_heads, ff, self.drop,
-                                        name=f"enc_block_{i}")
+                                        name=f"enc_block_{i}", **blk_kw)
                            for i in range(self.enc_layers)]
-        self.enc_ln = nn.LayerNorm(name="enc_ln")
+        self.enc_ln = _make_norm(self.norm, self.norm_eps, "enc_ln")
         self.dec_blocks = [DecoderBlock(D, self.n_heads, ff, self.drop,
                                         max_len=self.max_len,
                                         kv_quant=self.kv_quant,
-                                        name=f"dec_block_{i}")
+                                        name=f"dec_block_{i}", **blk_kw)
                            for i in range(self.dec_layers)]
-        self.dec_ln = nn.LayerNorm(name="dec_ln")
+        self.dec_ln = _make_norm(self.norm, self.norm_eps, "dec_ln")
         self.embed_drop = nn.Dropout(self.drop)
+
+    def _rel_bias(self, table, q_pos, k_pos, bidirectional: bool):
+        """Bucketed relative-position bias: q_pos (T,) or (B, T), k_pos
+        (M,) → (1|B, H, T, M) added to the attention logits."""
+        rel = k_pos[None, :] - q_pos[..., :, None]      # (…, T, M)
+        b = t5_relative_bucket(rel, bidirectional, self.rel_buckets,
+                               self.rel_max_dist)
+        bias = jnp.take(table, b, axis=0)               # (…, T, M, H)
+        bias = jnp.moveaxis(bias, -1, -3)               # (…, H, T, M)
+        return bias if bias.ndim == 4 else bias[None]
 
     # --------------------------------------------------------------- encoder
 
@@ -196,11 +292,17 @@ class TransformerSeq2Seq(nn.Module):
             raise ValueError(f"source length {S} > max_src_len "
                              f"{self.max_src_len}")
         mask = src != self.pad_token
-        h = jnp.take(self.word_embed, src, axis=0) + self.enc_pos[None, :S]
+        h = jnp.take(self.word_embed, src, axis=0)
+        bias = None
+        if self.pos_embedding == "learned":
+            h = h + self.enc_pos[None, :S]
+        else:
+            pos = jnp.arange(S)
+            bias = self._rel_bias(self.enc_rel_bias, pos, pos, True)
         if train and self.drop > 0.0:
             h = self.embed_drop(h, deterministic=False)
         for blk in self.enc_blocks:
-            h = blk(h, mask, train=train)
+            h = blk(h, mask, train=train, att_bias=bias)
         return self.enc_ln(h), mask
 
     def memory_kv(self, memory):
@@ -219,29 +321,76 @@ class TransformerSeq2Seq(nn.Module):
         if T > self.max_len:
             raise ValueError(f"target length {T} > max_len {self.max_len}")
         h = jnp.take(self.word_embed, tgt, axis=0)
-        if decode and offset is not None:
-            off = jnp.asarray(offset, jnp.int32)
-            if off.ndim == 0:
-                h = h + jax.lax.dynamic_slice_in_dim(
-                    self.dec_pos, off, T, axis=0)[None]
+        bias = None
+        if self.pos_embedding == "learned":
+            if decode and offset is not None:
+                off = jnp.asarray(offset, jnp.int32)
+                if off.ndim == 0:
+                    h = h + jax.lax.dynamic_slice_in_dim(
+                        self.dec_pos, off, T, axis=0)[None]
+                else:
+                    h = h + jnp.take(self.dec_pos,
+                                     off[:, None] + jnp.arange(T), axis=0)
             else:
-                h = h + jnp.take(self.dec_pos,
-                                 off[:, None] + jnp.arange(T), axis=0)
+                h = h + self.dec_pos[None, :T]
         else:
-            h = h + self.dec_pos[None, :T]
+            # causal relative bias — queries sit at offset+arange(T) against
+            # the full (max_len under decode, T otherwise) key strip; the
+            # bias depends only on relative distance, so cached decode needs
+            # no position state beyond the offset the caller already owns
+            if decode and offset is not None:
+                off = jnp.asarray(offset, jnp.int32)
+                q_pos = (off[..., None] + jnp.arange(T) if off.ndim
+                         else off + jnp.arange(T))
+                k_pos = jnp.arange(self.max_len)
+            else:
+                q_pos = k_pos = jnp.arange(T)
+            bias = self._rel_bias(self.dec_rel_bias, q_pos, k_pos, False)
         if train and self.drop > 0.0:
             h = self.embed_drop(h, deterministic=False)
         for blk, (mk, mv) in zip(self.dec_blocks, mem_kv):
             h = blk(h, mk, mv, mem_mask, train=train, decode=decode,
-                    offset=offset)
+                    offset=offset, att_bias=bias)
         h = self.dec_ln(h)
-        logits = jnp.einsum("btd,vd->btv", h, self.word_embed)
+        if self.logit_scale != 1.0:
+            h_out = h * self.logit_scale
+        else:
+            h_out = h
+        head = self.word_embed if self.tied_decoder else self.lm_head
+        logits = jnp.einsum("btd,vd->btv", h_out, head)
         return logits, h
 
     def __call__(self, src, tgt, train: bool = False):
         memory, mem_mask = self.encode(src, train=train)
         mem_kv = self.memory_kv(memory)
         return self.decode_tgt(tgt, mem_kv, mem_mask, train=train)
+
+
+def seq2seq_param_rule(mesh, axis: str = "model"):
+    """Learner ``param_sharding`` rule for :class:`TransformerSeq2Seq` —
+    :func:`nn.transformer.transformer_param_rule`'s Megatron layout
+    extended to the encoder–decoder: the shared leaf names (qkv / fc_in /
+    fc_gate column-parallel, attention-out / fc_out row-parallel) apply
+    unchanged to the encoder and decoder blocks, and the cross-attention's
+    ``q`` and fused 2·D ``kv`` projections go column-parallel (their head
+    reshape follows the same output-feature split; the cross ``out`` is
+    already row-parallel by name).  Embeddings, relative-bias tables,
+    norms and biases replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from neuralnetworklibrary_tpu.nn.transformer import (
+        transformer_param_rule)
+
+    base = transformer_param_rule(mesh, axis)
+
+    def rule(path, leaf):
+        parts = [str(p).strip("[].'\"") for p in path]
+        if (getattr(leaf, "ndim", 0) == 2 and "kernel" in parts
+                and "cross" in parts and ("q" in parts or "kv" in parts)):
+            return P(None, axis)
+        return base(path, leaf)
+
+    return rule
 
 
 def init_seq2seq_cache(model: TransformerSeq2Seq, bs: int):

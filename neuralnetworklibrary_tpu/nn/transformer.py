@@ -185,11 +185,16 @@ class CausalSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
                  offset=None, segment_ids=None, positions=None,
-                 adapter_ids=None, kv_mask=None, block_table=None):
+                 adapter_ids=None, kv_mask=None, block_table=None,
+                 att_bias=None):
         # kv_mask (B, T) bool: keys at False positions are unattendable —
         # the padded-source mask of a bidirectional encoder (seq2seq.py).
         # Einsum path only (flash/ring/decode are causal-only and never
         # carry it).
+        # att_bias (B|1, H, T, M) float: added to the attention logits
+        # BEFORE masking — T5-style relative position biases (seq2seq.py
+        # pos_embedding="relative").  Einsum + dense-decode paths; flash/
+        # ring fall back to einsum when it is set, paged decode rejects it.
         B, T, D = x.shape
         H = self.n_heads
         hd = D // H
@@ -242,7 +247,7 @@ class CausalSelfAttention(nn.Module):
         # at an all-gather of K/V); decode (KV cache) is never ring-run.
         if (self.cp_axis is not None and self.mesh is not None
                 and self.window <= 0 and self.causal and segment_ids is None
-                and kv_mask is None
+                and kv_mask is None and att_bias is None
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -262,6 +267,7 @@ class CausalSelfAttention(nn.Module):
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and self.causal and not decode and T % 128 == 0
                 and segment_ids is None and kv_mask is None
+                and att_bias is None
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -278,6 +284,9 @@ class CausalSelfAttention(nn.Module):
             if self.max_len <= 0:
                 raise ValueError("decode=True needs max_len > 0")
             if self.paged_blocks > 0:
+                if att_bias is not None:
+                    raise ValueError(
+                        "att_bias is not supported in paged decode")
                 # paged decode: K/V pool shared by every slot, one block
                 # table row per batch row.  The write scatters this step's
                 # K/V at (table[b, off//bs], off%bs); the read gathers the
@@ -418,12 +427,16 @@ class CausalSelfAttention(nn.Module):
                 kf, vf = ck.value, cv.value
             att = jnp.einsum("bqhd,bkhd->bhqk", q,
                              expand_kv(kf)) / math.sqrt(hd)
+            if att_bias is not None:
+                att = att + att_bias
             att = jnp.where(mask, att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
                              expand_kv(vf)).reshape(B, T, D)
             return proj_out(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
+        if att_bias is not None:
+            att = att + att_bias
         if kv_mask is not None:
             att = jnp.where(kv_mask[:, None, None, :], att, -1e30)
         if self.causal:
@@ -452,7 +465,9 @@ class CausalSelfAttention(nn.Module):
 class MLP(nn.Module):
     """Feed-forward block: GELU (default) or SwiGLU (``gated=True`` —
     silu(x·W_in) ⊙ (x·W_gate) then W_out, the Llama/PaLM variant; both
-    gate and in kernels are column-parallel under the Megatron rule)."""
+    gate and in kernels are column-parallel under the Megatron rule).
+    ``act`` overrides the nonlinearity: 'relu' (T5 v1.0), 'gelu' with
+    ``gated=True`` is the GEGLU of T5 v1.1/Flan, 'silu' the default gate."""
 
     d_model: int
     d_ff: int
@@ -460,6 +475,8 @@ class MLP(nn.Module):
     gated: bool = False
     exact_gelu: bool = False   # erf gelu (HF ViT/BERT) vs the tanh approx
                                # (GPT-2 'gelu_new', the jax default)
+    act: Optional[str] = None  # None → silu if gated else gelu;
+                               # 'relu' / 'gelu' / 'silu'
     lora_rank: int = 0         # > 0: low-rank adapters on every projection
     lora_alpha: float = 16.0
     n_adapters: int = 0        # > 0: stacked multi-adapter serving
@@ -473,12 +490,19 @@ class MLP(nn.Module):
                                     self.lora_rank, self.lora_alpha,
                                     self.n_adapters, adapter_ids)
             return y
+        acts = {"relu": jax.nn.relu, "silu": jax.nn.silu,
+                "gelu": lambda t: jax.nn.gelu(
+                    t, approximate=not self.exact_gelu)}
+        if self.act is not None and self.act not in acts:
+            raise ValueError(f"act must be one of {sorted(acts)}, "
+                             f"got {self.act!r}")
         if self.gated:
-            h = jax.nn.silu(dense("fc_in", self.d_ff, x)) \
+            a = acts[self.act or "silu"]
+            h = a(dense("fc_in", self.d_ff, x)) \
                 * dense("fc_gate", self.d_ff, x)
         else:
-            h = jax.nn.gelu(dense("fc_in", self.d_ff, x),
-                            approximate=not self.exact_gelu)
+            a = acts[self.act or "gelu"]
+            h = a(dense("fc_in", self.d_ff, x))
         h = dense("fc_out", self.d_model, h)
         if train and self.drop > 0.0:
             h = nn.Dropout(self.drop, deterministic=False)(h)

@@ -136,6 +136,47 @@ def test_learner_trains_reversal():
     assert acc > 0.85, acc
 
 
+def test_tensor_parallel_matches_dp():
+    """dp8 and dp4×tp2 under seq2seq_param_rule produce the same Learner
+    loss trajectory — the Megatron split of the encoder/decoder blocks and
+    the cross-attention q/kv never changes numerics — and the sharding is
+    real (qkv and cross-kv kernels are not fully replicated)."""
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.nn.seq2seq import seq2seq_param_rule
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh, get_mesh_2d
+
+    rng = np.random.default_rng(0)
+    srcs = rng.integers(3, V, (128, 6))
+    pairs = [(s.tolist(), s.tolist()[::-1]) for s in srcs]
+    src, tin, tout = seq2seq_collate(pairs, PAD, BOS, EOS)
+    ds = ArrayDataset(src, tin, tout)
+
+    def train(mesh, rule):
+        data = types.SimpleNamespace(
+            target_type="lm", bs=32,
+            train_dl=DataLoader(ds, 32, shuffle=False, prefetch=0),
+            val_dl=DataLoader(ds, 32, prefetch=0), train_ds=ds, val_ds=ds)
+        model = TransformerSeq2Seq(vocab_size=V, pad_token=PAD, d_model=32,
+                                   n_heads=4, enc_layers=2, dec_layers=2,
+                                   max_src_len=16, max_len=16, drop=0.0)
+        learner = Learner("/tmp/test_s2s_tp", data, model, "Adam2",
+                          loss_func=Seq2SeqCrossEntropyLoss(PAD),
+                          mesh=mesh, seed=0, param_sharding=rule)
+        it = iter(data.train_dl)
+        return [float(learner.train1minibatch(next(it), 3e-3))
+                for _ in range(4)], learner
+
+    dp_losses, _ = train(get_mesh(8), None)
+    mesh = get_mesh_2d(4, 2)
+    tp_losses, learner = train(mesh, seq2seq_param_rule(mesh))
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-3, atol=1e-4)
+    qkv = learner.params["enc_block_0"]["attn"]["qkv"]["kernel"]
+    ckv = learner.params["dec_block_0"]["cross"]["kv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    assert not ckv.sharding.is_fully_replicated
+
+
 def test_kv_quant_composes():
     """The decoder self-attn cache quantizes: generation runs, the cache
     leaves are int8 + scales, and logits track the exact path."""
