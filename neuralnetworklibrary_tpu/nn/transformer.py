@@ -154,6 +154,15 @@ class CausalSelfAttention(nn.Module):
     n_kv_heads: int = 0        # 0 → n_heads (plain MHA); else GQA
     use_rope: bool = False
     rope_base: float = 10000.0
+    head_dim: int = 0          # 0 → d_model // n_heads; an explicit value
+                               # decouples the per-head width from d_model
+                               # (Gemma-7B: D=3072, 16 heads of 256; Qwen3
+                               # fixes hd=128) — q/k/v project to H·hd and
+                               # the output projection maps H·hd back to D
+    qk_norm: bool = False      # per-head RMSNorm on q and k BEFORE RoPE
+                               # (Qwen3's q_norm/k_norm): one (hd,) scale
+                               # each, normalizing over the head dim
+    norm_eps: float = 1e-6     # epsilon of the qk_norm RMSNorms
     window: int = 0            # > 0: sliding-window (local) attention —
                                # query t sees keys (t-window, t]; flash
                                # skips out-of-band blocks, ring falls back
@@ -181,6 +190,12 @@ class CausalSelfAttention(nn.Module):
                                # offsets); pool row 0 is the conventional
                                # trash block for unallocated table entries.
     paged_block: int = 32      # tokens per pool block
+    paged_kernel: bool = False  # pallas pool-reading decode attention
+                               # (ops/paged_attention.py): K/V blocks stream
+                               # straight from the pool per block-table
+                               # entry — the (B, MB·bs, Hkv, hd) gathered
+                               # copy the einsum path materializes each
+                               # step never exists
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -197,8 +212,9 @@ class CausalSelfAttention(nn.Module):
         # ring fall back to einsum when it is set, paged decode rejects it.
         B, T, D = x.shape
         H = self.n_heads
-        hd = D // H
+        hd = self.head_dim or D // H
         Hkv = self.n_kv_heads or H
+        DH = H * hd            # attention-output width (== D unless head_dim)
         if H % Hkv:
             raise ValueError(f"n_heads {H} must be a multiple of "
                              f"n_kv_heads {Hkv}")
@@ -222,6 +238,11 @@ class CausalSelfAttention(nn.Module):
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
+        if self.qk_norm:
+            # Qwen3: each head's q/k vector is RMS-normalized (shared (hd,)
+            # scales) before rotary phases are applied
+            q = nn.RMSNorm(epsilon=self.norm_eps, name="q_norm")(q)
+            k = nn.RMSNorm(epsilon=self.norm_eps, name="k_norm")(k)
         if self.use_rope:
             if positions is not None:
                 pos = jnp.asarray(positions, jnp.int32)   # (B, T) packed rows
@@ -260,7 +281,7 @@ class CausalSelfAttention(nn.Module):
             out = ring_attention(
                 q, expand_kv(k), expand_kv(v), self.mesh, axis=self.cp_axis,
                 batch_axis="data" if "data" in names else None,
-                head_axis=head_axis).reshape(B, T, D)
+                head_axis=head_axis).reshape(B, T, DH)
             return proj_out(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop
@@ -274,7 +295,7 @@ class CausalSelfAttention(nn.Module):
             )
 
             out = flash_attention(q, expand_kv(k), expand_kv(v),
-                                  window=self.window).reshape(B, T, D)
+                                  window=self.window).reshape(B, T, DH)
             return proj_out(out)
         if decode:
             if not self.causal:
@@ -341,6 +362,20 @@ class CausalSelfAttention(nn.Module):
                         sk_new[:, 0])
                     psv.value = psv.value.at[rows, off % bs_].set(
                         sv_new[:, 0])
+                if self.paged_kernel and not self.is_initializing():
+                    # pallas pool-reading attention: blocks stream through
+                    # VMEM once per (slot, kv head); no gathered strip
+                    from neuralnetworklibrary_tpu.ops.paged_attention import (
+                        paged_attention,
+                    )
+
+                    out = paged_attention(
+                        q[:, 0], pk.value, pv.value, table, off,
+                        window=self.window,
+                        pool_k_scale=psk.value if self.kv_quant else None,
+                        pool_v_scale=psv.value if self.kv_quant else None)
+                    return proj_out(out.reshape(B, T, DH))
+                if self.kv_quant:
                     kf = (pk.value[table].reshape(B, Mp, Hkv, hd)
                           .astype(jnp.float32)
                           * psk.value[table].reshape(B, Mp, Hkv)[..., None]
@@ -362,7 +397,7 @@ class CausalSelfAttention(nn.Module):
                 att = jnp.where(mask[:, None], att, -1e30)
                 att = jax.nn.softmax(att, axis=-1)
                 out = jnp.einsum("bhqk,bkhd->bqhd", att,
-                                 expand_kv(vf)).reshape(B, T, D)
+                                 expand_kv(vf)).reshape(B, T, DH)
                 return proj_out(out)
             M = self.max_len
             ck = self.variable("cache", "k", jnp.zeros, (B, M, Hkv, hd),
@@ -432,7 +467,7 @@ class CausalSelfAttention(nn.Module):
             att = jnp.where(mask, att, -1e30)
             att = jax.nn.softmax(att, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
-                             expand_kv(vf)).reshape(B, T, D)
+                             expand_kv(vf)).reshape(B, T, DH)
             return proj_out(out)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
         if att_bias is not None:
@@ -458,7 +493,7 @@ class CausalSelfAttention(nn.Module):
         att = jax.nn.softmax(att, axis=-1)
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, expand_kv(v)).reshape(B, T, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, expand_kv(v)).reshape(B, T, DH)
         return proj_out(out)
 
 
@@ -667,7 +702,11 @@ class TransformerBlock(nn.Module):
     n_kv_heads: int = 0
     use_rope: bool = False
     rope_base: float = 10000.0
+    head_dim: int = 0
+    qk_norm: bool = False
     gated_mlp: bool = False
+    mlp_act: Optional[str] = None   # MLP nonlinearity override ('gelu' with
+                                    # gated_mlp=True is Gemma/T5-v1.1 GEGLU)
     rms_norm: bool = False
     norm_eps: float = 1e-6
     window: int = 0
@@ -679,6 +718,7 @@ class TransformerBlock(nn.Module):
     kv_quant: bool = False
     paged_blocks: int = 0
     paged_block: int = 32
+    paged_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: bool = False,
@@ -707,6 +747,9 @@ class TransformerBlock(nn.Module):
                                     n_kv_heads=self.n_kv_heads,
                                     use_rope=self.use_rope,
                                     rope_base=self.rope_base,
+                                    head_dim=self.head_dim,
+                                    qk_norm=self.qk_norm,
+                                    norm_eps=self.norm_eps,
                                     window=self.window, causal=self.causal,
                                     lora_rank=self.lora_rank,
                                     lora_alpha=self.lora_alpha,
@@ -714,6 +757,7 @@ class TransformerBlock(nn.Module):
                                     kv_quant=self.kv_quant,
                                     paged_blocks=self.paged_blocks,
                                     paged_block=self.paged_block,
+                                    paged_kernel=self.paged_kernel,
                                     name="attn")(h, train=train,
                                                  decode=decode, offset=offset,
                                                  segment_ids=segment_ids,
@@ -734,6 +778,7 @@ class TransformerBlock(nn.Module):
         else:
             y = MLP(self.d_model, self.d_ff, self.drop,
                     gated=self.gated_mlp, exact_gelu=self.exact_gelu,
+                    act=self.mlp_act,
                     lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                     n_adapters=self.n_adapters,
                     name="mlp")(h, train=train, adapter_ids=adapter_ids)
@@ -785,6 +830,18 @@ class TransformerLM(nn.Module):
                                     # (KV cache shrinks by n_heads/n_kv_heads)
     pos_embedding: str = "learned"  # 'learned' (GPT-2 style) or 'rope'
     rope_base: float = 10000.0
+    head_dim: int = 0               # 0 → d_model // n_heads; an explicit
+                                    # value decouples the per-head width from
+                                    # d_model (Gemma-7B 16×256 on D=3072,
+                                    # Qwen3's fixed 128) — the KV cache and
+                                    # all attention widths follow it
+    qk_norm: bool = False           # per-head RMSNorm on q/k before RoPE
+                                    # (Qwen3); adds (hd,) q_norm/k_norm
+                                    # scales per block
+    embed_scale: float = 0.0        # > 0: multiply the input embedding by
+                                    # this (Gemma uses sqrt(d_model)); the
+                                    # tied decoder logits stay UNscaled,
+                                    # matching the HF convention
     fused_ce: bool = False          # full-sequence forward returns (h, emb)
                                     # for FusedSeqCrossEntropyLoss — the
                                     # (B,T,V) logits are never materialized
@@ -844,6 +901,14 @@ class TransformerLM(nn.Module):
                                     # (B, max_len) caches fit.  Pool row 0
                                     # is the trash block.
     paged_kv_block: int = 32        # tokens per pool block
+    paged_attention: bool = False   # or env NNL_PAGED_ATTENTION=1 — pallas
+                                    # pool-reading decode attention
+                                    # (ops/paged_attention.py): K/V blocks
+                                    # stream from the pool per block-table
+                                    # entry instead of materializing each
+                                    # slot's gathered (MB·bs, Hkv, hd) strip
+                                    # every step; composes with kv_quant
+                                    # (in-kernel dequant) and window
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -889,6 +954,9 @@ class TransformerLM(nn.Module):
         pos = None if use_rope else self.param(
             "pos_embed", nn.initializers.normal(0.02),
             (self.max_len, self.d_model))
+
+        def _scale(e):  # Gemma-style input-embedding multiplier
+            return e * self.embed_scale if self.embed_scale else e
         offset = None
         if decode:
             # one shared position counter; each attention layer writes its
@@ -900,20 +968,20 @@ class TransformerLM(nn.Module):
                                 lambda: jnp.zeros((), jnp.int32))
             if offsets is not None:
                 offset = jnp.asarray(offsets, jnp.int32)
-                h = jnp.take(emb, x, axis=0)
+                h = _scale(jnp.take(emb, x, axis=0))
                 if pos is not None:
                     h = h + jnp.take(pos, offset[:, None] + jnp.arange(T),
                                      axis=0)
             else:
                 offset = idx.value
-                h = jnp.take(emb, x, axis=0)
+                h = _scale(jnp.take(emb, x, axis=0))
                 if pos is not None:
                     pos_t = jax.lax.dynamic_slice_in_dim(pos, offset, T,
                                                          axis=0)
                     h = h + pos_t[None]
                 idx.value = offset + T
         else:
-            h = jnp.take(emb, x, axis=0)
+            h = _scale(jnp.take(emb, x, axis=0))
             if pos is not None and self.reset_at is None:
                 h = h + pos[None, :T]
         seg = pos_ids = None
@@ -937,14 +1005,17 @@ class TransformerLM(nn.Module):
 
         flash = self.flash_attention or bool(
             int(os.environ.get("NNL_FLASH_ATTENTION", "0") or 0))
+        paged_kernel = self.paged_attention or bool(
+            int(os.environ.get("NNL_PAGED_ATTENTION", "0") or 0))
         cp_axis = None
         if self.cp:
             if self.mesh is None or self.cp_axis not in self.mesh.axis_names:
                 raise ValueError(
                     f"cp=True needs a mesh with a '{self.cp_axis}' axis")
             cp_axis = self.cp_axis
-        if self.mlp not in ("gelu", "swiglu"):
-            raise ValueError(f"mlp must be 'gelu' or 'swiglu', got {self.mlp!r}")
+        if self.mlp not in ("gelu", "swiglu", "geglu"):
+            raise ValueError(f"mlp must be 'gelu', 'swiglu' or 'geglu', "
+                             f"got {self.mlp!r}")
         if self.norm not in ("layernorm", "rmsnorm"):
             raise ValueError(
                 f"norm must be 'layernorm' or 'rmsnorm', got {self.norm!r}")
@@ -968,13 +1039,17 @@ class TransformerLM(nn.Module):
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
-                rope_base=self.rope_base, gated_mlp=self.mlp == "swiglu",
+                rope_base=self.rope_base, head_dim=self.head_dim,
+                qk_norm=self.qk_norm,
+                gated_mlp=self.mlp in ("swiglu", "geglu"),
+                mlp_act="gelu" if self.mlp == "geglu" else None,
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
                 window=self.window,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 n_adapters=self.n_adapters, kv_quant=self.kv_quant,
                 paged_blocks=self.paged_kv_blocks,
                 paged_block=self.paged_kv_block,
+                paged_kernel=paged_kernel,
                 name=f"block_{i}")(h, train, decode, offset, seg, pos_ids,
                                    adapter_ids, block_table)
             aux_total = aux_total + aux
@@ -1071,8 +1146,9 @@ class TransformerClassifier(nn.Module):
             d_model=lm.d_model, n_heads=lm.n_heads, n_layers=lm.n_layers,
             d_ff=lm.d_ff, max_len=lm.max_len, drop=lm.drop,
             n_kv_heads=lm.n_kv_heads, pos_embedding=lm.pos_embedding,
-            rope_base=lm.rope_base, mlp=lm.mlp, norm=lm.norm,
-            norm_eps=lm.norm_eps)
+            rope_base=lm.rope_base, head_dim=lm.head_dim,
+            qk_norm=lm.qk_norm, embed_scale=lm.embed_scale,
+            mlp=lm.mlp, norm=lm.norm, norm_eps=lm.norm_eps)
         model = cls(num_classes=num_classes, lm_config=cfg, **kw)
 
         def transfer(params, lm_params=None):

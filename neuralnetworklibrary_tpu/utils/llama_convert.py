@@ -94,15 +94,19 @@ def convert_llama_state_dict(state_dict, n_layers: int) -> dict:
         gate = _t(sd[p + "mlp.gate_proj.weight"]).T     # (D, F)
         up = _t(sd[p + "mlp.up_proj.weight"]).T         # (D, F)
         down = _t(sd[p + "mlp.down_proj.weight"]).T     # (F, D)
+        attn = {
+            "qkv": {"kernel": qkv, "bias": qkv_b},
+            "out": {"kernel": o,
+                    "bias": _b(p + "self_attn.o_proj.bias", o.shape[1])},
+        }
+        if p + "self_attn.q_norm.weight" in sd:
+            # Qwen3 per-head q/k RMSNorms → TransformerLM(qk_norm=True)
+            attn["q_norm"] = {"scale": _t(sd[p + "self_attn.q_norm.weight"])}
+            attn["k_norm"] = {"scale": _t(sd[p + "self_attn.k_norm.weight"])}
         params[f"block_{i}"] = {
             "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
             "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
-            "attn": {
-                "qkv": {"kernel": qkv, "bias": qkv_b},
-                "out": {"kernel": o,
-                        "bias": _b(p + "self_attn.o_proj.bias",
-                                   o.shape[1])},
-            },
+            "attn": attn,
             "mlp": {
                 # MLP(gated=True): silu(fc_in) ⊙ fc_gate → fc_out, i.e.
                 # fc_in ↔ HF gate_proj (the silu side), fc_gate ↔ up_proj
@@ -138,6 +142,66 @@ def load_llama(state_dict, n_layers: int, n_heads: int, d_model: int,
         d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
         rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
         norm_eps=norm_eps, tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
+def load_qwen3(state_dict, n_layers: int, n_heads: int, d_model: int,
+               vocab_size: int, head_dim: int, n_kv_heads: int = 0,
+               d_ff: int = 0, max_len: int = 4096,
+               rope_base: float = 1000000.0, norm_eps: float = 1e-6,
+               drop: float = 0.0, **model_kw):
+    """HF Qwen3ForCausalLM → TransformerLM.  Qwen3 = the Llama block with
+    (a) per-head RMSNorms on q and k before RoPE (``qk_norm=True``; the
+    HF q_norm/k_norm leaves land beside the fused qkv) and (b) a fixed
+    ``head_dim`` decoupled from hidden_size (the HF config field of the
+    same name).  No attention biases.  Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    params = convert_llama_state_dict(state_dict, n_layers)
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
+        norm_eps=norm_eps, head_dim=head_dim, qk_norm=True,
+        tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
+def load_gemma(state_dict, n_layers: int, n_heads: int, d_model: int,
+               vocab_size: int, head_dim: int, n_kv_heads: int = 0,
+               d_ff: int = 0, max_len: int = 4096,
+               rope_base: float = 10000.0, norm_eps: float = 1e-6,
+               drop: float = 0.0, **model_kw):
+    """HF GemmaForCausalLM → TransformerLM.  Gemma vs Llama:
+
+    - input embeddings scaled by sqrt(hidden_size)
+      (``embed_scale=d_model**0.5``; the tied logits stay unscaled),
+    - RMSNorm weights stored ZERO-centered — HF computes x̂·(1+w), so
+      every norm scale is folded to ``1 + w`` at conversion (exact),
+    - GEGLU feed-forward (``mlp="geglu"``: tanh-approx gelu on the gate
+      side — every released Gemma checkpoint uses gelu_pytorch_tanh),
+    - ``head_dim`` decoupled from hidden_size (256 at every size; 7B has
+      16 heads × 256 on a 3072 stream), tied decoder, theta 10000.
+
+    Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    params = convert_llama_state_dict(state_dict, n_layers)
+    for blk in params.values():
+        if isinstance(blk, dict):
+            for name in ("ln1", "ln2"):
+                if name in blk:
+                    blk[name]["scale"] = blk[name]["scale"] + 1.0
+    params["ln_f"]["scale"] = params["ln_f"]["scale"] + 1.0
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="geglu", norm="rmsnorm",
+        norm_eps=norm_eps, head_dim=head_dim,
+        embed_scale=float(d_model) ** 0.5,
+        tied_decoder="lm_head" not in params, **model_kw)
     return model, params
 
 
@@ -262,13 +326,31 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
         rope_base=float(cfg.get("rope_theta", 10000.0)),
         norm_eps=float(cfg.get("rms_norm_eps", 1e-5)))
     # Mistral-style local attention: both HF and this framework let query t
-    # attend keys (t − W, t], so the config value passes straight through
+    # attend keys (t − W, t], so the config value passes straight through.
+    # Qwen2/Qwen3 configs CARRY a sliding_window value but gate it behind
+    # use_sliding_window (False on every released checkpoint) — respect it.
     window = int(cfg.get("sliding_window") or 0)
-    if cfg.get("model_type") == "mixtral":
+    if cfg.get("use_sliding_window") is False:
+        window = 0
+    mt = cfg.get("model_type")
+    if mt == "mixtral":
         return load_mixtral(
             sd, n_experts=cfg.get("num_local_experts", 8),
             moe_top_k=cfg.get("num_experts_per_tok", 2),
             window=window, **common, **model_kw)
     if window:
         model_kw.setdefault("window", window)
+    if mt == "qwen3":
+        common["rope_base"] = float(cfg.get("rope_theta", 1000000.0))
+        common["norm_eps"] = float(cfg.get("rms_norm_eps", 1e-6))
+        return load_qwen3(
+            sd, head_dim=cfg.get(
+                "head_dim", common["d_model"] // common["n_heads"]),
+            **common, **model_kw)
+    if mt == "gemma":
+        common["norm_eps"] = float(cfg.get("rms_norm_eps", 1e-6))
+        return load_gemma(
+            sd, head_dim=cfg.get(
+                "head_dim", common["d_model"] // common["n_heads"]),
+            **common, **model_kw)
     return load_llama(sd, **common, **model_kw)

@@ -319,3 +319,134 @@ def test_qwen2_logits_and_generation_parity():
     got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
                                 k=1))
     np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_qwen3_logits_and_generation_parity():
+    """Qwen3 = Llama + per-head q/k RMSNorms before RoPE (qk_norm) + a
+    head_dim decoupled from hidden_size; the converter maps the HF
+    q_norm/k_norm leaves and load_qwen3 configures both options."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_qwen3
+
+    HD = 20                             # ≠ D // H = 16 on purpose
+    cfg = transformers.Qwen3Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=HD, max_position_embeddings=M,
+        rms_norm_eps=1e-6, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, use_sliding_window=False)
+    torch.manual_seed(21)
+    hf = transformers.Qwen3ForCausalLM(cfg)
+    hf.eval()
+    # make the q/k norm scales non-trivial so the parity check bites
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.self_attn.q_norm.weight.normal_(1.0, 0.2)
+            layer.self_attn.k_norm.weight.normal_(1.0, 0.2)
+    model, params = load_qwen3(hf.state_dict(), n_layers=L, n_heads=H,
+                               n_kv_heads=HKV, d_model=D, d_ff=F,
+                               vocab_size=V, head_dim=HD, max_len=M,
+                               rope_base=THETA, norm_eps=1e-6)
+    assert model.qk_norm and model.head_dim == HD
+    assert params["block_0"]["attn"]["q_norm"]["scale"].shape == (HD,)
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    n = 5
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_gemma_logits_and_generation_parity():
+    """Gemma = sqrt(D)-scaled input embeddings, zero-centered RMSNorm
+    weights (folded to 1+w at conversion), GEGLU MLP, decoupled head_dim,
+    tied decoder."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_gemma
+
+    HD = 24
+    cfg = transformers.GemmaConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=HD, max_position_embeddings=M,
+        rms_norm_eps=1e-6, rope_theta=THETA,
+        hidden_activation="gelu_pytorch_tanh", attention_dropout=0.0)
+    torch.manual_seed(17)
+    hf = transformers.GemmaForCausalLM(cfg)
+    hf.eval()
+    # zero-centered norm weights are trivially 0 at HF init — randomize so
+    # the 1+w fold is actually exercised
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.input_layernorm.weight.normal_(0.0, 0.2)
+            layer.post_attention_layernorm.weight.normal_(0.0, 0.2)
+        hf.model.norm.weight.normal_(0.0, 0.2)
+    model, params = load_gemma(hf.state_dict(), n_layers=L, n_heads=H,
+                               n_kv_heads=HKV, d_model=D, d_ff=F,
+                               vocab_size=V, head_dim=HD, max_len=M,
+                               rope_base=THETA, norm_eps=1e-6)
+    assert model.tied_decoder and model.mlp == "geglu"
+    assert abs(model.embed_scale - D ** 0.5) < 1e-9
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, V, (2, 11)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    n = 5
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_load_llama_dir_dispatches_qwen3_and_gemma(tmp_path):
+    """config.json model_type qwen3/gemma route to their loaders with
+    head_dim picked up; Qwen2-style use_sliding_window=False suppresses a
+    carried sliding_window value."""
+    import json
+
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        save_safetensors)
+
+    HD = 20
+    cfg = transformers.Qwen3Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=HD, max_position_embeddings=M,
+        rms_norm_eps=1e-6, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, use_sliding_window=False)
+    torch.manual_seed(23)
+    hf = transformers.Qwen3ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path / "qwen3"
+    d.mkdir()
+    jc = dict(model_type="qwen3", num_hidden_layers=L,
+              num_attention_heads=H, num_key_value_heads=HKV,
+              hidden_size=D, intermediate_size=F, vocab_size=V,
+              head_dim=HD, max_position_embeddings=M, rope_theta=THETA,
+              rms_norm_eps=1e-6, sliding_window=4096,
+              use_sliding_window=False)
+    (d / "config.json").write_text(json.dumps(jc))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_safetensors(sd, str(d / "model.safetensors"))
+    model, params = load_llama_dir(str(d))
+    assert model.qk_norm and model.head_dim == HD and model.window == 0
+    rng = np.random.default_rng(14)
+    x = rng.integers(0, V, (1, 9)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
