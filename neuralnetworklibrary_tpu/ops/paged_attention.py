@@ -8,36 +8,50 @@ formulation in nn/transformer.py gathers every slot's logical strip out of
 the pool first (``pool[table]`` → a fresh (B, MB·bs, Hkv, hd) array) and
 then runs the attention einsum over it, so each decode step writes the
 gathered copy to HBM and reads it back: ~3× the pool bytes in HBM traffic,
-on an op that is purely HBM-bound.  This kernel streams each (bs, hd) pool
-block through VMEM exactly once per (slot, kv-head) with an online softmax
+on an op that is purely HBM-bound.  This kernel streams each (bs, Hkv, hd)
+pool block through VMEM exactly once per slot with an online softmax
 (running max m, normalizer l) — the gathered copy never exists.
 
-Layout: grid (B, Hkv, MB), MB innermost.  The block table and the per-slot
-offsets ride scalar prefetch (``pltpu.PrefetchScalarGridSpec``) so the K/V
-BlockSpec index_maps can pick the POOL ROW to DMA per grid step — the
-pallas "dynamic gather" idiom.  Logical blocks past a slot's offset repeat
-the last active row's index, and consecutive equal indices skip the re-DMA,
-so dead tail blocks of short sequences cost neither bandwidth nor compute
-(their body is ``pl.when``-gated off).
+Design:
 
-Semantics match the gather path bit-for-bit in spirit and to float32
-round-off in practice (differential-tested in tests/test_paged_attention.py,
-interpret mode on CPU): positions 0..off inclusive are attendable (the
-engine scatters this step's K/V BEFORE attention), ``window`` > 0 keeps only
-(off−window, off], GQA query groups share their kv head, and int8-quantized
-pools (kv_quant) dequantize per-vector inside the kernel from the same
-(N, bs, Hkv) scale pools the scatter writes.
+- grid (B, MB), MB innermost.  The block table and per-slot offsets ride
+  scalar prefetch (``pltpu.PrefetchScalarGridSpec``) so the K/V BlockSpec
+  index_maps pick the POOL ROW to DMA per grid step — the pallas "dynamic
+  gather" idiom.  Logical blocks past a slot's offset repeat the last
+  active row's index; consecutive equal indices skip the re-DMA, so dead
+  tails of short sequences cost neither bandwidth nor compute (their body
+  is ``pl.when``-gated off).
+- VIRTUAL KEYS: a block's (bs, Hkv, hd) entries flatten to bs·Hkv rows and
+  score against ALL H query heads in ONE MXU dot; a head-match mask
+  (lane % Hkv == head // G) kills the wrong-head pairs before the online
+  softmax, and the masked probabilities drive one (H, bs·Hkv)×(bs·Hkv, hd)
+  output dot.  GQA/MHA thus cost two real MXU ops per block instead of
+  Hkv skinny ones, and no lane reshapes are needed.
+
+Semantics match the gather path (differential-tested in
+tests/test_paged_attention.py, interpret mode on CPU — float32-exact
+there; on the MXU both paths round bf16-wise and agree to ~1e-3 like any
+two XLA attention formulations): positions 0..off inclusive are attendable
+(the engine scatters this step's K/V BEFORE attention), ``window`` > 0
+keeps only (off−window, off], and int8-quantized pools (kv_quant)
+dequantize inside the kernel — k-scales fold into the scores, v-scales
+into the probabilities, both as (1, bs·Hkv) lane vectors.
+
+Measured on v5e (bf16, pools sized B·MB+1, offsets uniform in the upper
+half of context — see PERF.md "Paged attention"): wins 1.2–2.2× over the
+gather path at block ≥ 64 tokens and at hd 128, roughly break-even at the
+32-token default block with hd 64 (32 KB DMAs under-fill the memory
+pipeline).  Serve kernel-enabled models with ``paged_kv_block=64``.
 
 Opt-in from the transformer via ``TransformerLM(paged_attention=True)`` or
 NNL_PAGED_ATTENTION=1 — same honesty contract as ops/flash_attention.py:
-measured before defaulting (see PERF.md "Paged attention").
+measure before defaulting.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -52,19 +66,21 @@ def _interpret():
 
 
 def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, block, sm_scale, window, quant):
-    """One (slot b, kv head, logical block i) step of the online softmax.
+            acc_ref, m_ref, l_ref, *, block, G, sm_scale, window, quant):
+    """One (slot b, logical block i) step of the online softmax.
 
-    q_ref (1, 1, G, hd); k/v_ref (1, block, 1, hd) — the pool row the
-    index_map chose; ks/vs_ref (1, block, 1) scale slices (quant only);
-    scratch acc (G, hd) f32, m/l (G, 1) f32 persist across the MB-innermost
-    grid axis and are reset at i == 0, finalized into o_ref at the last
-    block.
+    q_ref (1, H, hd); k/v_ref (1, block, Hkv, hd) — the pool row the
+    index_map chose; ks/vs_ref (1, block·Hkv) flattened scale rows (quant
+    only).  Scratch acc (H, hd) f32 and m/l (H, 1) f32 persist across the
+    MB-innermost grid axis: reset at i == 0, finalized into o_ref at the
+    last block.
     """
     b = pl.program_id(0)
-    i = pl.program_id(2)
-    nb = pl.num_programs(2)
-    G, hd = q_ref.shape[2], q_ref.shape[3]
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    H, hd = q_ref.shape[1], q_ref.shape[2]
+    Hkv = H // G
+    BK = block * Hkv                          # virtual keys per block
     off = off_ref[b]
 
     @pl.when(i == 0)
@@ -76,32 +92,40 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     # blocks wholly past the offset carry no attendable position
     @pl.when(i * block <= off)
     def _step():
-        q = q_ref[0, 0] * sm_scale                              # (G, hd)
-        k = k_ref[0, :, 0, :]                                   # (bs, hd)
-        v = v_ref[0, :, 0, :]
+        q = q_ref[0] * sm_scale                              # (H, hd)
+        k2 = k_ref[0].reshape(BK, hd)                        # sublane merge
+        v2 = v_ref[0].reshape(BK, hd)
         if quant:
-            k = k.astype(jnp.float32) * ks_ref[0, :, 0][:, None]
-            v = v.astype(jnp.float32) * vs_ref[0, :, 0][:, None]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            k2 = k2.astype(jnp.float32)
+            v2 = v2.astype(jnp.float32)
+            q = q.astype(jnp.float32)
+        s = jax.lax.dot_general(q, k2, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        pos = i * block + jax.lax.broadcasted_iota(jnp.int32, (G, block), 1)
-        keep = pos <= off                                       # inclusive
+        if quant:                                            # (1, BK) k-scales
+            s = s * ks_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H, BK), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, BK), 0)
+        pos = i * block + lane // Hkv
+        keep = (lane % Hkv == row // G) & (pos <= off)       # head-match
         if window > 0:
             keep &= pos > off - window
         s = jnp.where(keep, s, _NEG_INF)
-        m_new = jnp.maximum(m_ref[...], jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)                                  # (G, bs)
-        alpha = jnp.exp(m_ref[...] - m_new)
+        m_old = m_ref[...]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                               # (H, BK)
+        alpha = jnp.exp(m_old - m_new)
         l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
+        if quant:                                            # (1, BK) v-scales
+            p = p * vs_ref[0]
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[...] = m_new
 
     @pl.when(i == nb - 1)
     def _finalize():
-        o_ref[0, 0] = (acc_ref[...]
-                       / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...]
+                    / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
 
 
 def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
@@ -116,8 +140,8 @@ def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
     must already be scattered at it).  window > 0 bands to (off−window,
     off].  pool_*_scale: (N, bs, Hkv) float32 for int8 pools.
 
-    Returns (B, H, hd) in q.dtype.  Matches the gather-then-einsum path to
-    float32 round-off.
+    Returns (B, H, hd) in q.dtype.  Matches the gather-then-einsum path
+    (float32-exact in interpret mode; MXU-round-off apart on chip).
     """
     B, H, hd = q.shape
     N, bs, Hkv, _ = pool_k.shape
@@ -137,60 +161,59 @@ def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
         off = jnp.full((B,), off)
     # logical blocks past a slot's offset re-point at its LAST ACTIVE row:
     # consecutive identical indices skip the DMA, so dead tails are free
-    active = off // bs                                          # (B,)
+    active = off // bs
     idx = jnp.minimum(jnp.arange(MB)[None, :], active[:, None])
     safe_table = jnp.take_along_axis(table, idx, axis=1)        # (B, MB)
 
-    qg = q.reshape(B, Hkv, G, hd)
+    def q_map(b, i, tbl, off_):
+        return (b, 0, 0)
 
-    def q_map(b, h, i, tbl, off_):
-        return (b, h, 0, 0)
+    def kv_map(b, i, tbl, off_):
+        return (tbl[b, i], 0, 0, 0)
 
-    def kv_map(b, h, i, tbl, off_):
-        return (tbl[b, i], 0, h, 0)
-
-    def sc_map(b, h, i, tbl, off_):
-        return (tbl[b, i], 0, h)
-
-    def o_map(b, h, i, tbl, off_):
-        return (b, h, 0, 0)
+    def sc_map(b, i, tbl, off_):
+        return (tbl[b, i], 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, hd), q_map),
-        pl.BlockSpec((1, bs, 1, hd), kv_map),
-        pl.BlockSpec((1, bs, 1, hd), kv_map),
+        pl.BlockSpec((1, H, hd), q_map),
+        pl.BlockSpec((1, bs, Hkv, hd), kv_map),
+        pl.BlockSpec((1, bs, Hkv, hd), kv_map),
     ]
-    args = [qg, pool_k, pool_v]
+    args = [q, pool_k, pool_v]
     if quant:
-        in_specs += [pl.BlockSpec((1, bs, 1), sc_map),
-                     pl.BlockSpec((1, bs, 1), sc_map)]
-        args += [pool_k_scale, pool_v_scale]
+        # (N, bs, Hkv) → (N, 1, bs·Hkv): minor-dims merge, layout-free; a
+        # block is one (1, BK) lane vector and its last two dims EQUAL the
+        # array dims (the Mosaic block-mapping rule)
+        in_specs += [pl.BlockSpec((1, 1, bs * Hkv), sc_map),
+                     pl.BlockSpec((1, 1, bs * Hkv), sc_map)]
+        args += [pool_k_scale.reshape(N, 1, bs * Hkv),
+                 pool_v_scale.reshape(N, 1, bs * Hkv)]
     else:
-        # keep the kernel arity fixed: dummy (1,1,1) zero scales, never read
+        # keep the kernel arity fixed: dummy zero scales, never read
         zero = jnp.zeros((1, 1, 1), jnp.float32)
-        in_specs += [pl.BlockSpec((1, 1, 1), lambda b, h, i, t, o: (0, 0, 0)),
-                     pl.BlockSpec((1, 1, 1), lambda b, h, i, t, o: (0, 0, 0))]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1), lambda b, i, t, o: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, i, t, o: (0, 0, 0))]
         args += [zero, zero]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv, MB),
+        grid=(B, MB),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, hd), o_map),
+        out_specs=pl.BlockSpec((1, H, hd), q_map),
         scratch_shapes=[
-            pltpu.VMEM((G, hd), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((H, hd), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
-        functools.partial(_kernel, block=bs, sm_scale=sm_scale,
+    return pl.pallas_call(
+        functools.partial(_kernel, block=bs, G=G, sm_scale=sm_scale,
                           window=int(window), quant=quant),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
         interpret=_interpret(),
     )(safe_table, off, *args)
-    return out.reshape(B, H, hd)
 
 
 def reference_paged_attention(q, pool_k, pool_v, block_table, offsets, *,
@@ -205,6 +228,8 @@ def reference_paged_attention(q, pool_k, pool_v, block_table, offsets, *,
     G = H // Hkv
     table = jnp.asarray(block_table, jnp.int32)
     off = jnp.asarray(offsets, jnp.int32)
+    if off.ndim == 0:
+        off = jnp.full((B,), off)
     MB = table.shape[1]
     Mp = MB * bs
     if pool_k.dtype == jnp.int8:

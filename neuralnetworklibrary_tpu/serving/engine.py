@@ -260,6 +260,11 @@ class ServingEngine:
             self._seen = jax.device_put(
                 self._seen, NamedSharding(mesh, PartitionSpec()))
         self._key = jax.random.PRNGKey(seed)
+        # per-slot valid-token counts of the LAST decode call; None means
+        # "every step of the chunk" (dense/paged).  The speculative engine
+        # emits a VARIABLE number of tokens per slot per round and sets
+        # this (S,) array each call.
+        self._last_emit = None
         self._prefill_jits: dict = {}
         self._suffix_jits: dict = {}
         self._decode = jax.jit(self._decode_chunk)
@@ -580,11 +585,12 @@ class ServingEngine:
             n_steps = seq.shape[0]
             self.stats["decode_steps"] += n_steps
             self.stats["slot_steps_total"] += self.slots * n_steps
+            emit = self._last_emit
             for s in range(self.slots):
                 if slot_req[s] is None:
                     continue
                 req = slot_req[s]
-                for t in range(n_steps):
+                for t in range(n_steps if emit is None else int(emit[s])):
                     lengths[s] += 1
                     toks[s] = int(seq[t, s])
                     req.tokens.append(int(seq[t, s]))

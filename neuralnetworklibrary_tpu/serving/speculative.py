@@ -1,0 +1,253 @@
+"""Speculative continuous-batching engine: draft-model lookahead INSIDE the
+slot-scheduled serving loop.
+
+:func:`nn.speculative.speculative_generate` is the batch-1 latency path;
+this engine brings the same win to batched serving: every round, a small
+DRAFT model proposes ``gamma`` greedy tokens per slot (γ cheap cached
+steps), the TARGET model verifies all slots' windows in ONE (S, γ+1)
+forward (one weight read for γ+1 positions — the whole point, since
+single-token decode is HBM-bandwidth-bound on TPU), and each slot keeps its
+longest agreeing prefix plus the target's bonus/correction token.  Emission
+is token-for-token identical to the plain engine's greedy decode — the
+draft changes only how many rounds it takes (pinned in
+tests/test_spec_serving.py).
+
+Per-slot variable acceptance rides the base engine's ``_last_emit`` hook:
+the jitted round returns (S, γ+1) candidate tokens plus per-slot valid
+counts, and the host loop appends exactly that many (EOS/stop trimming
+unchanged).  Slots sit at different sequence positions, so the verify
+forward uses the decode path's per-row offsets; the (γ+1)-token chunk
+write covers every stale rejected-draft cache entry before any later query
+can attend to it (the same invariant nn/speculative.py proves — rewinding
+each slot's length is the only bookkeeping, and here lengths only ever
+advance by the accepted count).
+
+Bookkeeping subtlety — the draft lags the target by one round: accepted
+tokens were written into the TARGET cache during verification, but the
+draft saw only its own proposals.  Each round therefore starts with a
+"catch-up" draft forward over the previously emitted tokens (statically
+padded to γ+1; pad writes land beyond the slot's live length and are
+overwritten before they are ever attendable) whose last valid logit row
+doubles as the first proposal — catch-up costs no extra pass.
+
+Greedy-only by design (every request must resolve to k=1,
+repetition_penalty=1): the target's sampling chain (penalty → temperature
+→ top-k → nucleus, with per-token seen counts) has no sound
+rejection-sampling factorization mid-window.  Use the plain engine for
+sampled serving, or :func:`nn.speculative.speculative_generate`
+(temperature-only Leviathan rule) for batch-1 sampling.
+
+Reference: beyond parity — the reference has no serving stack.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralnetworklibrary_tpu.serving.engine import Request, ServingEngine
+
+
+class SpeculativeServingEngine(ServingEngine):
+    """Continuous batching with draft-accelerated greedy decode.
+
+    model/params: the target TransformerLM (dense KV cache; paged models
+    serve through PagedServingEngine, unaccelerated).
+    draft_model/draft_params: a smaller TransformerLM sharing the target's
+    vocabulary (e.g. 2 layers against 48, or an int8-quantized twin).
+    gamma: proposals per round; each round emits 1..gamma+1 tokens per
+    slot.  Throughput improves when the draft's acceptance rate beats
+    roughly 1/(gamma+1) worth of extra work — watch
+    ``stats['accepted'] / stats['drafted']``.
+
+    Every request must leave room for the draft overshoot:
+    ``len(prompt) + max_new + gamma + 1 <= max_len`` (checked at
+    admission, like nn.speculative).  Engine kwargs are the base engine's
+    minus ``chunk`` (a round IS the chunk), ``mesh`` (single-chip v1) and
+    ``adapters`` (base weights only).
+    """
+
+    def __init__(self, model, params, draft_model, draft_params,
+                 gamma: int = 4, **kw):
+        if gamma < 1:
+            raise ValueError(f"gamma must be >= 1, got {gamma}")
+        if model.vocab_size != getattr(draft_model, "vocab_size", -1):
+            raise ValueError(
+                "target and draft must share a vocabulary, got "
+                f"{model.vocab_size} vs "
+                f"{getattr(draft_model, 'vocab_size', None)}")
+        if getattr(model, "paged_kv_blocks", 0) > 0:
+            raise ValueError("speculative serving needs a dense-cache model")
+        for bad in ("chunk", "mesh", "adapters"):
+            if kw.get(bad) is not None and kw.get(bad, None) not in (None, 1):
+                raise ValueError(f"SpeculativeServingEngine does not take "
+                                 f"{bad}=")
+            kw.pop(bad, None)
+        super().__init__(model, params, **kw)
+        if self.k != 1 or self.repetition_penalty != 1.0:
+            raise ValueError(
+                "speculative serving is greedy-only: engine defaults must "
+                "be k=1, repetition_penalty=1")
+        from neuralnetworklibrary_tpu.utils.quantize import _is_qtensor
+
+        self.gamma = int(gamma)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self._draft_quantized = any(
+            _is_qtensor(leaf) for leaf in
+            jax.tree_util.tree_leaves(draft_params, is_leaf=_is_qtensor))
+        if draft_model.max_len < model.max_len:
+            raise ValueError(
+                f"draft max_len {draft_model.max_len} must cover the "
+                f"target's {model.max_len}")
+        self.draft_cache = self._init_cache(draft_model, self.slots)
+        # tokens emitted last round MINUS the last one — they have target
+        # K/V (accepted proposals) but the draft hasn't seen them yet
+        self._pend = np.zeros((self.slots, self.gamma), np.int32)
+        self._n_pend = np.zeros(self.slots, np.int32)
+        self._draft_prefill_jits: dict = {}
+        self._round = jax.jit(self._spec_round)
+        self._decode = self._spec_decode
+        self.stats.update(spec_rounds=0, drafted=0, accepted=0)
+
+    # ------------------------------------------------------------ admission
+
+    def _admit(self, req: Request, slot: int, lengths, toks):
+        need = len(req.prompt) + req.max_new + self.gamma + 1
+        if need > self.model.max_len:
+            raise ValueError(
+                f"prompt ({len(req.prompt)}) + max_new ({req.max_new}) + "
+                f"gamma+1 draft overshoot ({self.gamma + 1}) exceed "
+                f"max_len {self.model.max_len}")
+        super()._admit(req, slot, lengths, toks)
+        if self._k_arr[slot] != 1 or self._r_arr[slot] != 1.0:
+            raise ValueError(
+                "speculative serving is greedy-only: requests must keep "
+                "k=1 and repetition_penalty=1")
+        p = np.asarray(req.prompt, np.int32)
+        tb = self._bucket_for(len(p))
+        padded = np.full((1, tb), self.pad_token, np.int32)
+        padded[0, :len(p)] = p
+        fn = self._draft_prefill_jits.get(tb)
+        if fn is None:
+            fn = self._draft_prefill_jits[tb] = jax.jit(
+                self._draft_prefill, static_argnums=3)
+        self.draft_cache = fn(self.draft_params, self.draft_cache,
+                              jnp.asarray(padded), slot)
+        self._n_pend[slot] = 0
+
+    def _on_retire(self, slot: int):
+        self._n_pend[slot] = 0
+        super()._on_retire(slot)
+
+    # ----------------------------------------------------------- device fns
+
+    def _draft_prefill(self, dparams, dcache, prompt, slot):
+        """Prompt K/V into the draft cache's ``slot`` rows (right-pad writes
+        land beyond the live length; the first round's catch-up overwrites
+        position L and later rounds stay contiguous, so pads are never
+        attendable before being rewritten)."""
+        if self._draft_quantized:
+            dparams = self._dequantize(dparams)
+        cache1 = self._init_cache(self.draft_model, 1)
+        _, mut = self.draft_model.apply(
+            {"params": dparams, "cache": cache1}, prompt, decode=True,
+            mutable=["cache"])
+
+        def ins(big, small):
+            if big.ndim == 0:
+                return big
+            return jax.lax.dynamic_update_slice(
+                big, small, (slot,) + (0,) * (big.ndim - 1))
+
+        return jax.tree_util.tree_map(ins, dcache, mut["cache"])
+
+    def _spec_round(self, params, dparams, cache, dcache, toks, lengths,
+                    pend, n_pend, active):
+        """One speculative round for every slot, fully jitted.
+
+        toks (S,): last emitted token per slot (its K/V not yet written);
+        lengths (S,): its position; pend (S, γ) / n_pend (S,): earlier
+        tokens from last round the draft must catch up on.  Returns
+        (cache, dcache, candidates (S, γ+1), n_emit (S,)) — candidates are
+        ALL target argmax tokens, rows valid up to n_emit.
+        """
+        if self._quantized:
+            params = self._dequantize(params)
+        if self._draft_quantized:
+            dparams = self._dequantize(dparams)
+        S, g = self.slots, self.gamma
+
+        # -- draft catch-up + first proposal (one T=γ+1 forward) ----------
+        t_idx = jnp.arange(g + 1)[None, :]
+        pend_w = jnp.concatenate([pend, pend[:, :1]], 1)       # (S, γ+1)
+        cu_in = jnp.where(t_idx < n_pend[:, None], pend_w, toks[:, None])
+        dout, dmut = self.draft_model.apply(
+            {"params": dparams, "cache": dcache}, cu_in, decode=True,
+            offsets=lengths - n_pend, mutable=["cache"])
+        dcache = dmut["cache"]
+        dlog0 = jnp.take_along_axis(
+            dout[0], n_pend[:, None, None], axis=1)[:, 0]      # (S, V)
+        d1 = jnp.argmax(dlog0, -1).astype(jnp.int32)
+
+        # -- draft proposals d_2..d_γ (γ−1 cached one-token steps) --------
+        def dstep(carry, j):
+            dc, tok = carry
+            out, mut = self.draft_model.apply(
+                {"params": dparams, "cache": dc}, tok[:, None], decode=True,
+                offsets=lengths + j, mutable=["cache"])
+            nxt = jnp.argmax(out[0][:, -1], -1).astype(jnp.int32)
+            return (mut["cache"], nxt), nxt
+
+        (dcache, _), rest = jax.lax.scan(dstep, (dcache, d1),
+                                         jnp.arange(1, g))
+        dtoks = jnp.concatenate([d1[None], rest], 0).T         # (S, γ)
+
+        # -- target verifies every slot's window in ONE forward -----------
+        ver_in = jnp.concatenate([toks[:, None], dtoks], 1)    # (S, γ+1)
+        out, mut = self.model.apply(
+            {"params": params, "cache": cache}, ver_in, decode=True,
+            offsets=lengths, mutable=["cache"])
+        cache = mut["cache"]
+        g_toks = jnp.argmax(out[0], -1).astype(jnp.int32)      # (S, γ+1)
+
+        # longest agreeing prefix + the bonus/correction token
+        acc = (dtoks == g_toks[:, :g]).astype(jnp.int32)
+        k_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)      # (S,)
+        n_emit = jnp.where(active, k_acc + 1, 0)
+        return cache, dcache, g_toks, n_emit
+
+    def _spec_decode(self, params, cache, toks, lengths, active, seen,
+                     kv, tv, pv, rv, av, key, *extra):
+        """Drop-in for the base ``_decode``: runs one speculative round and
+        reports per-slot emission counts through ``_last_emit``.  ``seen``
+        passes through untouched (greedy-only — the repetition machinery
+        never reads it)."""
+        cache, dcache, v, n_emit = self._round(
+            params, self.draft_params, cache, self.draft_cache, toks,
+            lengths, jnp.asarray(self._pend), jnp.asarray(self._n_pend),
+            jnp.asarray(active))
+        self.draft_cache = dcache
+        v = np.asarray(v)                                      # (S, γ+1)
+        n_emit = np.asarray(n_emit)
+        self._last_emit = n_emit
+        for s in range(self.slots):
+            n = int(n_emit[s])
+            if n > 0:
+                self._n_pend[s] = n - 1
+                self._pend[s, :n - 1] = v[s, :n - 1]
+        n_active = int(np.sum(n_emit > 0))
+        self.stats["spec_rounds"] += 1
+        self.stats["drafted"] += self.gamma * n_active
+        self.stats["accepted"] += int(np.sum(np.maximum(n_emit - 1, 0)))
+        return cache, seen, v.T                                # (γ+1, S)
+
+    @property
+    def acceptance(self) -> float:
+        """Fraction of draft proposals the target accepted — the draft-
+        quality diagnostic (throughput needs this comfortably > 0)."""
+        d = self.stats["drafted"]
+        return self.stats["accepted"] / d if d else 0.0

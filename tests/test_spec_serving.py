@@ -1,0 +1,193 @@
+"""Speculative continuous-batching engine (serving/speculative.py): greedy
+emission must be token-for-token the plain engine's / generate's regardless
+of the draft; a perfect draft (draft == target) accepts everything and
+collapses the round count; contracts (greedy-only, overshoot headroom,
+vocab match) are enforced."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralnetworklibrary_tpu.nn.transformer import TransformerLM, generate
+from neuralnetworklibrary_tpu.serving import (
+    Request,
+    ServingEngine,
+    SpeculativeServingEngine,
+)
+
+V = 50
+
+
+def _model(seed=0, layers=2, **kw):
+    cfg = dict(vocab_size=V, d_model=32, n_heads=4, n_layers=layers,
+               max_len=96, drop=0.0)
+    cfg.update(kw)
+    m = TransformerLM(**cfg)
+    params = m.init(jax.random.PRNGKey(seed),
+                    jnp.zeros((1, 4), jnp.int32))["params"]
+    return m, params
+
+
+def _requests(rng, spec, **kw):
+    return [Request(rng.integers(0, V, p).tolist(), n, **kw)
+            for p, n in spec]
+
+
+SPEC = [(3, 6), (13, 9), (7, 4), (20, 12), (5, 7), (9, 10)]
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_matches_generate_any_draft(gamma):
+    """A draft with DIFFERENT random weights (terrible proposals) must not
+    change a single emitted token vs the dense engine's greedy decode and
+    vs each request's solo generate(k=1)."""
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    rng = np.random.default_rng(0)
+    reqs = _requests(rng, SPEC)
+    rng = np.random.default_rng(0)
+    base_reqs = _requests(rng, SPEC)
+    eng = SpeculativeServingEngine(model, params, draft, dparams,
+                                   gamma=gamma, slots=3,
+                                   prompt_buckets=(8, 16, 32))
+    eng.run(reqs)
+    ServingEngine(model, params, slots=3,
+                  prompt_buckets=(8, 16, 32)).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
+        want = generate(model, params,
+                        jnp.asarray([a.prompt], jnp.int32), a.max_new, k=1)
+        assert a.tokens == [int(t) for t in np.asarray(want)[0]]
+    assert eng.stats["spec_rounds"] > 0
+
+
+def test_perfect_draft_collapses_rounds():
+    """draft == target: every proposal is accepted (acceptance == 1.0) and
+    a lone request of n tokens takes ceil((n-1)/(γ+1)) rounds instead of
+    n-1 single-token steps."""
+    model, params = _model(1)
+    g = 4
+    req = Request(list(range(1, 9)), 16)
+    eng = SpeculativeServingEngine(model, params, model, params, gamma=g,
+                                   slots=1, prompt_buckets=(8, 16))
+    eng.run([req])
+    assert req.finished and len(req.tokens) == 16
+    want = generate(model, params, jnp.asarray([req.prompt], jnp.int32),
+                    16, k=1)
+    assert req.tokens == [int(t) for t in np.asarray(want)[0]]
+    assert eng.acceptance == 1.0
+    # prefill emits token 1; 15 remain at γ+1 = 5 per round
+    assert eng.stats["spec_rounds"] == 3
+
+
+def test_eos_and_stop_sequences_trim_mid_window():
+    """EOS (or a stop sequence) landing inside a speculation window retires
+    the request exactly where the plain engine would."""
+    model, params = _model(2)
+    oracle = [int(t) for t in np.asarray(
+        generate(model, params, jnp.asarray([[4, 5, 6]], jnp.int32),
+                 12, k=1))[0]]
+    eos = oracle[5]                      # stops after 6 tokens
+    r_spec = Request([4, 5, 6], 12, eos_token=eos)
+    r_base = Request([4, 5, 6], 12, eos_token=eos)
+    SpeculativeServingEngine(model, params, model, params, gamma=4,
+                             slots=2, prompt_buckets=(8,)).run([r_spec])
+    ServingEngine(model, params, slots=2,
+                  prompt_buckets=(8,)).run([r_base])
+    assert r_spec.tokens == r_base.tokens == oracle[:6]
+    stop = oracle[3:5]
+    cut = next(i + 1 for i in range(len(oracle))
+               if oracle[max(0, i - 1):i + 1] == stop)
+    r_spec = Request([4, 5, 6], 12, stop_sequences=[stop])
+    r_base = Request([4, 5, 6], 12, stop_sequences=[stop])
+    SpeculativeServingEngine(model, params, model, params, gamma=4,
+                             slots=2, prompt_buckets=(8,)).run([r_spec])
+    ServingEngine(model, params, slots=2,
+                  prompt_buckets=(8,)).run([r_base])
+    assert r_spec.tokens == r_base.tokens == oracle[:cut]
+
+
+def test_prefix_cache_composes():
+    """set_prefix: suffix-only target prefill + full draft prefill still
+    emit the exact greedy continuation."""
+    model, params = _model(3)
+    prefix = [7, 8, 9, 10, 11, 12]
+    eng = SpeculativeServingEngine(model, params, model, params, gamma=3,
+                                   slots=2, prompt_buckets=(8, 16))
+    eng.set_prefix(prefix)
+    reqs = [Request(prefix + [20, 21], 8), Request(prefix + [33], 6)]
+    eng.run(reqs)
+    assert eng.stats["prefix_hits"] == 2
+    for r in reqs:
+        want = generate(model, params, jnp.asarray([r.prompt], jnp.int32),
+                        r.max_new, k=1)
+        assert r.tokens == [int(t) for t in np.asarray(want)[0]]
+
+
+def test_modern_config_and_quantized_draft():
+    """RoPE + GQA + RMSNorm target with an int8-quantized draft: exactness
+    is unaffected (the draft only proposes)."""
+    from neuralnetworklibrary_tpu.utils.quantize import quantize_params
+
+    kw = dict(pos_embedding="rope", n_kv_heads=2, norm="rmsnorm",
+              mlp="swiglu")
+    model, params = _model(4, **kw)
+    qdraft = quantize_params(params)
+    rng = np.random.default_rng(1)
+    reqs = _requests(rng, SPEC[:4])
+    SpeculativeServingEngine(model, params, model, qdraft, gamma=3,
+                             slots=2, prompt_buckets=(8, 16, 32)).run(reqs)
+    for r in reqs:
+        want = generate(model, params, jnp.asarray([r.prompt], jnp.int32),
+                        r.max_new, k=1)
+        assert r.tokens == [int(t) for t in np.asarray(want)[0]]
+
+
+def test_contracts():
+    model, params = _model(5)
+    draft, dparams = _model(6, layers=1)
+    # greedy-only: engine-level sampled defaults are rejected
+    with pytest.raises(ValueError):
+        SpeculativeServingEngine(model, params, draft, dparams, k=4)
+    with pytest.raises(ValueError):
+        SpeculativeServingEngine(model, params, draft, dparams,
+                                 repetition_penalty=1.3)
+    # per-request sampling overrides are rejected at admission
+    eng = SpeculativeServingEngine(model, params, draft, dparams, gamma=2,
+                                   slots=1, prompt_buckets=(8,))
+    with pytest.raises(ValueError):
+        eng.run([Request([1, 2, 3], 4, k=4)])
+    # overshoot headroom: prompt + max_new + γ + 1 must fit max_len
+    eng2 = SpeculativeServingEngine(model, params, draft, dparams, gamma=4,
+                                    slots=1, prompt_buckets=(8,))
+    with pytest.raises(ValueError):
+        eng2.run([Request([1] * 8, 90)])
+    # vocab mismatch
+    other = TransformerLM(vocab_size=V + 1, d_model=32, n_heads=4,
+                          n_layers=1, max_len=96, drop=0.0)
+    op = other.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 4), jnp.int32))["params"]
+    with pytest.raises(ValueError):
+        SpeculativeServingEngine(model, params, other, op)
+    with pytest.raises(ValueError):
+        SpeculativeServingEngine(model, params, draft, dparams, gamma=0)
+
+
+def test_streaming_and_reuse():
+    """on_token streams every kept token once, in order; the engine is
+    reusable across run() calls (state persists)."""
+    model, params = _model(8)
+    eng = SpeculativeServingEngine(model, params, model, params, gamma=3,
+                                   slots=2, prompt_buckets=(8, 16))
+    seen = []
+    reqs = [Request([3, 4, 5], 7), Request([10, 11], 5)]
+    eng.run(reqs, on_token=lambda r, t: seen.append((id(r), t)))
+    for r in reqs:
+        toks = [t for rid, t in seen if rid == id(r)]
+        assert toks == r.tokens
+    more = [Request([20, 21, 22, 23], 6)]
+    eng.run(more)
+    want = generate(model, params, jnp.asarray([more[0].prompt], jnp.int32),
+                    6, k=1)
+    assert more[0].tokens == [int(t) for t in np.asarray(want)[0]]
