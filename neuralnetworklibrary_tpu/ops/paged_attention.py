@@ -93,12 +93,15 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     @pl.when(i * block <= off)
     def _step():
         q = q_ref[0] * sm_scale                              # (H, hd)
-        k2 = k_ref[0].reshape(BK, hd)                        # sublane merge
-        v2 = v_ref[0].reshape(BK, hd)
         if quant:
-            k2 = k2.astype(jnp.float32)
-            v2 = v2.astype(jnp.float32)
+            # cast BEFORE the reshape: Mosaic's shape-cast inference does
+            # not handle int8 sublane merges (f32 ones it does)
+            k2 = k_ref[0].astype(jnp.float32).reshape(BK, hd)
+            v2 = v_ref[0].astype(jnp.float32).reshape(BK, hd)
             q = q.astype(jnp.float32)
+        else:
+            k2 = k_ref[0].reshape(BK, hd)                    # sublane merge
+            v2 = v_ref[0].reshape(BK, hd)
         s = jax.lax.dot_general(q, k2, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if quant:                                            # (1, BK) k-scales
