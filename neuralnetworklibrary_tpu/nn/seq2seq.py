@@ -122,6 +122,7 @@ class EncoderBlock(nn.Module):
     norm_eps: float = 1e-6
     mlp_act: Optional[str] = None
     gated_mlp: bool = False
+    exact_gelu: bool = False
 
     def setup(self):
         self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
@@ -129,7 +130,8 @@ class EncoderBlock(nn.Module):
                                         self.drop, causal=False, name="attn")
         self.ln2 = _make_norm(self.norm, self.norm_eps, "ln2")
         self.mlp = MLP(self.d_model, self.d_ff, self.drop,
-                       gated=self.gated_mlp, act=self.mlp_act, name="mlp")
+                       gated=self.gated_mlp, act=self.mlp_act,
+                       exact_gelu=self.exact_gelu, name="mlp")
 
     def __call__(self, x, kv_mask, train: bool = False, att_bias=None):
         x = x + self.attn(self.ln1(x), train=train, kv_mask=kv_mask,
@@ -153,6 +155,7 @@ class DecoderBlock(nn.Module):
     norm_eps: float = 1e-6
     mlp_act: Optional[str] = None
     gated_mlp: bool = False
+    exact_gelu: bool = False
 
     def setup(self):
         self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
@@ -164,7 +167,8 @@ class DecoderBlock(nn.Module):
                                     name="cross")
         self.ln3 = _make_norm(self.norm, self.norm_eps, "ln3")
         self.mlp = MLP(self.d_model, self.d_ff, self.drop,
-                       gated=self.gated_mlp, act=self.mlp_act, name="mlp")
+                       gated=self.gated_mlp, act=self.mlp_act,
+                       exact_gelu=self.exact_gelu, name="mlp")
 
     def __call__(self, x, mk, mv, mem_mask, train: bool = False,
                  decode: bool = False, offset=None, att_bias=None):
@@ -218,6 +222,18 @@ class TransformerSeq2Seq(nn.Module):
     logit_scale: float = 1.0       # pre-head hidden scale — tied T5 uses
                                    # d_model**-0.5 (HF multiplies the
                                    # sequence output when embeddings tie)
+    audio_frontend: bool = False   # Whisper: ``encode`` takes
+                                   # (B, n_mels, frames) float mel features
+                                   # through two gelu Conv1Ds (stride 1
+                                   # then 2) instead of token ids; the
+                                   # encoder attends every position (audio
+                                   # is padded to a fixed window upstream,
+                                   # there is no pad mask), enc_pos covers
+                                   # frames//2 positions.  Requires
+                                   # pos_embedding='learned'.
+    n_mels: int = 80               # mel-filterbank channels of the frontend
+    exact_gelu: bool = False       # erf gelu in the MLPs (HF Whisper/BERT)
+                                   # vs the tanh approximation
 
     @property
     def head_prefixes(self):
@@ -227,7 +243,7 @@ class TransformerSeq2Seq(nn.Module):
     @property
     def layer_group_prefixes(self):
         enc = tuple(f"enc_block_{i}" for i in range(self.enc_layers)) \
-            + ("enc_pos", "enc_rel_bias", "enc_ln")
+            + ("enc_pos", "enc_rel_bias", "enc_ln", "conv1", "conv2")
         dec = tuple(f"dec_block_{i}" for i in range(self.dec_layers)) \
             + ("dec_pos", "dec_rel_bias", "dec_ln")
         return (enc, dec, self.head_prefixes)
@@ -258,8 +274,16 @@ class TransformerSeq2Seq(nn.Module):
             self.dec_rel_bias = self.param(
                 "dec_rel_bias", nn.initializers.normal(0.02),
                 (self.rel_buckets, self.n_heads))
+        if self.audio_frontend:
+            if self.pos_embedding != "learned":
+                raise ValueError(
+                    "audio_frontend requires pos_embedding='learned'")
+            self.conv1 = nn.Conv(D, (3,), padding=[(1, 1)], name="conv1")
+            self.conv2 = nn.Conv(D, (3,), strides=(2,), padding=[(1, 1)],
+                                 name="conv2")
         blk_kw = dict(norm=self.norm, norm_eps=self.norm_eps,
-                      mlp_act=self.mlp_act, gated_mlp=self.gated_mlp)
+                      mlp_act=self.mlp_act, gated_mlp=self.gated_mlp,
+                      exact_gelu=self.exact_gelu)
         self.enc_blocks = [EncoderBlock(D, self.n_heads, ff, self.drop,
                                         name=f"enc_block_{i}", **blk_kw)
                            for i in range(self.enc_layers)]
@@ -286,19 +310,38 @@ class TransformerSeq2Seq(nn.Module):
 
     def encode(self, src, train: bool = False):
         """(B, S) int32 padded source → ((B, S, D) memory, (B, S) bool
-        valid-position mask)."""
-        B, S = src.shape
-        if S > self.max_src_len:
-            raise ValueError(f"source length {S} > max_src_len "
-                             f"{self.max_src_len}")
-        mask = src != self.pad_token
-        h = jnp.take(self.word_embed, src, axis=0)
+        valid-position mask).  With ``audio_frontend``: (B, n_mels, frames)
+        float mel features → ((B, frames//2, D) memory, all-True mask) —
+        the Whisper encoder (gelu conv stride 1 → gelu conv stride 2 →
+        +positions → blocks; every position attendable)."""
         bias = None
-        if self.pos_embedding == "learned":
+        if self.audio_frontend:
+            if src.ndim != 3 or src.shape[1] != self.n_mels:
+                raise ValueError(
+                    f"audio_frontend wants (B, n_mels={self.n_mels}, "
+                    f"frames) mel features, got {src.shape}")
+            x = jnp.transpose(jnp.asarray(src, jnp.float32), (0, 2, 1))
+            x = jax.nn.gelu(self.conv1(x), approximate=False)
+            h = jax.nn.gelu(self.conv2(x), approximate=False)
+            B, S, _ = h.shape
+            if S > self.max_src_len:
+                raise ValueError(
+                    f"frames//2 = {S} > max_src_len {self.max_src_len} "
+                    f"(HF max_source_positions)")
             h = h + self.enc_pos[None, :S]
+            mask = jnp.ones((B, S), bool)
         else:
-            pos = jnp.arange(S)
-            bias = self._rel_bias(self.enc_rel_bias, pos, pos, True)
+            B, S = src.shape
+            if S > self.max_src_len:
+                raise ValueError(f"source length {S} > max_src_len "
+                                 f"{self.max_src_len}")
+            mask = src != self.pad_token
+            h = jnp.take(self.word_embed, src, axis=0)
+            if self.pos_embedding == "learned":
+                h = h + self.enc_pos[None, :S]
+            else:
+                pos = jnp.arange(S)
+                bias = self._rel_bias(self.enc_rel_bias, pos, pos, True)
         if train and self.drop > 0.0:
             h = self.embed_drop(h, deterministic=False)
         for blk in self.enc_blocks:
@@ -419,8 +462,10 @@ def seq2seq_generate(model: TransformerSeq2Seq, params, src, n: int,
     Mirrors :func:`nn.transformer.generate`'s decode discipline — static
     shapes, no recompilation across calls of the same (B, S, n).
     """
-    src = jnp.asarray(src, jnp.int32)
-    B, S = src.shape
+    src = jnp.asarray(src)
+    if src.ndim == 2:                      # token sources; audio features
+        src = src.astype(jnp.int32)        # (B, n_mels, frames) pass as-is
+    B = src.shape[0]
     if n + 1 > model.max_len:
         raise ValueError(f"n + bos ({n + 1}) exceeds max_len "
                          f"{model.max_len}")
@@ -519,8 +564,10 @@ def seq2seq_beam_search(model: TransformerSeq2Seq, params, src, n: int,
     (B,) float32).  beam=1 reduces exactly to greedy
     :func:`seq2seq_generate`.
     """
-    src = jnp.asarray(src, jnp.int32)
-    B, S = src.shape
+    src = jnp.asarray(src)
+    if src.ndim == 2:                      # token sources; audio features
+        src = src.astype(jnp.int32)        # (B, n_mels, frames) pass as-is
+    B = src.shape[0]
     V = model.vocab_size
     if n + 1 > model.max_len:
         raise ValueError(f"n + bos ({n + 1}) exceeds max_len "
