@@ -185,3 +185,29 @@ def test_beam_search_accepts_features():
                                          k=1))
     b1, _ = seq2seq_beam_search(model, params, feats, 6, bos=BOS, beam=1)
     np.testing.assert_array_equal(np.asarray(b1), greedy)
+
+
+def test_log_mel_matches_whisper_feature_extractor():
+    """utils.audio.log_mel_spectrogram == transformers'
+    WhisperFeatureExtractor on random waveforms (short → padded, exactly
+    30 s, long → trimmed, ragged length)."""
+    from neuralnetworklibrary_tpu.utils.audio import (
+        batch_features,
+        log_mel_spectrogram,
+    )
+
+    fe = transformers.WhisperFeatureExtractor(feature_size=80)
+    rng = np.random.default_rng(0)
+    for n in (16000, 480000, 520000, 123457):
+        wav = rng.normal(0, 0.1, n).astype(np.float32)
+        want = fe(wav, sampling_rate=16000,
+                  return_tensors="np")["input_features"][0]
+        got = log_mel_spectrogram(wav)
+        assert got.shape == want.shape == (80, 3000)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    wavs = [rng.normal(0, 0.1, 16000 * k).astype(np.float32)
+            for k in (1, 2)]
+    batch = batch_features(wavs)
+    assert batch.shape == (2, 80, 3000)
+    np.testing.assert_allclose(batch[0], log_mel_spectrogram(wavs[0]),
+                               atol=1e-7)
