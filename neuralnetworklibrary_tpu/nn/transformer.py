@@ -969,7 +969,12 @@ class TransformerLM(nn.Module):
             if offsets is not None:
                 offset = jnp.asarray(offsets, jnp.int32)
                 h = _scale(jnp.take(emb, x, axis=0))
-                if pos is not None:
+                if pos is not None and offset.ndim == 0:
+                    # explicit scalar offset (chunked prefill): every row
+                    # continues at the same position, counter untouched
+                    h = h + jax.lax.dynamic_slice_in_dim(
+                        pos, offset, T, axis=0)[None]
+                elif pos is not None:
                     h = h + jnp.take(pos, offset[:, None] + jnp.arange(T),
                                      axis=0)
             else:

@@ -153,7 +153,8 @@ class ServingEngine:
                  temperature: float = 1.0, top_p: float = 1.0,
                  repetition_penalty: float = 1.0, max_k: int = 64,
                  pad_token: int = 0, seed: int = 0, chunk: int = 1,
-                 mesh=None, param_rule=None, adapters=None):
+                 mesh=None, param_rule=None, adapters=None,
+                 prefill_chunk: int = 0):
         if getattr(model, "max_len", 0) <= 0:
             raise ValueError("model.max_len must be > 0 for decoding")
         if getattr(model, "paged_kv_blocks", 0) > 0 \
@@ -226,6 +227,22 @@ class ServingEngine:
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.chunk = int(chunk)
+        # chunked prefill (vLLM-style): prompts LONGER than prefill_chunk
+        # process in fixed prefill_chunk-token slices, one per scheduler
+        # iteration, INTERLEAVED with the other slots' decode steps — a
+        # long prompt no longer stalls every in-flight request for its
+        # whole prefill.  0 = off (one-shot bucketed prefill).  Emission is
+        # unchanged: the sliced forwards continue one batch-1 cache at
+        # advancing offsets, exactly the prefix-suffix continuation
+        # discipline, so the first sampled token is identical.
+        if prefill_chunk < 0:
+            raise ValueError(
+                f"prefill_chunk must be >= 0, got {prefill_chunk}")
+        self.prefill_chunk = int(prefill_chunk)
+        self._pending_prefill: dict = {}
+        self._chunk_jit = None
+        self._sample_jit = None
+        self._insert_jit = None
         self.buckets = tuple(sorted(b for b in prompt_buckets
                                     if b <= model.max_len))
         from neuralnetworklibrary_tpu.nn.transformer import init_cache
@@ -271,7 +288,8 @@ class ServingEngine:
         self._prefix: Optional[tuple] = None   # (tokens, batch-1 cache)
         self.stats = {"decode_steps": 0, "prefills": 0,
                       "prefix_hits": 0, "prefill_tokens": 0,
-                      "slot_steps_active": 0, "slot_steps_total": 0}
+                      "slot_steps_active": 0, "slot_steps_total": 0,
+                      "prefill_slices": 0}
 
     # -------------------------------------------------------- prefix caching
 
@@ -384,6 +402,89 @@ class ServingEngine:
         return cache, self._sample(key, logits, k, temp, top_p, rep,
                                    seen_row)
 
+    # ------------------------------------------------------ chunked prefill
+
+    def _chunk_prefill_model(self):
+        """Model the sliced prefill forwards run through (the paged engine
+        substitutes its dense batch-1 clone)."""
+        return self.model
+
+    def _prefill_chunk_step(self, params, cache1, chunk, off, idx, row):
+        """One (1, prefill_chunk) slice at scalar offset ``off`` continuing
+        the staged batch-1 cache; returns (cache, logits[0, idx]) — idx
+        only matters on the final slice (right-pad writes land beyond the
+        true length and are overwritten before attendable, the standard
+        decode-path invariant)."""
+        if self._quantized:
+            params = self._dequantize(params)
+        out, mut = self._chunk_prefill_model().apply(
+            {"params": params, "cache": cache1}, chunk, decode=True,
+            offsets=off, mutable=["cache"], **self._adapter_kw(row, 1))
+        return mut["cache"], out[0][0, idx]
+
+    def _insert_prefill(self, cache, mut_cache, slot, *extra):
+        """Insert a completed batch-1 prefill cache at ``slot`` (the paged
+        engine scatters into its pool rows instead)."""
+        def ins(big, small):
+            if big.ndim == 0:
+                return big
+            return jax.lax.dynamic_update_slice(
+                big, small, (slot,) + (0,) * (big.ndim - 1))
+
+        return jax.tree_util.tree_map(ins, cache, mut_cache)
+
+    def _advance_prefills(self, slot_req, lengths, toks, on_token, retire):
+        """Run ONE prefill slice for every mid-prefill slot; finalize slots
+        whose prompt just completed (sample the first token, insert the
+        strip, stream, retire-check)."""
+        if not self._pending_prefill:
+            return
+        if self._chunk_jit is None:
+            self._chunk_jit = jax.jit(self._prefill_chunk_step)
+        C = self.prefill_chunk
+        for slot in list(self._pending_prefill):
+            st = self._pending_prefill[slot]
+            p, pos = st["prompt"], st["pos"]
+            n = min(C, len(p) - pos)
+            sl = np.full((1, C), self.pad_token, np.int32)
+            sl[0, :n] = p[pos:pos + n]
+            idx = min(max(len(p) - 1 - pos, 0), C - 1)
+            st["cache1"], logits = self._chunk_jit(
+                self.params, st["cache1"], jnp.asarray(sl),
+                jnp.asarray(pos, jnp.int32), jnp.asarray(idx, jnp.int32),
+                jnp.asarray(st["row"], jnp.int32))
+            st["pos"] = pos + n
+            self.stats["prefill_slices"] += 1
+            if st["pos"] < len(p):
+                continue
+            # final slice landed: sample, insert, finalize the admission
+            rk, rt, rp, rr = st["samp"]
+            if self._sample_jit is None:
+                self._sample_jit = jax.jit(self._sample)
+            seen_row = st["seen_row"]
+            tok = int(self._sample_jit(
+                st["key"], logits, rk, rt, rp, rr, jnp.asarray(seen_row)))
+            if self._insert_jit is None:
+                self._insert_jit = jax.jit(self._insert_prefill)
+            self.cache = self._insert_jit(
+                self.cache, st["cache1"], jnp.asarray(slot, jnp.int32),
+                *self._extra_prefill_args(slot))
+            req = st["req"]
+            req.tokens.append(tok)
+            seen_row[tok] += 1
+            self._seen = self._seen_put(self._seen, jnp.asarray(seen_row),
+                                        slot)
+            req.admitted_at_step = self.stats["decode_steps"]
+            self.stats["prefills"] += 1
+            self.stats["prefill_tokens"] += len(p)
+            lengths[slot] = len(p)
+            toks[slot] = tok
+            del self._pending_prefill[slot]
+            if on_token is not None:
+                on_token(req, tok)
+            if self._finished(req, int(lengths[slot])):
+                retire(slot)
+
     def _decode_step(self, params, cache, toks, lengths, active, seen,
                      kv, tv, pv, rv, av, key, table=None):
         """One token for every slot at its own offset, each slot sampling
@@ -492,8 +593,21 @@ class ServingEngine:
             .astype(np.int32)
         self._key, k1 = jax.random.split(self._key)
         pre = self._prefix
-        if (pre is not None and row == 0 and len(p) > len(pre[0])
-                and list(p[:len(pre[0])]) == pre[0]):
+        hit = (pre is not None and row == 0 and len(p) > len(pre[0])
+               and list(p[:len(pre[0])]) == pre[0])
+        if self.prefill_chunk > 0 and not hit \
+                and len(p) > self.prefill_chunk:
+            # chunked prefill: stage the state and return False — the run
+            # loop advances one prefill_chunk-token slice per iteration,
+            # interleaved with the other slots' decode steps; the first
+            # token samples when the last slice lands
+            self._pending_prefill[slot] = {
+                "req": req, "prompt": p, "pos": 0, "key": k1,
+                "samp": (rk, rt, rp, rr), "seen_row": seen_row,
+                "row": row,
+                "cache1": self._init_cache(self._chunk_prefill_model(), 1)}
+            return False
+        if hit:
             # shared-prefix hit: prefill only the suffix on top of the saved
             # prefix cache
             suf = p[len(pre[0]):]
@@ -564,14 +678,19 @@ class ServingEngine:
                 if slot_req[s] is None and queue \
                         and self._can_admit(queue[0]):
                     req = queue.popleft()
-                    self._admit(req, s, lengths, toks)
+                    slot_req[s] = req
+                    if self._admit(req, s, lengths, toks) is False:
+                        continue            # mid chunked prefill
                     if on_token is not None:
                         on_token(req, req.tokens[-1])
-                    slot_req[s] = req
                     if self._finished(req, int(lengths[s])):
                         retire(s)
+            self._advance_prefills(slot_req, lengths, toks, on_token,
+                                   retire)
             self._pre_decode(queue, slot_req, lengths, toks)
-            active = np.array([r is not None for r in slot_req])
+            active = np.array([slot_req[s] is not None
+                               and s not in self._pending_prefill
+                               for s in range(self.slots)])
             if not active.any():
                 continue
             self._key, k1 = jax.random.split(self._key)
@@ -587,8 +706,8 @@ class ServingEngine:
             self.stats["slot_steps_total"] += self.slots * n_steps
             emit = self._last_emit
             for s in range(self.slots):
-                if slot_req[s] is None:
-                    continue
+                if slot_req[s] is None or s in self._pending_prefill:
+                    continue            # mid chunked prefill: no emissions
                 req = slot_req[s]
                 for t in range(n_steps if emit is None else int(emit[s])):
                     lengths[s] += 1

@@ -214,13 +214,16 @@ class PagedServingEngine(ServingEngine):
         when the pool runs dry (self-preemption only as the last resort —
         the pool invariant guarantees a lone request always fits)."""
         for s in range(self.slots):
-            if slot_req[s] is None:
+            # mid-chunked-prefill slots neither decode this round nor may
+            # be preempted (their pool rows are being filled)
+            if slot_req[s] is None or s in self._pending_prefill:
                 continue
             need = (int(lengths[s]) + self.chunk
                     + self.block - 1) // self.block
             while not self._alloc(s, need):
                 victims = [t for t in range(self.slots)
-                           if t != s and slot_req[t] is not None]
+                           if t != s and slot_req[t] is not None
+                           and t not in self._pending_prefill]
                 if victims:
                     v = max(victims, key=lambda t: self._slot_seq[t])
                 else:
@@ -230,6 +233,15 @@ class PagedServingEngine(ServingEngine):
                     break
 
     # ------------------------------------------------------------- prefill
+
+    def _chunk_prefill_model(self):
+        # chunked prefill slices run through the dense batch-1 clone, like
+        # every other paged prefill; the final scatter distributes the
+        # completed strip into the slot's pool rows
+        return self._prefill_model
+
+    def _insert_prefill(self, cache, mut_cache, slot, rows=None):
+        return _pool_insert(cache, mut_cache, rows, self.block)
 
     def set_prefix(self, tokens):
         """Shared-prefix caching, paged twice over: the saved batch-1 cache

@@ -81,8 +81,9 @@ class SpeculativeServingEngine(ServingEngine):
                 f"{getattr(draft_model, 'vocab_size', None)}")
         if getattr(model, "paged_kv_blocks", 0) > 0:
             raise ValueError("speculative serving needs a dense-cache model")
-        for bad in ("chunk", "mesh", "adapters"):
-            if kw.get(bad) is not None and kw.get(bad, None) not in (None, 1):
+        for bad, ok in (("chunk", (None, 1)), ("mesh", (None,)),
+                        ("adapters", (None,)), ("prefill_chunk", (None, 0))):
+            if kw.get(bad) not in ok:
                 raise ValueError(f"SpeculativeServingEngine does not take "
                                  f"{bad}=")
             kw.pop(bad, None)
