@@ -166,6 +166,28 @@ class CausalSelfAttention(nn.Module):
     window: int = 0            # > 0: sliding-window (local) attention —
                                # query t sees keys (t-window, t]; flash
                                # skips out-of-band blocks, ring falls back
+    softcap: float = 0.0       # > 0: attention-logit soft-capping —
+                               # att = softcap·tanh(att/softcap) applied
+                               # after the 1/sqrt scale and BEFORE the mask
+                               # (Gemma2's attn_logit_softcapping, HF
+                               # modeling_gemma2.eager_attention_forward);
+                               # flash/ring/paged-kernel paths fall back to
+                               # the einsum forms (the kernels have no tanh
+                               # stage)
+    att_scale: float = 0.0     # > 0: attention scale DENOMINATOR override —
+                               # logits = q·k / sqrt(att_scale) instead of
+                               # sqrt(head_dim) (Gemma2's
+                               # query_pre_attn_scalar; 27B uses
+                               # d_model/n_heads=144 with head_dim 128).
+                               # Folded into q so every path keeps its
+                               # 1/sqrt(hd) convention
+    sinks: bool = False        # learned per-head attention SINKS (GPT-OSS):
+                               # a (H,) "sink" logit joins each softmax row —
+                               # probs = softmax([att, sink])[..., :-1] — so
+                               # heads can dump attention mass nowhere
+                               # (StreamingLLM's sink token, learned instead
+                               # of positional).  Einsum/decode paths only;
+                               # flash/ring/paged-kernel fall back
     causal: bool = True        # False → bidirectional (encoder/ViT);
                                # decode/flash/ring/window are causal-only
     lora_rank: int = 0         # > 0: low-rank adapters on qkv and out
@@ -255,6 +277,28 @@ class CausalSelfAttention(nn.Module):
                        else off_ + jnp.arange(T))
             q = rope(q, pos, self.rope_base)
             k = rope(k, pos, self.rope_base)
+        if self.att_scale and self.att_scale != hd:
+            # fold the non-standard denominator into q so every attention
+            # path (einsum, flash, ring, paged kernel) keeps its 1/sqrt(hd)
+            # scaling: (q·c)·k/sqrt(hd) == q·k/sqrt(att_scale)
+            q = q * math.sqrt(hd / self.att_scale)
+
+        def _cap(att):  # Gemma2 logit soft-capping, pre-mask
+            if self.softcap > 0.0:
+                return jnp.tanh(att / self.softcap) * self.softcap
+            return att
+        sink = (self.param("sink", nn.initializers.normal(0.02), (H,))
+                if self.sinks else None)
+
+        def _soft(att):  # softmax, with the per-head sink logit joined
+            if sink is None:
+                return jax.nn.softmax(att, axis=-1)
+            # GPT-OSS sinks: the sink competes in every softmax row and its
+            # probability mass is then DISCARDED — rows sum to < 1
+            s = jnp.broadcast_to(sink[None, :, None, None].astype(att.dtype),
+                                 att.shape[:3] + (1,))
+            return jax.nn.softmax(jnp.concatenate([att, s], -1),
+                                  axis=-1)[..., :-1]
         rep = H // Hkv
 
         def expand_kv(t):  # (B, S, Hkv, hd) -> (B, S, H, hd) query groups
@@ -269,6 +313,7 @@ class CausalSelfAttention(nn.Module):
         if (self.cp_axis is not None and self.mesh is not None
                 and self.window <= 0 and self.causal and segment_ids is None
                 and kv_mask is None and att_bias is None
+                and self.softcap == 0.0 and not self.sinks
                 and not decode and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
@@ -288,7 +333,8 @@ class CausalSelfAttention(nn.Module):
         # keeps the einsum path (output numerics would differ otherwise)
         if (self.flash and self.causal and not decode and T % 128 == 0
                 and segment_ids is None and kv_mask is None
-                and att_bias is None
+                and att_bias is None and self.softcap == 0.0
+                and not self.sinks
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
@@ -362,7 +408,9 @@ class CausalSelfAttention(nn.Module):
                         sk_new[:, 0])
                     psv.value = psv.value.at[rows, off % bs_].set(
                         sv_new[:, 0])
-                if self.paged_kernel and not self.is_initializing():
+                if (self.paged_kernel and self.softcap == 0.0
+                        and not self.sinks
+                        and not self.is_initializing()):
                     # pallas pool-reading attention: blocks stream through
                     # VMEM once per (slot, kv head); no gathered strip
                     from neuralnetworklibrary_tpu.ops.paged_attention import (
@@ -392,10 +440,10 @@ class CausalSelfAttention(nn.Module):
                 if self.window > 0:
                     mask &= (jnp.arange(Mp)[None, None, :]
                              > off[:, None, None] - self.window)
-                att = jnp.einsum("bqhd,bkhd->bhqk", q,
-                                 expand_kv(kf)) / math.sqrt(hd)
+                att = _cap(jnp.einsum("bqhd,bkhd->bhqk", q,
+                                      expand_kv(kf)) / math.sqrt(hd))
                 att = jnp.where(mask[:, None], att, -1e30)
-                att = jax.nn.softmax(att, axis=-1)
+                att = _soft(att)
                 out = jnp.einsum("bhqk,bkhd->bqhd", att,
                                  expand_kv(vf)).reshape(B, T, DH)
                 return proj_out(out)
@@ -460,16 +508,17 @@ class CausalSelfAttention(nn.Module):
                       * sv.value[..., None]).astype(x.dtype)
             else:
                 kf, vf = ck.value, cv.value
-            att = jnp.einsum("bqhd,bkhd->bhqk", q,
-                             expand_kv(kf)) / math.sqrt(hd)
+            att = _cap(jnp.einsum("bqhd,bkhd->bhqk", q,
+                                  expand_kv(kf)) / math.sqrt(hd))
             if att_bias is not None:
                 att = att + att_bias
             att = jnp.where(mask, att, -1e30)
-            att = jax.nn.softmax(att, axis=-1)
+            att = _soft(att)
             out = jnp.einsum("bhqk,bkhd->bqhd", att,
                              expand_kv(vf)).reshape(B, T, DH)
             return proj_out(out)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k)) / math.sqrt(hd)
+        att = _cap(jnp.einsum("bqhd,bkhd->bhqk", q, expand_kv(k))
+                   / math.sqrt(hd))
         if att_bias is not None:
             att = att + att_bias
         if kv_mask is not None:
@@ -490,7 +539,7 @@ class CausalSelfAttention(nn.Module):
                 att = jnp.where(mask, att, -1e30)
         elif segment_ids is not None:
             raise ValueError("segment_ids requires causal attention")
-        att = jax.nn.softmax(att, axis=-1)
+        att = _soft(att)
         if train and self.drop > 0.0:
             att = nn.Dropout(self.drop, deterministic=False)(att)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, expand_kv(v)).reshape(B, T, DH)
@@ -580,11 +629,32 @@ class MoEMLP(nn.Module):
                               # top-k renormalized gate — HF Mixtral's
                               # inference semantics.  Training keeps the
                               # capacity/dropping GShard semantics.
+                              # top_k > 2 is supported ONLY on this path
+                              # (GPT-OSS routes top-4; its weights =
+                              # softmax over the selected logits, which IS
+                              # the renormalized softmax restricted to the
+                              # selection).
+    act: Optional[str] = None  # expert nonlinearity override: None keeps
+                               # silu-gated/gelu; 'gptoss' is the clamped
+                               # GLU (gate≤7, |up|≤7, gate·σ(1.702·gate)
+                               # · (up+1)) of GptOssExperts.forward
+    act_limit: float = 7.0     # the 'gptoss' clamp bound
+    gate_bias: bool = False    # router carries a bias (GPT-OSS): logits =
+                               # x·W + b with b one scalar per expert
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.top_k not in (1, 2):
-            raise ValueError(f"top_k must be 1 or 2, got {self.top_k}")
+        if self.top_k > 2 and (train or not self.eval_dense):
+            raise ValueError(
+                f"top_k={self.top_k} routes only through the eval_dense "
+                "inference path; training uses the GShard top-1/2 "
+                "capacity machinery")
+        if self.top_k < 1 or self.top_k > self.n_experts:
+            raise ValueError(f"top_k must be in [1, {self.n_experts}], "
+                             f"got {self.top_k}")
+        if self.act == "gptoss" and not self.gated:
+            raise ValueError("act='gptoss' is a gated (gate/up) expert "
+                             "nonlinearity — set gated=True")
         B, T, D = x.shape
         E, F = self.n_experts, self.d_ff
         N = B * T
@@ -593,6 +663,9 @@ class MoEMLP(nn.Module):
 
         gate_w = self.param("gate", nn.initializers.lecun_normal(), (D, E))
         logits = xf @ gate_w
+        if self.gate_bias:
+            logits = logits + self.param("gate_b", nn.initializers.zeros,
+                                         (E,))
         probs = jax.nn.softmax(logits, axis=-1)                   # (N, E)
 
         i1 = jnp.argmax(probs, axis=-1)
@@ -622,13 +695,28 @@ class MoEMLP(nn.Module):
             # combined by the top-k renormalized gate (no capacity, no FCFS
             # order dependence — a token's output is independent of the
             # rest of the batch, so engine decode == solo generate always)
-            if self.top_k == 2:
+            if self.top_k > 2:
+                # general top-k: weights = softmax over the SELECTED
+                # logits scattered back to (N, E) — GPT-OSS's router
+                # (GptOssTopKRouter.forward); identical to renormalizing
+                # the full softmax over the selection
+                vals, idx = jax.lax.top_k(logits, self.top_k)      # (N, k)
+                wk = jax.nn.softmax(vals, axis=-1)
+                cw = jnp.sum(jax.nn.one_hot(idx, E, dtype=probs.dtype)
+                             * wk[..., None], axis=1)              # (N, E)
+            elif self.top_k == 2:
                 cw = (p1 / (p1 + p2 + 1e-9))[:, None] * oh1 \
                     + (p2 / (p1 + p2 + 1e-9))[:, None] * oh2      # (N, E)
             else:
                 cw = p1[:, None] * oh1
             h1 = jnp.einsum("nd,edf->nef", xf, w1) + b1[None]
-            if self.gated:
+            if self.act == "gptoss":
+                lim = self.act_limit
+                g = jnp.clip(h1, None, lim)
+                u = jnp.clip(jnp.einsum("nd,edf->nef", xf, w3) + b3[None],
+                             -lim, lim)
+                act = (u + 1.0) * (g * jax.nn.sigmoid(g * 1.702))
+            elif self.gated:
                 act = jax.nn.silu(h1) * (
                     jnp.einsum("nd,edf->nef", xf, w3) + b3[None])
             else:
@@ -663,7 +751,14 @@ class MoEMLP(nn.Module):
 
         xin = jnp.einsum("nec,nd->ecd", dispatch, xf)
         xin = _constrain(xin, self.mesh, P(self.expert_axis, None, None))
-        if self.gated:
+        if self.act == "gptoss":
+            lim = self.act_limit
+            g = jnp.clip(jnp.einsum("ecd,edf->ecf", xin, w1)
+                         + b1[:, None, :], None, lim)
+            u = jnp.clip(jnp.einsum("ecd,edf->ecf", xin, w3)
+                         + b3[:, None, :], -lim, lim)
+            h = (u + 1.0) * (g * jax.nn.sigmoid(g * 1.702))
+        elif self.gated:
             h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", xin, w1)
                             + b1[:, None, :]) \
                 * (jnp.einsum("ecd,edf->ecf", xin, w3) + b3[:, None, :])
@@ -693,6 +788,8 @@ class TransformerBlock(nn.Module):
     moe_top_k: int = 2
     moe_z_weight: float = 0.0
     moe_eval_dense: bool = False
+    moe_act: Optional[str] = None   # expert nonlinearity ('gptoss')
+    moe_gate_bias: bool = False     # router bias (GPT-OSS)
     expert_axis: str = "model"
     mesh: Optional[Mesh] = None
     sp: bool = False
@@ -710,6 +807,14 @@ class TransformerBlock(nn.Module):
     rms_norm: bool = False
     norm_eps: float = 1e-6
     window: int = 0
+    softcap: float = 0.0            # attention-logit soft-capping (Gemma2)
+    att_scale: float = 0.0          # q·k/sqrt(att_scale) denominator
+                                    # override (Gemma2 query_pre_attn_scalar)
+    post_norm: bool = False         # Gemma2 "sandwich" norms: each sublayer
+                                    # output is normalized AGAIN (ln1_post /
+                                    # ln2_post) before the residual add
+    sinks: bool = False             # learned per-head attention sinks
+                                    # (GPT-OSS)
     causal: bool = True
     exact_gelu: bool = False
     lora_rank: int = 0
@@ -741,29 +846,36 @@ class TransformerBlock(nn.Module):
 
         x = seq(x)
         h = norm("ln1")(x)
-        x = x + CausalSelfAttention(self.d_model, self.n_heads, self.drop,
-                                    max_len=self.max_len, flash=self.flash,
-                                    mesh=self.mesh, cp_axis=self.cp_axis,
-                                    n_kv_heads=self.n_kv_heads,
-                                    use_rope=self.use_rope,
-                                    rope_base=self.rope_base,
-                                    head_dim=self.head_dim,
-                                    qk_norm=self.qk_norm,
-                                    norm_eps=self.norm_eps,
-                                    window=self.window, causal=self.causal,
-                                    lora_rank=self.lora_rank,
-                                    lora_alpha=self.lora_alpha,
-                                    n_adapters=self.n_adapters,
-                                    kv_quant=self.kv_quant,
-                                    paged_blocks=self.paged_blocks,
-                                    paged_block=self.paged_block,
-                                    paged_kernel=self.paged_kernel,
-                                    name="attn")(h, train=train,
-                                                 decode=decode, offset=offset,
-                                                 segment_ids=segment_ids,
-                                                 positions=positions,
-                                                 adapter_ids=adapter_ids,
-                                                 block_table=block_table)
+        a = CausalSelfAttention(self.d_model, self.n_heads, self.drop,
+                                max_len=self.max_len, flash=self.flash,
+                                mesh=self.mesh, cp_axis=self.cp_axis,
+                                n_kv_heads=self.n_kv_heads,
+                                use_rope=self.use_rope,
+                                rope_base=self.rope_base,
+                                head_dim=self.head_dim,
+                                qk_norm=self.qk_norm,
+                                norm_eps=self.norm_eps,
+                                window=self.window,
+                                softcap=self.softcap,
+                                att_scale=self.att_scale,
+                                sinks=self.sinks,
+                                causal=self.causal,
+                                lora_rank=self.lora_rank,
+                                lora_alpha=self.lora_alpha,
+                                n_adapters=self.n_adapters,
+                                kv_quant=self.kv_quant,
+                                paged_blocks=self.paged_blocks,
+                                paged_block=self.paged_block,
+                                paged_kernel=self.paged_kernel,
+                                name="attn")(h, train=train,
+                                             decode=decode, offset=offset,
+                                             segment_ids=segment_ids,
+                                             positions=positions,
+                                             adapter_ids=adapter_ids,
+                                             block_table=block_table)
+        if self.post_norm:
+            a = norm("ln1_post")(a)
+        x = x + a
         x = seq(x)
         h = norm("ln2")(x)
         if self.n_experts > 0:
@@ -773,6 +885,7 @@ class TransformerBlock(nn.Module):
                             top_k=self.moe_top_k,
                             z_weight=self.moe_z_weight,
                             gated=self.gated_mlp,
+                            act=self.moe_act, gate_bias=self.moe_gate_bias,
                             eval_dense=self.moe_eval_dense, name="moe")(
                                 h, train=train)
         else:
@@ -783,6 +896,8 @@ class TransformerBlock(nn.Module):
                     n_adapters=self.n_adapters,
                     name="mlp")(h, train=train, adapter_ids=adapter_ids)
             aux = jnp.zeros((), x.dtype)
+        if self.post_norm:
+            y = norm("ln2_post")(y)
         return seq(x + y), aux
 
 
@@ -812,7 +927,11 @@ class TransformerLM(nn.Module):
     moe_eval_dense: bool = False    # eval/decode run the exact dropless
                                     # all-experts path (HF Mixtral
                                     # inference semantics; training keeps
-                                    # capacity routing)
+                                    # capacity routing); required for
+                                    # moe_top_k > 2 (GPT-OSS top-4)
+    moe_act: Optional[str] = None   # expert nonlinearity: 'gptoss' = the
+                                    # clamped GLU gate·σ(1.702·gate)·(up+1)
+    moe_gate_bias: bool = False     # per-expert router bias (GPT-OSS)
     capacity_factor: float = 1.25
     expert_axis: str = "model"      # mesh axis the (E, ...) expert weights
                                     # shard over; a DEDICATED axis (e.g.
@@ -854,6 +973,30 @@ class TransformerLM(nn.Module):
                                     # recompute per block in the backward
     window: int = 0                 # > 0: sliding-window attention (each
                                     # query sees the last `window` keys)
+    window_pattern: Optional[tuple] = None
+                                    # per-LAYER window overrides: a tuple of
+                                    # n_layers ints, 0 = global attention —
+                                    # Gemma2 alternates sliding/full layers
+                                    # (HF config.layer_types); overrides
+                                    # ``window`` where set
+    attn_softcap: float = 0.0       # > 0: soft-cap every layer's attention
+                                    # logits at ±attn_softcap via tanh
+                                    # (Gemma2 attn_logit_softcapping=50)
+    logit_softcap: float = 0.0      # > 0: soft-cap the FINAL lm logits
+                                    # (Gemma2 final_logit_softcapping=30);
+                                    # incompatible with fused_ce (the capped
+                                    # logits must materialize)
+    att_scale: float = 0.0          # > 0: attention denominator override —
+                                    # q·k/sqrt(att_scale) (Gemma2
+                                    # query_pre_attn_scalar)
+    post_norm: bool = False         # Gemma2 sandwich norms: ln1_post /
+                                    # ln2_post after each sublayer, before
+                                    # its residual add
+    sinks: bool = False             # learned per-head attention sinks: a
+                                    # (H,) logit per layer joins every
+                                    # softmax row and its mass is dropped
+                                    # (GPT-OSS); flash/ring/paged-kernel
+                                    # fall back to einsum paths
     lora_rank: int = 0              # > 0: LoRA — rank-r adapters on every
                                     # block projection (qkv, out, fc_in,
                                     # fc_gate, fc_out; MoE experts excluded).
@@ -1024,6 +1167,15 @@ class TransformerLM(nn.Module):
         if self.norm not in ("layernorm", "rmsnorm"):
             raise ValueError(
                 f"norm must be 'layernorm' or 'rmsnorm', got {self.norm!r}")
+        if (self.window_pattern is not None
+                and len(self.window_pattern) != self.n_layers):
+            raise ValueError(
+                f"window_pattern needs one entry per layer "
+                f"({self.n_layers}), got {len(self.window_pattern)}")
+        if self.logit_softcap > 0.0 and self.fused_ce:
+            raise ValueError(
+                "logit_softcap is incompatible with fused_ce: the capped "
+                "logits must materialize (the chunked CE streams raw h·W)")
         aux_total = jnp.zeros((), h.dtype)
         block_cls = TransformerBlock
         if self.remat and not decode:
@@ -1040,6 +1192,7 @@ class TransformerLM(nn.Module):
                 capacity_factor=self.capacity_factor,
                 moe_top_k=self.moe_top_k, moe_z_weight=self.moe_z_weight,
                 moe_eval_dense=self.moe_eval_dense,
+                moe_act=self.moe_act, moe_gate_bias=self.moe_gate_bias,
                 expert_axis=self.expert_axis,
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
@@ -1049,7 +1202,10 @@ class TransformerLM(nn.Module):
                 gated_mlp=self.mlp in ("swiglu", "geglu"),
                 mlp_act="gelu" if self.mlp == "geglu" else None,
                 rms_norm=self.norm == "rmsnorm", norm_eps=self.norm_eps,
-                window=self.window,
+                window=(self.window_pattern[i]
+                        if self.window_pattern is not None else self.window),
+                softcap=self.attn_softcap, att_scale=self.att_scale,
+                post_norm=self.post_norm, sinks=self.sinks,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 n_adapters=self.n_adapters, kv_quant=self.kv_quant,
                 paged_blocks=self.paged_kv_blocks,
@@ -1072,6 +1228,10 @@ class TransformerLM(nn.Module):
                 return h, head, aux_total / n_moe
             return h, head
         logits = jnp.einsum("btd,vd->btv", h, head)
+        if self.logit_softcap > 0.0:
+            # Gemma2 final_logit_softcapping: logits = cap·tanh(logits/cap)
+            logits = jnp.tanh(logits / self.logit_softcap) \
+                * self.logit_softcap
         if self.n_experts > 0:
             return logits, h, aux_total / n_moe
         return logits, h

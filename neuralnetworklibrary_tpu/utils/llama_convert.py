@@ -205,6 +205,135 @@ def load_gemma(state_dict, n_layers: int, n_heads: int, d_model: int,
     return model, params
 
 
+def load_gemma2(state_dict, n_layers: int, n_heads: int, d_model: int,
+                vocab_size: int, head_dim: int = 256, n_kv_heads: int = 0,
+                d_ff: int = 0, max_len: int = 4096,
+                rope_base: float = 10000.0, norm_eps: float = 1e-6,
+                query_pre_attn_scalar: float = 256.0,
+                attn_softcap: float = 50.0, logit_softcap: float = 30.0,
+                sliding_window: int = 4096, layer_types=None,
+                drop: float = 0.0, **model_kw):
+    """HF Gemma2ForCausalLM → TransformerLM.  Gemma2 on top of Gemma:
+
+    - SANDWICH norms (``post_norm=True``): each sublayer output is
+      RMS-normalized again before its residual add — HF's
+      post_attention_layernorm is attention's POST-norm (→ ln1_post) and
+      the MLP gets pre/post_feedforward_layernorm (→ ln2 / ln2_post),
+    - tanh soft-capping of the attention logits (attn_logit_softcapping=50
+      → ``attn_softcap``) and the final lm logits
+      (final_logit_softcapping=30 → ``logit_softcap``),
+    - alternating local/global attention: config.layer_types marks every
+      other layer "sliding_attention" (window 4096) → ``window_pattern``,
+    - attention scaled by 1/sqrt(query_pre_attn_scalar) instead of
+      1/sqrt(head_dim) (→ ``att_scale``; 27B uses 4608/32=144 with hd 128).
+
+    All RMSNorm weights are zero-centered like Gemma (folded to 1 + w).
+    ``layer_types`` defaults to the HF alternation (even layers sliding).
+    Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    params = convert_llama_state_dict(state_dict, n_layers)
+    sd = dict(state_dict)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    for i in range(n_layers):
+        blk = params[f"block_{i}"]
+        p = f"layers.{i}."
+        blk["ln1"] = {"scale":
+                      _t(sd[p + "input_layernorm.weight"]) + 1.0}
+        blk["ln1_post"] = {"scale":
+                           _t(sd[p + "post_attention_layernorm.weight"])
+                           + 1.0}
+        blk["ln2"] = {"scale":
+                      _t(sd[p + "pre_feedforward_layernorm.weight"]) + 1.0}
+        blk["ln2_post"] = {"scale":
+                           _t(sd[p + "post_feedforward_layernorm.weight"])
+                           + 1.0}
+    params["ln_f"]["scale"] = params["ln_f"]["scale"] + 1.0
+    if layer_types is None:
+        layer_types = ["sliding_attention" if (i + 1) % 2 else
+                       "full_attention" for i in range(n_layers)]
+    wp = tuple(int(sliding_window) if t == "sliding_attention" else 0
+               for t in layer_types)
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="geglu", norm="rmsnorm",
+        norm_eps=norm_eps, head_dim=head_dim,
+        embed_scale=float(d_model) ** 0.5, post_norm=True,
+        att_scale=float(query_pre_attn_scalar),
+        attn_softcap=float(attn_softcap or 0.0),
+        logit_softcap=float(logit_softcap or 0.0),
+        window_pattern=wp,
+        tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
+def load_phi3(state_dict, n_layers: int, n_heads: int, d_model: int,
+              vocab_size: int, n_kv_heads: int = 0, d_ff: int = 0,
+              max_len: int = 4096, rope_base: float = 10000.0,
+              norm_eps: float = 1e-5, window: int = 0,
+              drop: float = 0.0, **model_kw):
+    """HF Phi3ForCausalLM → TransformerLM.  Phi-3 is the Llama block with
+    the q/k/v and gate/up projections ALREADY fused in the checkpoint
+    (modeling_phi3.py: qkv_proj is [q | k | v] in this framework's own
+    column order; gate_up_proj is [gate (silu side) | up]), bias-free,
+    untied lm_head; the mini-4k variants carry a sliding_window (2047)
+    applied to every layer.  rope_scaling (longrope 128k variants) is not
+    supported — pass checkpoints with partial_rotary_factor 1 and no
+    scaling.  Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    sd = dict(state_dict)
+    head = _t(sd["lm_head.weight"]) if "lm_head.weight" in sd else None
+    sd = {k[len("model."):]: v for k, v in sd.items()
+          if k.startswith("model.")}
+    if head is not None and np.array_equal(head,
+                                           _t(sd["embed_tokens.weight"])):
+        head = None
+    params: dict = {
+        "word_embed": _t(sd["embed_tokens.weight"]),
+        "ln_f": {"scale": _t(sd["norm.weight"])},
+    }
+    if head is not None:
+        params["lm_head"] = head
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        qkv = _t(sd[p + "self_attn.qkv_proj.weight"]).T   # (D, (H+2Hkv)·hd)
+        o = _t(sd[p + "self_attn.o_proj.weight"]).T
+        gu = _t(sd[p + "mlp.gate_up_proj.weight"]).T      # (D, 2F)
+        gate, up = np.split(gu, 2, axis=1)
+        down = _t(sd[p + "mlp.down_proj.weight"]).T
+        params[f"block_{i}"] = {
+            "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
+            "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
+            "attn": {
+                "qkv": {"kernel": qkv,
+                        "bias": np.zeros(qkv.shape[1], np.float32)},
+                "out": {"kernel": o,
+                        "bias": np.zeros(o.shape[1], np.float32)},
+            },
+            "mlp": {
+                "fc_in": {"kernel": gate,
+                          "bias": np.zeros(gate.shape[1], np.float32)},
+                "fc_gate": {"kernel": up,
+                            "bias": np.zeros(up.shape[1], np.float32)},
+                "fc_out": {"kernel": down,
+                           "bias": np.zeros(down.shape[1], np.float32)},
+            },
+        }
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
+        norm_eps=norm_eps, window=window,
+        tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
 def convert_mixtral_state_dict(state_dict, n_layers: int,
                                n_experts: int) -> dict:
     """HF MixtralForCausalLM state_dict → TransformerLM params.
@@ -292,6 +421,106 @@ def load_mixtral(state_dict, n_layers: int, n_heads: int, d_model: int,
     return model, params
 
 
+def load_gpt_oss(state_dict, n_layers: int, n_heads: int, d_model: int,
+                 vocab_size: int, n_experts: int = 32, moe_top_k: int = 4,
+                 head_dim: int = 64, n_kv_heads: int = 0, d_ff: int = 0,
+                 max_len: int = 4096, rope_base: float = 150000.0,
+                 norm_eps: float = 1e-5, sliding_window: int = 128,
+                 layer_types=None, drop: float = 0.0, **model_kw):
+    """HF GptOssForCausalLM → TransformerLM.  GPT-OSS vs the Llama block:
+
+    - learned per-head attention SINKS (modeling_gpt_oss.py:257-258: a
+      (H,) logit joins every softmax row, its mass discarded →
+      ``sinks=True``),
+    - alternating sliding/full attention via config.layer_types
+      (window 128 → ``window_pattern``), attention q/k/v/o biases,
+    - a top-4 MoE in EVERY layer: router WITH bias
+      (``moe_gate_bias=True``), weights = softmax over the selected
+      logits (the eval_dense top_k>2 path), experts with INTERLEAVED
+      [gate|up] columns (gate_up_proj[..., ::2] / [..., 1::2] —
+      de-interleaved here into w1/w3) and the clamped GLU
+      gate·σ(1.702·gate)·(up+1) (``moe_act="gptoss"``), all biased.
+
+    The HF expert tensors are (E, D, 2F)/(E, F, D) parameters already in
+    (in, out) orientation — no transpose.  YaRN rope_scaling (the 131k
+    context extension) is NOT implemented: load with rope_scaling=None
+    semantics (exact for positions within the original window only if the
+    checkpoint was trained without scaling; random-init parity in
+    tests/test_llama_parity.py uses rope_scaling=None).  Checkpoints
+    shipping MXFP4-quantized expert blocks must be dequantized to float
+    state_dicts first.  Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    sd = dict(state_dict)
+    head = _t(sd["lm_head.weight"]) if "lm_head.weight" in sd else None
+    sd = {k[len("model."):]: v for k, v in sd.items()
+          if k.startswith("model.")}
+    if head is not None and np.array_equal(head,
+                                           _t(sd["embed_tokens.weight"])):
+        head = None
+    params: dict = {
+        "word_embed": _t(sd["embed_tokens.weight"]),
+        "ln_f": {"scale": _t(sd["norm.weight"])},
+    }
+    if head is not None:
+        params["lm_head"] = head
+
+    def _b(key, width):
+        return _t(sd[key]) if key in sd else np.zeros(width, np.float32)
+
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        q = _t(sd[p + "self_attn.q_proj.weight"]).T
+        k = _t(sd[p + "self_attn.k_proj.weight"]).T
+        v = _t(sd[p + "self_attn.v_proj.weight"]).T
+        qkv = np.concatenate([q, k, v], axis=1)
+        qkv_b = np.concatenate([
+            _b(p + "self_attn.q_proj.bias", q.shape[1]),
+            _b(p + "self_attn.k_proj.bias", k.shape[1]),
+            _b(p + "self_attn.v_proj.bias", v.shape[1])])
+        o = _t(sd[p + "self_attn.o_proj.weight"]).T
+        gu = _t(sd[p + "mlp.experts.gate_up_proj"])       # (E, D, 2F)
+        gub = _t(sd[p + "mlp.experts.gate_up_proj_bias"])  # (E, 2F)
+        w2 = _t(sd[p + "mlp.experts.down_proj"])          # (E, F, D)
+        b2 = _t(sd[p + "mlp.experts.down_proj_bias"])     # (E, D)
+        params[f"block_{i}"] = {
+            "ln1": {"scale": _t(sd[p + "input_layernorm.weight"])},
+            "ln2": {"scale": _t(sd[p + "post_attention_layernorm.weight"])},
+            "attn": {
+                "qkv": {"kernel": qkv, "bias": qkv_b},
+                "out": {"kernel": o,
+                        "bias": _b(p + "self_attn.o_proj.bias",
+                                   o.shape[1])},
+                "sink": _t(sd[p + "self_attn.sinks"]),
+            },
+            "moe": {
+                "gate": _t(sd[p + "mlp.router.weight"]).T,   # (D, E)
+                "gate_b": _t(sd[p + "mlp.router.bias"]),
+                "w1": np.ascontiguousarray(gu[..., 0::2]),   # gate side
+                "b1": np.ascontiguousarray(gub[..., 0::2]),
+                "w3": np.ascontiguousarray(gu[..., 1::2]),   # up side
+                "b3": np.ascontiguousarray(gub[..., 1::2]),
+                "w2": w2, "b2": b2,
+            },
+        }
+    if layer_types is None:
+        layer_types = ["sliding_attention" if i % 2 == 0 else
+                       "full_attention" for i in range(n_layers)]
+    wp = tuple(int(sliding_window) if t == "sliding_attention" else 0
+               for t in layer_types)
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len, drop=drop, pos_embedding="rope",
+        rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
+        norm_eps=norm_eps, head_dim=head_dim, sinks=True,
+        window_pattern=wp, n_experts=n_experts, moe_every=1,
+        moe_top_k=moe_top_k, moe_eval_dense=True, moe_act="gptoss",
+        moe_gate_bias=True,
+        tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
 def load_llama_dir(path: str, max_len: int = 0, **model_kw):
     """Load a Llama-family HF snapshot DIRECTORY (config.json +
     .safetensors, single-file or index-sharded) → (model, params).
@@ -338,6 +567,34 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
             sd, n_experts=cfg.get("num_local_experts", 8),
             moe_top_k=cfg.get("num_experts_per_tok", 2),
             window=window, **common, **model_kw)
+    if mt == "gemma2":
+        # Gemma2's sliding_window rides window_pattern (per-layer
+        # alternation from config.layer_types), NOT the global window=
+        common["norm_eps"] = float(cfg.get("rms_norm_eps", 1e-6))
+        return load_gemma2(
+            sd, head_dim=cfg.get("head_dim", 256),
+            query_pre_attn_scalar=float(
+                cfg.get("query_pre_attn_scalar", 256)),
+            attn_softcap=float(cfg.get("attn_logit_softcapping") or 0.0),
+            logit_softcap=float(cfg.get("final_logit_softcapping") or 0.0),
+            sliding_window=int(cfg.get("sliding_window") or 0),
+            layer_types=cfg.get("layer_types"), **common, **model_kw)
+    if mt == "gpt_oss":
+        if cfg.get("rope_scaling"):
+            raise ValueError("gpt_oss YaRN rope_scaling is not supported "
+                             "yet — dequantize + strip scaling, or load "
+                             "contexts within the original window")
+        return load_gpt_oss(
+            sd, n_experts=cfg.get("num_local_experts", 32),
+            moe_top_k=cfg.get("num_experts_per_tok", 4),
+            head_dim=cfg.get("head_dim", 64),
+            sliding_window=int(cfg.get("sliding_window") or 0),
+            layer_types=cfg.get("layer_types"), **common, **model_kw)
+    if mt == "phi3":
+        if cfg.get("rope_scaling"):
+            raise ValueError("phi3 rope_scaling (longrope) checkpoints "
+                             "are not supported")
+        return load_phi3(sd, window=window, **common, **model_kw)
     if window:
         model_kw.setdefault("window", window)
     if mt == "qwen3":

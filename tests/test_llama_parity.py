@@ -450,3 +450,196 @@ def test_load_llama_dir_dispatches_qwen3_and_gemma(tmp_path):
         want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _gemma2_hf(hd=24, window=8, seed=31):
+    """Random-init Gemma2 with every Gemma2-specific knob NON-trivial:
+    small softcaps (so the tanh actually bends random-init logits), a
+    sliding window shorter than the test sequences (so local vs global
+    layers differ), query_pre_attn_scalar != head_dim, and randomized
+    zero-centered norm weights on all FOUR per-block norms."""
+    cfg = transformers.Gemma2Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=hd, max_position_embeddings=M,
+        rms_norm_eps=1e-6, rope_theta=THETA,
+        hidden_activation="gelu_pytorch_tanh", attention_dropout=0.0,
+        query_pre_attn_scalar=13.0, attn_logit_softcapping=5.0,
+        final_logit_softcapping=2.0, sliding_window=window)
+    torch.manual_seed(seed)
+    hf = transformers.Gemma2ForCausalLM(cfg)
+    hf.eval()
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.input_layernorm.weight.normal_(0.0, 0.2)
+            layer.post_attention_layernorm.weight.normal_(0.0, 0.2)
+            layer.pre_feedforward_layernorm.weight.normal_(0.0, 0.2)
+            layer.post_feedforward_layernorm.weight.normal_(0.0, 0.2)
+        hf.model.norm.weight.normal_(0.0, 0.2)
+    return cfg, hf
+
+
+def test_gemma2_logits_and_generation_parity():
+    """Gemma2 = Gemma + sandwich post-norms, tanh attention/final logit
+    soft-capping, alternating sliding/full layers, query_pre_attn_scalar
+    attention scale (modeling_gemma2.py: eager_attention_forward softcap,
+    layer_types sliding_attention alternation)."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_gemma2
+
+    HD, W = 24, 8
+    cfg, hf = _gemma2_hf(hd=HD, window=W)
+    model, params = load_gemma2(hf.state_dict(), n_layers=L, n_heads=H,
+                                n_kv_heads=HKV, d_model=D, d_ff=F,
+                                vocab_size=V, head_dim=HD, max_len=M,
+                                rope_base=THETA, norm_eps=1e-6,
+                                query_pre_attn_scalar=13.0,
+                                attn_softcap=5.0, logit_softcap=2.0,
+                                sliding_window=W,
+                                layer_types=cfg.layer_types)
+    assert model.tied_decoder and model.post_norm
+    assert model.window_pattern == tuple(
+        W if t == "sliding_attention" else 0 for t in cfg.layer_types)
+    assert any(w == 0 for w in model.window_pattern) and any(
+        w == W for w in model.window_pattern)
+    rng = np.random.default_rng(19)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)   # T=13 > window=8
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    # greedy generation crosses the sliding-window boundary mid-decode —
+    # pins the per-layer-window KV-cached path against HF's cache
+    n = 6
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_load_llama_dir_dispatches_gemma2(tmp_path):
+    """model_type gemma2 routes to load_gemma2 with the softcaps, scalar,
+    and layer_types picked up from config.json — and the generic
+    sliding_window→window fallback must NOT fire (the window rides
+    window_pattern)."""
+    import json
+
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        save_safetensors)
+
+    HD, W = 24, 8
+    cfg, hf = _gemma2_hf(hd=HD, window=W, seed=37)
+    d = tmp_path / "gemma2"
+    d.mkdir()
+    jc = dict(model_type="gemma2", num_hidden_layers=L,
+              num_attention_heads=H, num_key_value_heads=HKV,
+              hidden_size=D, intermediate_size=F, vocab_size=V,
+              head_dim=HD, max_position_embeddings=M, rope_theta=THETA,
+              rms_norm_eps=1e-6, query_pre_attn_scalar=13.0,
+              attn_logit_softcapping=5.0, final_logit_softcapping=2.0,
+              sliding_window=W, layer_types=list(cfg.layer_types))
+    (d / "config.json").write_text(json.dumps(jc))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_safetensors(sd, str(d / "model.safetensors"))
+    model, params = load_llama_dir(str(d))
+    assert model.window == 0 and model.post_norm
+    assert model.attn_softcap == 5.0 and model.logit_softcap == 2.0
+    rng = np.random.default_rng(21)
+    x = rng.integers(0, V, (1, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_phi3_logits_and_generation_parity():
+    """Phi-3 = the Llama block with checkpoint-fused [q|k|v] qkv_proj and
+    [gate|up] gate_up_proj (modeling_phi3.py:160,54) and a sliding window
+    on every layer (mini-4k ships 2047) — window=8 here so the sequences
+    actually cross it."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_phi3
+
+    W = 8
+    cfg = transformers.Phi3Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        sliding_window=W, pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    torch.manual_seed(41)
+    hf = transformers.Phi3ForCausalLM(cfg)
+    hf.eval()
+    model, params = load_phi3(hf.state_dict(), n_layers=L, n_heads=H,
+                              n_kv_heads=HKV, d_model=D, d_ff=F,
+                              vocab_size=V, max_len=M, rope_base=THETA,
+                              norm_eps=1e-5, window=W)
+    assert not model.tied_decoder and model.window == W
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)    # T=13 > window=8
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    n = 6
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_gpt_oss_logits_and_generation_parity():
+    """GPT-OSS = attention sinks + alternating sliding/full layers +
+    biased q/k/v/o + a biased top-k router whose weights are the softmax
+    over the selected logits + clamped-GLU experts with interleaved
+    [gate|up] columns (modeling_gpt_oss.py GptOssExperts/GptOssTopKRouter).
+    top_k=3 of 4 experts exercises the general (k>2) eval_dense path;
+    window=8 < T so sliding and full layers genuinely differ.
+    rope_scaling=None (YaRN unsupported — random-init parity only needs
+    plain rope)."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_gpt_oss
+
+    HD, W, E, K = 24, 8, 4, 3
+    cfg = transformers.GptOssConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=HD, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, rope_scaling=None,
+        tie_word_embeddings=False, attention_dropout=0.0,
+        num_local_experts=E, num_experts_per_tok=K, sliding_window=W,
+        pad_token_id=0)
+    torch.manual_seed(47)
+    hf = transformers.GptOssForCausalLM(cfg)
+    hf.eval()
+    model, params = load_gpt_oss(hf.state_dict(), n_layers=L, n_heads=H,
+                                 n_kv_heads=HKV, d_model=D, d_ff=F,
+                                 vocab_size=V, head_dim=HD, max_len=M,
+                                 rope_base=THETA, norm_eps=1e-5,
+                                 n_experts=E, moe_top_k=K,
+                                 sliding_window=W,
+                                 layer_types=cfg.layer_types)
+    assert model.sinks and model.moe_gate_bias and model.moe_top_k == K
+    assert model.window_pattern == (W, 0, W)
+    rng = np.random.default_rng(29)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)    # T=13 > window=8
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    n = 6
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)

@@ -765,3 +765,93 @@ def test_dedicated_expert_axis_3d_mesh():
     # attention stays Megatron-sharded over 'model' on the same mesh
     qkv = learner.params["block_0"]["attn"]["qkv"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
+
+
+# ------------------------------- Gemma2 / GPT-OSS class features (s11)
+
+
+def test_modern_caps_sinks_decode_matches_full_forward():
+    """Sandwich post-norms + attention/final softcaps + per-layer windows +
+    sinks + att_scale: the KV-cached decode path reproduces the full
+    forward exactly (the einsum and decode paths implement the same
+    capped/sunk softmax)."""
+    model = _model(norm="rmsnorm", mlp="geglu", pos_embedding="rope",
+                   post_norm=True, attn_softcap=5.0, logit_softcap=4.0,
+                   window_pattern=(4, 0), sinks=True, att_scale=13.0)
+    x = _batch(7)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "sink" in variables["params"]["block_0"]["attn"]
+    assert "ln1_post" in variables["params"]["block_0"]
+    full = model.apply(variables, x)[0]
+    cache = init_cache(model, B)
+    out, mut = model.apply({**variables, "cache": cache}, x[:, :4],
+                           decode=True, mutable=["cache"])
+    got = [out[0]]
+    cache = mut["cache"]
+    for t in range(4, T):
+        out, mut = model.apply({**variables, "cache": cache}, x[:, t:t + 1],
+                               decode=True, mutable=["cache"])
+        got.append(out[0])
+        cache = mut["cache"]
+    got = jnp.concatenate(got, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_softcap_actually_caps_and_sinks_shrink_rows():
+    """logit_softcap bounds every logit strictly below the cap; sinks make
+    attention rows sum to < 1 (mass is discarded), so logits differ from
+    the sink-free model with the same weights."""
+    base = _model(pos_embedding="rope")
+    capped = _model(pos_embedding="rope", logit_softcap=0.5)
+    x = _batch(5)
+    v = base.init(jax.random.PRNGKey(1), x)
+    lc = capped.apply(v, x)[0]
+    assert float(jnp.max(jnp.abs(lc))) < 0.5
+    lb = base.apply(v, x)[0]
+    assert float(jnp.max(jnp.abs(lb))) > float(jnp.max(jnp.abs(lc)))
+    import flax
+
+    sunk = _model(pos_embedding="rope", sinks=True)
+    vs = sunk.init(jax.random.PRNGKey(1), x)
+    # force NONZERO sink logits (init is ~N(0, 0.02), near-neutral)
+    params = flax.core.unfreeze(vs["params"])
+    for i in range(L):
+        params[f"block_{i}"]["attn"]["sink"] = (
+            params[f"block_{i}"]["attn"]["sink"] + 3.0)
+    ls = sunk.apply({"params": params}, x)[0]
+    base_params = {k: (dict(v) if isinstance(v, dict) else v)
+                   for k, v in params.items()}
+    for i in range(L):
+        base_params[f"block_{i}"] = dict(base_params[f"block_{i}"])
+        base_params[f"block_{i}"]["attn"] = dict(
+            base_params[f"block_{i}"]["attn"])
+        del base_params[f"block_{i}"]["attn"]["sink"]
+    l0 = base.apply({"params": base_params}, x)[0]
+    assert float(jnp.max(jnp.abs(ls - l0))) > 1e-3
+
+
+def test_modern_config_trains_through_learner():
+    """The full Gemma2/GPT-OSS-flavored config (caps, sinks, sandwich
+    norms, alternating windows) trains: gradients flow through the tanh
+    caps and the discarded-mass softmax."""
+    losses, _ = _train(None, None, n_steps=40, norm="rmsnorm", mlp="geglu",
+                       pos_embedding="rope", post_norm=True,
+                       attn_softcap=20.0, logit_softcap=15.0,
+                       window_pattern=(4, 0), sinks=True, att_scale=13.0)
+    assert losses[-1] < 0.7 * losses[0]
+
+
+def test_new_option_validation():
+    x = _batch(0)
+    with pytest.raises(ValueError, match="window_pattern"):
+        _model(window_pattern=(4,)).init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="fused_ce"):
+        _model(logit_softcap=5.0, fused_ce=True).init(
+            jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="eval_dense"):
+        _model(n_experts=4, moe_every=1, moe_top_k=3).init(
+            jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="gated"):
+        _model(n_experts=4, moe_every=1, moe_act="gptoss",
+               moe_eval_dense=True).init(jax.random.PRNGKey(0), x)
