@@ -240,6 +240,11 @@ class CausalSelfAttention(nn.Module):
         if H % Hkv:
             raise ValueError(f"n_heads {H} must be a multiple of "
                              f"n_kv_heads {Hkv}")
+        if self.softcap > 0.0 and att_bias is not None:
+            # no published model combines Gemma2 soft-capping with T5-style
+            # additive position biases; the cap-then-bias order would be an
+            # unpinned semantic, so reject the pair outright
+            raise ValueError("softcap and att_bias cannot be combined")
 
         def proj_out(o):  # the row-parallel output projection (+ adapter)
             y = nn.Dense(D, name="out")(o)
@@ -695,20 +700,17 @@ class MoEMLP(nn.Module):
             # combined by the top-k renormalized gate (no capacity, no FCFS
             # order dependence — a token's output is independent of the
             # rest of the batch, so engine decode == solo generate always)
-            if self.top_k > 2:
-                # general top-k: weights = softmax over the SELECTED
-                # logits scattered back to (N, E) — GPT-OSS's router
-                # (GptOssTopKRouter.forward); identical to renormalizing
-                # the full softmax over the selection
-                vals, idx = jax.lax.top_k(logits, self.top_k)      # (N, k)
-                wk = jax.nn.softmax(vals, axis=-1)
-                cw = jnp.sum(jax.nn.one_hot(idx, E, dtype=probs.dtype)
-                             * wk[..., None], axis=1)              # (N, E)
-            elif self.top_k == 2:
-                cw = (p1 / (p1 + p2 + 1e-9))[:, None] * oh1 \
-                    + (p2 / (p1 + p2 + 1e-9))[:, None] * oh2      # (N, E)
-            else:
-                cw = p1[:, None] * oh1
+            # combine weights = softmax over the SELECTED logits scattered
+            # back to (N, E) — HF's renormalized router semantics
+            # (MixtralSparseMoeBlock / GptOssTopKRouter.forward), identical
+            # to renormalizing the full softmax over the selection.  At
+            # k=2 this equals p1/(p1+p2), p2/(p1+p2); at k=1 the weight is
+            # exactly 1.0 (HF renormalizes; Switch's raw-p1 scaling is a
+            # TRAIN-path behavior and stays on the capacity path below).
+            vals, idx = jax.lax.top_k(logits, self.top_k)          # (N, k)
+            wk = jax.nn.softmax(vals, axis=-1)
+            cw = jnp.sum(jax.nn.one_hot(idx, E, dtype=probs.dtype)
+                         * wk[..., None], axis=1)                  # (N, E)
             h1 = jnp.einsum("nd,edf->nef", xf, w1) + b1[None]
             if self.act == "gptoss":
                 lim = self.act_limit

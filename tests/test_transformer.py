@@ -855,3 +855,44 @@ def test_new_option_validation():
     with pytest.raises(ValueError, match="gated"):
         _model(n_experts=4, moe_every=1, moe_act="gptoss",
                moe_eval_dense=True).init(jax.random.PRNGKey(0), x)
+
+
+def test_moe_eval_dense_top1_renormalizes():
+    """eval_dense at top_k=1 weights the selected expert by exactly 1.0
+    (HF's renormalized router), NOT the raw softmax prob — a Mixtral/
+    GPT-OSS config with num_experts_per_tok=1 must keep logits parity."""
+    from neuralnetworklibrary_tpu.nn.transformer import MoEMLP
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 16)),
+                    jnp.float32)
+    kw = dict(d_model=16, d_ff=32, n_experts=4, top_k=1, gated=True)
+    m = MoEMLP(**kw, eval_dense=True)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y, _ = m.apply(variables, x)
+
+    # manual dropless forward: route each token to argmax expert, weight 1.0
+    p = variables["params"]
+    xf = np.asarray(x).reshape(-1, 16)
+    logits = xf @ np.asarray(p["gate"])
+    sel = logits.argmax(-1)
+    w1, b1 = np.asarray(p["w1"]), np.asarray(p["b1"])
+    w2, b2 = np.asarray(p["w2"]), np.asarray(p["b2"])
+    w3, b3 = np.asarray(p["w3"]), np.asarray(p["b3"])
+    ref = np.stack([
+        (np.asarray(jax.nn.silu(t @ w1[e] + b1[e])) * (t @ w3[e] + b3[e]))
+        @ w2[e] + b2[e]
+        for t, e in zip(xf, sel)])
+    np.testing.assert_allclose(np.asarray(y).reshape(-1, 16), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_softcap_att_bias_rejected():
+    """softcap + att_bias have no pinned combined semantics — the pair is
+    rejected outright (ADVICE r3)."""
+    from neuralnetworklibrary_tpu.nn.transformer import CausalSelfAttention
+
+    x = jnp.zeros((1, 4, 16))
+    bias = jnp.zeros((1, 2, 4, 4))
+    att = CausalSelfAttention(d_model=16, n_heads=2, softcap=10.0)
+    with pytest.raises(ValueError, match="att_bias"):
+        att.init(jax.random.PRNGKey(0), x, att_bias=bias)
