@@ -283,6 +283,70 @@ def bench_transformer(epochs=3):
     return rates
 
 
+def bench_gpt2_mfu():
+    """MFU of a GPT-2-124M-scale TransformerLM train step at T=1024:
+    d768/H12/L12 ff3072 vocab 50257, bf16 compute, flash attention (block
+    512) + per-block remat + vocab-chunked fused CE — the configuration the
+    framework recommends for real LM training.  Model FLOPs come from XLA's
+    cost analysis of the optimized HLO (remat recompute counts); peak =
+    PEAK_FLOPS for the current chip.  Also returns tokens/s for the step."""
+    import types
+
+    import jax
+
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.nn.transformer import (
+        FusedSeqCrossEntropyLoss,
+        TransformerLM,
+    )
+    from neuralnetworklibrary_tpu.utils.profiling import learner_step_mfu
+
+    if SMOKE:
+        V, D, HH, L, TT, BT = 64, 32, 2, 2, 128, 2
+    else:
+        V, D, HH, L, TT, BT = 50257, 768, 12, 12, 1024, 8
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, V, (2 * BT, TT)).astype(np.int32)
+    ys = np.roll(xs, -1, axis=1).astype(np.int32)
+    ds = ArrayDataset(xs, ys)
+    data = types.SimpleNamespace(
+        target_type="lm", bs=BT,
+        train_dl=DataLoader(ds, BT, shuffle=False, prefetch=0),
+        val_dl=DataLoader(ds, BT, prefetch=0), train_ds=ds, val_ds=ds)
+    model = TransformerLM(vocab_size=V, pad_token=0, d_model=D, n_heads=HH,
+                          n_layers=L, d_ff=4 * D, max_len=TT, drop=0.0,
+                          flash_attention=True, remat=True, fused_ce=True)
+    learner = Learner("/tmp/nnl_bench_gpt2/", data, model, optimizer="Adam2",
+                      loss_func=FusedSeqCrossEntropyLoss(),
+                      compute_dtype="bfloat16")
+    learner.init_optimizer(wd=1e-6)
+    batch = next(iter(data.train_dl))
+    loss = learner.train1minibatch(batch, lr_batch=1e-4)  # donated-step compile
+    _sync(loss)
+    r = learner_step_mfu(learner, batch, iters=3 if SMOKE else 10)
+    toks = BT * TT / r["seconds_per_call"]
+    del learner
+    gc.collect()
+    return r, toks
+
+
+def bench_resnet50_mfu():
+    """MFU of an unfrozen resnet50 @224 bs64 train step (fwd+bwd+Adam under
+    one jit, device-resident batch)."""
+    from neuralnetworklibrary_tpu.parallel.mesh import device_prefetch
+    from neuralnetworklibrary_tpu.utils.profiling import learner_step_mfu
+
+    learner = build_learner("resnet50", "/tmp/nnl_bench_r50", frozen=False)
+    batch = next(iter(device_prefetch(learner.data.train_dl, learner.mesh)))
+    loss = learner.train1minibatch(batch, lr_batch=1e-3)
+    _sync(loss)
+    r = learner_step_mfu(learner, batch, iters=3 if SMOKE else 10)
+    del learner
+    gc.collect()
+    return r
+
+
 def bench_serving(reps=3):
     """KV-cached greedy decode (the serving latency path): 6-layer d512
     TransformerLM, 128-token prefill + 256 decoded tokens, batch 1
@@ -500,7 +564,16 @@ def bench_detection(epochs=3):
     # warmup: compile the (single padded shape) train step
     for b in device_prefetch(learner.data.train_dl, learner.mesh):
         loss = learner.train1minibatch(b, lr_batch=1e-4)
+        det_batch = b
     _sync(loss)
+
+    from neuralnetworklibrary_tpu.utils.profiling import learner_step_mfu
+    try:
+        det_mfu = learner_step_mfu(learner, det_batch,
+                                   iters=3 if SMOKE else 10)
+    except Exception as e:
+        print(f"# detection mfu failed: {e!r}", flush=True)
+        det_mfu = {"mfu": None}
 
     train_rates = []
     for _ in range(epochs):
@@ -521,7 +594,7 @@ def bench_detection(epochs=3):
 
     # HBM-resident mode: index-only uploads, on-device flip/photometric —
     # the tunnel-immune detection input pipeline
-    learner.enable_device_cache()
+    learner.enable_device_cache(include_val=True)
     for b in device_prefetch(learner.data.train_dl, learner.mesh):
         loss = learner.train1minibatch(b, lr_batch=1e-4)  # compile cached step
     _sync(loss)
@@ -533,9 +606,20 @@ def bench_detection(epochs=3):
             n += b.n_valid
         _sync(loss)
         cached_rates.append(n / (time.perf_counter() - t0))
+
+    # device-resident predict: fused gather→forward→decode→NMS jit over the
+    # HBM canvases — per-batch traffic is (bs,) rows up, (bs, out_k) boxes
+    # down, so the tunnel stops binding detection inference
+    learner.predict("val", thresh=0.05, max_boxes=20)  # compile cached path
+    cached_pred_rates = []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        pb, _, _ = learner.predict("val", thresh=0.05, max_boxes=20)
+        cached_pred_rates.append(len(pb) / (time.perf_counter() - t0))
     del learner
     gc.collect()
-    return train_rates, pred_rates, cached_rates
+    return (train_rates, pred_rates, cached_rates, cached_pred_rates,
+            det_mfu)
 
 
 def main():
@@ -569,9 +653,20 @@ def main():
 
     # --- AWD-LSTM LM + RetinaNet detection (VERDICT r2 items 2 & 4) -------
     lm_rates = bench_lm()
-    det_train_rates, det_pred_rates, det_cached_rates = bench_detection()
+    (det_train_rates, det_pred_rates, det_cached_rates,
+     det_cached_pred_rates, det_mfu) = bench_detection()
     struct_rates = bench_structured()
     tfm_rates = bench_transformer()
+    try:
+        gpt2_mfu, gpt2_toks = bench_gpt2_mfu()
+    except Exception as e:
+        print(f"# bench_gpt2_mfu failed: {e!r}", flush=True)
+        gpt2_mfu, gpt2_toks = {"mfu": None}, None
+    try:
+        r50_mfu = bench_resnet50_mfu()
+    except Exception as e:
+        print(f"# bench_resnet50_mfu failed: {e!r}", flush=True)
+        r50_mfu = {"mfu": None}
     try:
         serving = bench_serving()
     except Exception as e:  # serving is additive — never sink the bench
@@ -616,9 +711,19 @@ def main():
                                     round(max(det_pred_rates), 1)],
         "detection_train_cached_img_per_sec": round(
             float(np.median(det_cached_rates)), 2),
+        "detection_predict_cached_img_per_sec": round(
+            float(np.median(det_cached_pred_rates)), 2),
         "transformer_tokens_per_sec": round(float(np.median(tfm_rates)), 0),
         "transformer_epoch_range": [round(min(tfm_rates), 0),
                                     round(max(tfm_rates), 0)],
+        "gpt2_124m_mfu": (None if gpt2_mfu.get("mfu") is None
+                          else round(gpt2_mfu["mfu"], 3)),
+        "gpt2_124m_tokens_per_sec": (None if gpt2_toks is None
+                                     else round(gpt2_toks, 0)),
+        "resnet50_mfu": (None if r50_mfu.get("mfu") is None
+                         else round(r50_mfu["mfu"], 3)),
+        "retinanet50_mfu": (None if det_mfu.get("mfu") is None
+                            else round(det_mfu["mfu"], 3)),
         "decode_tokens_per_sec_b1": (
             None if serving[1] is None else round(serving[1], 1)),
         "decode_tokens_per_sec_b16": (
@@ -632,31 +737,11 @@ def main():
         "structured_vs_baseline": round(
             float(np.median(struct_rates)) / 27000.0, 2),
         "baseline": BASELINE,
-        "note": "median per-epoch img/s; baseline = P6000 Dogbreed "
-                "senet154@224 bs64 frozen fit incl. eval pass (BASELINE.md). "
-                "Headline uses ImageLearner.enable_device_cache (decode once "
-                "to HBM, index-only uploads, on-device MXU-warp augmentation "
-                "with PER-IMAGE rotate-zoom - reference-faithful semantics; "
-                "senet154_batchgeo_e2e is the batch-shared-geometry max-perf "
-                "mode, A/B accuracy-equal). hostpath_e2e = "
-                "per-epoch host decode/augment + uint8 upload, bound by the "
-                "shared tunnel's ~50 MB/s upload on this box; device_only = "
-                "pre-staged batch, pure train-step throughput. lm_* = "
-                "AWD-LSTM wt103-dims LM (bs64 bptt75 vocab30k) e2e epochs "
-                "incl. eval vs the P6000's ~21k tokens/s (IMDB ~22.7 min "
-                "epochs). detection_* = retinanet50 on a Pascal-shaped "
-                "synthetic set (375x500 imgs, min-side-512 scaling, one "
-                "padded shape, bs8): masked-batched SSD-loss train steps and "
-                "batched predict with on-device NMS, both e2e through the "
-                "real loaders. transformer_tokens_per_sec = 6-layer "
-                "d512 decoder-only TransformerLM (bs16 T512 vocab30k, "
-                "bf16 mixed precision) e2e epochs incl. eval — "
-                "beyond-parity family, no reference baseline. decode_* = "
-                "KV-cached greedy serving (6-layer d512, 128-tok prefill + "
-                "256 decoded) at batch 1 (latency) / 16 (throughput). "
-                "engine_* = continuous-batching ServingEngine, 24 "
-                "mixed-length requests (prompts 32-224, 64-192 new tokens) "
-                "over 8 slots, chunk=32.",
+        # metric definitions live in PERF.md "Bench metric definitions" —
+        # the driver records only the TAIL of this line, so the JSON must
+        # stay small enough that the headline fields survive (r3 lost the
+        # senet headline to a 1.9 kB prose note here)
+        "note": "see PERF.md#bench-metric-definitions",
     }))
 
 

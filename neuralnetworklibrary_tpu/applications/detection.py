@@ -963,8 +963,15 @@ class ObjectDetectionLearner(Learner):
         (Vision.py:586-589) are OFF (deterministic scale-only framing);
         LR flips mirror the whole canvas, so flipped images are
         right-aligned — translation-equivalent augmentation with exact
-        box↔pixel correspondence.  predict/TTA_bbox/compute_mAP keep the
-        exact host path; include_val=True accelerates evaluate('val') only.
+        box↔pixel correspondence.  With include_val=True, detection
+        INFERENCE goes device-resident too: predict/compute_mAP/
+        coco_pascal_eval/TTA_bbox run gather→(flip/photometric)→normalize→
+        forward→decode→NMS in ONE jit per batch over the HBM canvases —
+        per-batch host traffic is (bs,) int32 rows up and (bs, out_k)
+        boxes down.  Framing is the global canvas (every image padded to
+        one shape) instead of the host loader's per-bucket padding; pass
+        ``predict(dl=learner._host_val_dl)`` for the exact host path.
+        include_val=False keeps host-pixel inference.
         """
         data = self.data
         ds = data.train_ds
@@ -1068,7 +1075,94 @@ class ObjectDetectionLearner(Learner):
 
         self.set_input_pipeline(pipeline)
         self._device_cache_nbytes = imgs.nbytes
+        # device-resident inference state (see _cached_infer)
+        self._det_cache = cache
+        self._det_canvas_hw = (Hc, Wc)
+        self._det_stats = stats
+        self._det_photo = (bal, cont)
+        self._cinfer_jits = {}
         return self
+
+    def _cached_infer(self, thresh, max_overlap, top_k, out_k, photo):
+        """One fused jit for device-resident detection inference: gather
+        canvas rows from the HBM cache, optional LR flip + photometric
+        jitter (TTA passes), normalize, model forward, box decode,
+        threshold, and batched greedy NMS — the host receives only the
+        (bs, out_k) surviving boxes/classes/scores.  This is the
+        device-side answer to the reference's per-image CPU NMS loop
+        (retinanet.py:583-602)."""
+        key = (thresh, max_overlap, top_k, out_k, photo, self.compute_dtype)
+        if key in self._cinfer_jits:
+            return self._cinfer_jits[key]
+
+        from neuralnetworklibrary_tpu.ops.augment import normalize_batch
+
+        cache = self._det_cache
+        Hc, Wc = self._det_canvas_hw
+        stats = self._det_stats
+        bal, cont = self._det_photo
+        mkw = self._model_kwargs(False)
+        model = self.model
+
+        def run(params, state, rows, flip, rng):
+            x = jnp.take(cache, rows, axis=0).astype(jnp.float32) / 255.0
+            f = flip[:, None, None, None].astype(bool)
+            x = jnp.where(f, x[:, :, ::-1, :], x)
+            if photo and bal is not None:
+                kb, kc = jax.random.split(rng)
+                B = x.shape[0]
+                b_ = jax.random.uniform(kb, (B, 1, 1, 1), minval=bal[0],
+                                        maxval=bal[1])
+                c_ = jax.random.uniform(kc, (B, 1, 1, 1), minval=cont[0],
+                                        maxval=cont[1])
+                mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+                x = jnp.clip((x - mu) * c_ + b_ + mu, 0.0, 1.0)
+            x = normalize_batch(x, stats)
+            variables = {"params": self._cast_compute(params),
+                         **self._cast_state(state)}
+            anchors, reg, clas = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32),
+                model.apply(variables, self._cast_compute(x), **mkw))
+            return _predict_device(reg, clas, anchors, (Hc, Wc),
+                                   thresh=thresh, max_overlap=max_overlap,
+                                   top_k=top_k, out_k=out_k)
+
+        self._cinfer_jits[key] = jax.jit(self._with_precision(run))
+        return self._cinfer_jits[key]
+
+    def _cached_predict_pass(self, dl, thresh, max_overlap, top_k, out_k,
+                             flips=None, photo=False, seed=0):
+        """Run one device-resident inference pass over a CachedBBoxLoader.
+
+        flips: None for the eval pass, else an (L,) 0/1 array per dataset
+        index.  Returns per-DATASET-index (boxes, classes, scores) numpy
+        arrays in CANVAS coordinates (un-flipped about the canvas width
+        when flips are set), each row sorted by descending score — the
+        fixed-shape NMS output before the host prune passes."""
+        infer = self._cached_infer(thresh, max_overlap, top_k, out_k, photo)
+        L = sum(len(g) for g in dl.groups)
+        out = [None] * L
+        Wc = float(self._det_canvas_hw[1])
+        fetches = []
+        for j, g in enumerate(dl.groups):
+            idxs = list(g) + [g[-1]] * (dl.bs - len(g))
+            rows = jnp.asarray(np.asarray(idxs, np.int32) + dl.row_offset)
+            fl = (np.asarray([flips[i] for i in idxs], np.int32)
+                  if flips is not None else np.zeros(dl.bs, np.int32))
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), j)
+            fetches.append((g, fl, infer(self.params, self.state, rows,
+                                         jnp.asarray(fl), rng)))
+        for g, fl, dev in fetches:
+            b, c, s = jax.device_get(dev)  # one bundled fetch per batch
+            for i, ds_idx in enumerate(g):
+                bi = b[i]
+                if flips is not None and fl[i]:
+                    # un-flip about the CANVAS width (content was
+                    # right-aligned by the whole-canvas mirror)
+                    bi = np.stack([Wc - bi[:, 2], bi[:, 1],
+                                   Wc - bi[:, 0], bi[:, 3]], axis=1)
+                out[ds_idx] = (bi, c[i], s[i])
+        return out
 
     def predict(self, dl="val", thresh=0.05, max_overlap=0.5, rel_thresh=None,
                 top_k=1000, max_boxes=20, dup=None, inc=None, rescale=True,
@@ -1083,10 +1177,26 @@ class ObjectDetectionLearner(Learner):
                 # reference imposes the same restriction (Learner.py:339-340)
                 raise ValueError("bbox predict requires dl in {'val', 'test'}")
             dl = {"val": self.data.val_dl, "test": self.data.test_dl}[dl]
-            if isinstance(dl, CachedBBoxLoader):
-                # predict keeps the exact host pixel path; the cached val
-                # loader only accelerates evaluate('val')
-                dl = self._host_val_dl
+        if isinstance(dl, CachedBBoxLoader):
+            # device-resident inference over the HBM canvas cache: one
+            # fused jit per batch, only (bs,) rows up / boxes down
+            post = rel_thresh is not None or dup is not None or inc is not None
+            out_k = max(100, max_boxes) if post else max_boxes
+            per_ds = self._cached_predict_pass(dl, thresh, max_overlap,
+                                               top_k, out_k)
+            PredBoxes, PredClasses, ConfScores = [], [], []
+            for ds_idx, (b, c, s) in enumerate(per_ds):
+                valid = s > 0
+                bi, ci, si = nms_post_passes(b[valid], c[valid], s[valid],
+                                             rel_thresh, inc, dup, max_boxes,
+                                             print_it=print_it)
+                if rescale:
+                    scale = dl.ds.images[ds_idx]["scale"]
+                    bi = [bb / scale for bb in bi]
+                PredBoxes.append(bi)
+                PredClasses.append(ci)
+                ConfScores.append(si)
+            return PredBoxes, PredClasses, ConfScores
         # batched eval: the loader's .groups map each batch row to its
         # dataset index, so predictions land in dataset order whatever the
         # (aspect-bucketed) batch composition.  Loaders without .groups fall
@@ -1143,6 +1253,36 @@ class ObjectDetectionLearner(Learner):
 
         from neuralnetworklibrary_tpu.ops.boxes import nms_fixed
 
+        if (ds_type == "val"
+                and isinstance(self.data.val_dl, CachedBBoxLoader)):
+            # device-resident TTA: the eval pass plus num_augs passes of
+            # random whole-canvas flip + photometric jitter, all through
+            # the fused cached-inference jit.  Un-flip mirrors about the
+            # canvas width (exact — flipped content is right-aligned), so
+            # every pass's boxes land in canvas coordinates; merge + final
+            # NMS in original image coordinates like the host path.
+            dl = self.data.val_dl
+            src = dl.ds
+            L = len(src)
+            merged = [[[], [], []] for _ in range(L)]
+            rng = np.random.default_rng(777)
+            for i in range(1 + num_augs):
+                flips = rng.integers(0, 2, L) if i > 0 else None
+                per_ds = self._cached_predict_pass(
+                    dl, thresh, max_overlap, top_k, max_boxes,
+                    flips=flips, photo=i > 0, seed=1000 + i)
+                for ds_idx, (b, c, s) in enumerate(per_ds):
+                    valid = s > 0
+                    bi, ci, si = nms_post_passes(
+                        b[valid], c[valid], s[valid], rel_thresh, inc, dup,
+                        max_boxes)
+                    scale = src.images[ds_idx]["scale"]
+                    merged[ds_idx][0] += [bb / scale for bb in bi]
+                    merged[ds_idx][1] += ci
+                    merged[ds_idx][2] += si
+            return self._tta_final_nms(merged, L, num_augs, max_boxes,
+                                       max_overlap, rel_thresh, inc, dup)
+
         src = self.data.val_ds if ds_type == "val" else self.data.test_ds
         tfm_eval, tfm_aug = transforms if transforms else self.data.transforms
         L = len(src)
@@ -1197,7 +1337,15 @@ class ObjectDetectionLearner(Learner):
                     merged[ds_idx][1] += classes
                     merged[ds_idx][2] += scores
 
-        # final NMS over the concatenated predictions, one static shape
+        return self._tta_final_nms(merged, L, num_augs, max_boxes,
+                                   max_overlap, rel_thresh, inc, dup)
+
+    def _tta_final_nms(self, merged, L, num_augs, max_boxes, max_overlap,
+                       rel_thresh, inc, dup):
+        """Final NMS over the concatenated per-pass predictions (one static
+        shape per image)."""
+        from neuralnetworklibrary_tpu.ops.boxes import nms_fixed
+
         K = (1 + num_augs) * max_boxes
         AllPreds = []
         for j in range(L):

@@ -58,23 +58,166 @@ def _constrain(h, mesh: Optional[Mesh], spec: P):
     return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
 
-def rope(x, positions, base: float = 10000.0):
+def rope_scaling_tuple(cfg, head_dim: int, base: float, max_len: int,
+                       original_max: int = 0):
+    """Normalize an HF ``rope_scaling`` config dict into the HASHABLE static
+    tuple that :func:`rope` and the attention modules carry (flax module
+    fields must hash; dicts don't).
+
+    Supported ``rope_type``/``type`` values:
+    - ``linear``:   ("linear", factor)
+    - ``yarn``:     ("yarn", factor, orig_max, beta_fast, beta_slow,
+                     attention_factor) — GPT-OSS / Qwen long-context
+    - ``llama3``:   ("llama3", factor, low_freq_factor, high_freq_factor,
+                     orig_max) — Llama-3.1+
+    - ``longrope``: ("longrope", orig_max, short_factor, long_factor,
+                     attention_factor) — Phi-3 128k; the short/long choice
+                     is made PER CALL from the max position seen (HF's
+                     dynamic ``_longrope_frequency_update`` semantics)
+
+    ``original_max`` supplies the top-level
+    ``original_max_position_embeddings`` for configs (Phi-3) that keep it
+    outside the rope_scaling dict.  Returns None for a null/default cfg.
+    """
+    if cfg is None:
+        return None
+    if isinstance(cfg, tuple):
+        return cfg
+    kind = cfg.get("rope_type") or cfg.get("type") or "default"
+    if kind == "default":
+        return None
+    orig = int(cfg.get("original_max_position_embeddings")
+               or original_max or 0)
+    if kind == "linear":
+        return ("linear", float(cfg["factor"]))
+    if kind == "yarn":
+        # transformers _compute_yarn_parameters (modeling_rope_utils.py):
+        # orig comes from the rope_scaling dict or falls back to
+        # max_position_embeddings; attention factor may use the DeepSeek
+        # mscale pair; `truncate` floors/ceils the correction range
+        factor = float(cfg.get("factor", 1.0))
+        orig_y = int(cfg.get("original_max_position_embeddings")
+                     or max_len)
+        att = cfg.get("attention_factor")
+        if att is None:
+            mscale = cfg.get("mscale")
+            msall = cfg.get("mscale_all_dim")
+
+            def gm(scale, m=1.0):
+                return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+            att = (float(gm(factor, mscale) / gm(factor, msall))
+                   if mscale and msall else gm(factor))
+        return ("yarn", factor, orig_y,
+                float(cfg.get("beta_fast") or 32.0),
+                float(cfg.get("beta_slow") or 1.0), float(att),
+                bool(cfg.get("truncate", True)))
+    if kind == "llama3":
+        return ("llama3", float(cfg["factor"]),
+                float(cfg.get("low_freq_factor", 1.0)),
+                float(cfg.get("high_freq_factor", 4.0)),
+                int(cfg.get("original_max_position_embeddings") or orig
+                    or max_len))
+    if kind == "longrope":
+        short = tuple(float(v) for v in cfg["short_factor"])
+        long = tuple(float(v) for v in cfg["long_factor"])
+        if len(short) != head_dim // 2 or len(long) != head_dim // 2:
+            raise ValueError(
+                f"longrope factors must have head_dim/2={head_dim // 2} "
+                f"entries, got {len(short)}/{len(long)}")
+        att = cfg.get("attention_factor")
+        if att is None:
+            # Phi-3 semantics (_compute_longrope_parameters): the TOP-LEVEL
+            # original_max_position_embeddings overrides the dict's factor
+            f = (max_len / original_max if original_max
+                 else float(cfg.get("factor") or 1.0))
+            log_base = original_max or max_len
+            att = (math.sqrt(1.0 + math.log(f) / math.log(log_base))
+                   if f > 1.0 else 1.0)
+        switch = int(original_max or max_len)  # long/short boundary
+        return ("longrope", switch, short, long, float(att))
+    raise ValueError(f"unsupported rope_scaling type {kind!r}")
+
+
+def _rope_freqs(hd: int, base: float, scaling):
+    """Static (numpy) inverse frequencies + attention factor for a rope
+    scaling tuple.  Returns (inv_freq (hd/2,) — or (short, long) pair for
+    longrope — , attention_factor, orig_max_or_None)."""
+    import numpy as _np
+
+    inv = base ** (-_np.arange(0, hd // 2) * 2.0 / hd)
+    if scaling is None:
+        return inv, 1.0, None
+    kind = scaling[0]
+    if kind == "linear":
+        return inv / scaling[1], 1.0, None
+    if kind == "yarn":
+        # HF _compute_yarn_parameters: NTK-by-parts ramp between the
+        # interpolated (inv/factor) and extrapolated (inv) frequencies
+        _, factor, orig, beta_fast, beta_slow, att, truncate = scaling
+
+        def correction_dim(n_rot):
+            return (hd * math.log(orig / (n_rot * 2 * math.pi))
+                    / (2 * math.log(base)))
+
+        low = correction_dim(beta_fast)
+        high = correction_dim(beta_slow)
+        if truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, hd - 1)
+        if low == high:
+            high += 0.001  # prevent singularity (HF linear_ramp_factor)
+        ramp = _np.clip((_np.arange(hd // 2) - low) / (high - low), 0.0, 1.0)
+        extrap_factor = 1.0 - ramp
+        inv_scaled = (inv / factor) * (1.0 - extrap_factor) \
+            + inv * extrap_factor
+        return inv_scaled, att, None
+    if kind == "llama3":
+        _, factor, low_f, high_f, orig = scaling
+        wavelen = 2 * math.pi / inv
+        low_wl = orig / low_f
+        high_wl = orig / high_f
+        smooth = _np.clip((orig / wavelen - low_f) / (high_f - low_f),
+                          0.0, 1.0)
+        inv_mid = (1.0 - smooth) * inv / factor + smooth * inv
+        out = _np.where(wavelen < high_wl, inv,
+                        _np.where(wavelen > low_wl, inv / factor, inv_mid))
+        return out, 1.0, None
+    if kind == "longrope":
+        _, orig, short, long, att = scaling
+        return (inv / _np.asarray(short), inv / _np.asarray(long)), att, orig
+    raise ValueError(f"unknown rope scaling tuple {scaling!r}")
+
+
+def rope(x, positions, base: float = 10000.0, scaling=None):
     """Rotary position embedding (RoFormer) in the split-half convention:
     pair feature i with i + hd/2 and rotate each pair by
     positions · base^(-2i/hd).  x: (B, T, H, hd) with hd even;
     positions: (T,) int32, or (B, T) when each batch row sits at its own
     offset (continuous-batching decode).  Norm-preserving; q·k depends only
     on the RELATIVE distance between query and key positions.
+
+    ``scaling``: a :func:`rope_scaling_tuple` — YaRN / llama3 / linear
+    rescale the frequencies statically and may scale cos/sin by an
+    attention factor; longrope picks the short- or long-context frequency
+    set PER CALL from the max position (a traced select, so the jitted
+    decode step crosses the boundary exactly like HF's dynamic update).
     """
     hd = x.shape[-1]
     if hd % 2:
         raise ValueError(f"rope needs an even head dim, got {hd}")
-    inv_freq = base ** (-jnp.arange(0, hd // 2) * 2.0 / hd)
+    inv_np, att, orig = _rope_freqs(hd, base, scaling)
+    if orig is not None:  # longrope: dynamic short/long select
+        short, long = (jnp.asarray(s, jnp.float32) for s in inv_np)
+        use_long = jnp.max(positions) + 1 > orig
+        inv_freq = jnp.where(use_long, long, short)
+    else:
+        inv_freq = jnp.asarray(inv_np, jnp.float32)
     ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, hd/2)
     if positions.ndim == 1:
         ang = ang[None]                                        # (1, T, hd/2)
-    cos = jnp.cos(ang)[:, :, None, :].astype(x.dtype)
-    sin = jnp.sin(ang)[:, :, None, :].astype(x.dtype)
+    cos = (jnp.cos(ang) * att)[:, :, None, :].astype(x.dtype)
+    sin = (jnp.sin(ang) * att)[:, :, None, :].astype(x.dtype)
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
@@ -154,6 +297,9 @@ class CausalSelfAttention(nn.Module):
     n_kv_heads: int = 0        # 0 → n_heads (plain MHA); else GQA
     use_rope: bool = False
     rope_base: float = 10000.0
+    rope_scaling: Optional[tuple] = None  # rope_scaling_tuple: yarn /
+                               # llama3 / linear / longrope long-context
+                               # frequency rescaling (HF rope_scaling)
     head_dim: int = 0          # 0 → d_model // n_heads; an explicit value
                                # decouples the per-head width from d_model
                                # (Gemma-7B: D=3072, 16 heads of 256; Qwen3
@@ -280,8 +426,8 @@ class CausalSelfAttention(nn.Module):
                 # (B,) per-row offsets (continuous batching) -> (B, T)
                 pos = (off_[:, None] + jnp.arange(T) if off_.ndim
                        else off_ + jnp.arange(T))
-            q = rope(q, pos, self.rope_base)
-            k = rope(k, pos, self.rope_base)
+            q = rope(q, pos, self.rope_base, self.rope_scaling)
+            k = rope(k, pos, self.rope_base, self.rope_scaling)
         if self.att_scale and self.att_scale != hd:
             # fold the non-standard denominator into q so every attention
             # path (einsum, flash, ring, paged kernel) keeps its 1/sqrt(hd)
@@ -801,6 +947,7 @@ class TransformerBlock(nn.Module):
     n_kv_heads: int = 0
     use_rope: bool = False
     rope_base: float = 10000.0
+    rope_scaling: Optional[tuple] = None
     head_dim: int = 0
     qk_norm: bool = False
     gated_mlp: bool = False
@@ -854,6 +1001,7 @@ class TransformerBlock(nn.Module):
                                 n_kv_heads=self.n_kv_heads,
                                 use_rope=self.use_rope,
                                 rope_base=self.rope_base,
+                                rope_scaling=self.rope_scaling,
                                 head_dim=self.head_dim,
                                 qk_norm=self.qk_norm,
                                 norm_eps=self.norm_eps,
@@ -951,6 +1099,9 @@ class TransformerLM(nn.Module):
                                     # (KV cache shrinks by n_heads/n_kv_heads)
     pos_embedding: str = "learned"  # 'learned' (GPT-2 style) or 'rope'
     rope_base: float = 10000.0
+    rope_scaling: Optional[tuple] = None  # long-context frequency rescale
+                                    # (rope_scaling_tuple: yarn / llama3 /
+                                    # linear / longrope)
     head_dim: int = 0               # 0 → d_model // n_heads; an explicit
                                     # value decouples the per-head width from
                                     # d_model (Gemma-7B 16×256 on D=3072,
@@ -1199,7 +1350,8 @@ class TransformerLM(nn.Module):
                 mesh=self.mesh, sp=self.sp, max_len=self.max_len,
                 flash=flash, cp_axis=cp_axis,
                 n_kv_heads=self.n_kv_heads, use_rope=use_rope,
-                rope_base=self.rope_base, head_dim=self.head_dim,
+                rope_base=self.rope_base, rope_scaling=self.rope_scaling,
+                head_dim=self.head_dim,
                 qk_norm=self.qk_norm,
                 gated_mlp=self.mlp in ("swiglu", "geglu"),
                 mlp_act="gelu" if self.mlp == "geglu" else None,
@@ -1313,7 +1465,8 @@ class TransformerClassifier(nn.Module):
             d_model=lm.d_model, n_heads=lm.n_heads, n_layers=lm.n_layers,
             d_ff=lm.d_ff, max_len=lm.max_len, drop=lm.drop,
             n_kv_heads=lm.n_kv_heads, pos_embedding=lm.pos_embedding,
-            rope_base=lm.rope_base, head_dim=lm.head_dim,
+            rope_base=lm.rope_base, rope_scaling=lm.rope_scaling,
+            head_dim=lm.head_dim,
             qk_norm=lm.qk_norm, embed_scale=lm.embed_scale,
             mlp=lm.mlp, norm=lm.norm, norm_eps=lm.norm_eps)
         model = cls(num_classes=num_classes, lm_config=cfg, **kw)

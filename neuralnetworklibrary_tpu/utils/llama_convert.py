@@ -281,9 +281,11 @@ def load_phi3(state_dict, n_layers: int, n_heads: int, d_model: int,
     (modeling_phi3.py: qkv_proj is [q | k | v] in this framework's own
     column order; gate_up_proj is [gate (silu side) | up]), bias-free,
     untied lm_head; the mini-4k variants carry a sliding_window (2047)
-    applied to every layer.  rope_scaling (longrope 128k variants) is not
-    supported — pass checkpoints with partial_rotary_factor 1 and no
-    scaling.  Returns (model, params)."""
+    applied to every layer.  longrope 128k variants load via
+    load_llama_dir, which normalizes the config's rope_scaling into the
+    static tuple TransformerLM carries (rope_scaling= flows through
+    **model_kw); partial_rotary_factor must be 1.  Returns
+    (model, params)."""
     from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
 
     sd = dict(state_dict)
@@ -443,10 +445,10 @@ def load_gpt_oss(state_dict, n_layers: int, n_heads: int, d_model: int,
 
     The HF expert tensors are (E, D, 2F)/(E, F, D) parameters already in
     (in, out) orientation — no transpose.  YaRN rope_scaling (the 131k
-    context extension) is NOT implemented: load with rope_scaling=None
-    semantics (exact for positions within the original window only if the
-    checkpoint was trained without scaling; random-init parity in
-    tests/test_llama_parity.py uses rope_scaling=None).  Checkpoints
+    context extension) is supported: load_llama_dir normalizes the
+    config's rope_scaling into the static tuple and passes it through
+    **model_kw (rope_scaling_tuple; parity pinned in
+    tests/test_llama_parity.py).  Checkpoints
     shipping MXFP4-quantized expert blocks must be dequantized to float
     state_dicts first.  Returns (model, params)."""
     from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
@@ -541,6 +543,8 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
     from neuralnetworklibrary_tpu.utils.safetensors_io import (
         load_safetensors_auto)
 
+    from neuralnetworklibrary_tpu.nn.transformer import rope_scaling_tuple
+
     with open(os.path.join(path, "config.json")) as f:
         cfg = json.load(f)
     sd = load_safetensors_auto(path)
@@ -554,6 +558,18 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
         max_len=max_len or cfg.get("max_position_embeddings", 4096),
         rope_base=float(cfg.get("rope_theta", 10000.0)),
         norm_eps=float(cfg.get("rms_norm_eps", 1e-5)))
+    if cfg.get("rope_scaling"):
+        # YaRN (GPT-OSS, Qwen long-context), llama3 (Llama-3.1+), linear,
+        # and longrope (Phi-3 128k) all normalize into the static tuple the
+        # attention modules carry.  The attention factor uses the CONFIG's
+        # max_position_embeddings (HF semantics) even when the caller
+        # bounds max_len to shrink the KV cache.
+        hd = cfg.get("head_dim") or common["d_model"] // common["n_heads"]
+        model_kw["rope_scaling"] = rope_scaling_tuple(
+            cfg["rope_scaling"], hd, common["rope_base"],
+            int(cfg.get("max_position_embeddings", common["max_len"])),
+            original_max=int(
+                cfg.get("original_max_position_embeddings", 0)))
     # Mistral-style local attention: both HF and this framework let query t
     # attend keys (t − W, t], so the config value passes straight through.
     # Qwen2/Qwen3 configs CARRY a sliding_window value but gate it behind
@@ -580,10 +596,6 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
             sliding_window=int(cfg.get("sliding_window") or 0),
             layer_types=cfg.get("layer_types"), **common, **model_kw)
     if mt == "gpt_oss":
-        if cfg.get("rope_scaling"):
-            raise ValueError("gpt_oss YaRN rope_scaling is not supported "
-                             "yet — dequantize + strip scaling, or load "
-                             "contexts within the original window")
         return load_gpt_oss(
             sd, n_experts=cfg.get("num_local_experts", 32),
             moe_top_k=cfg.get("num_experts_per_tok", 4),
@@ -591,9 +603,6 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
             sliding_window=int(cfg.get("sliding_window") or 0),
             layer_types=cfg.get("layer_types"), **common, **model_kw)
     if mt == "phi3":
-        if cfg.get("rope_scaling"):
-            raise ValueError("phi3 rope_scaling (longrope) checkpoints "
-                             "are not supported")
         return load_phi3(sd, window=window, **common, **model_kw)
     if window:
         model_kw.setdefault("window", window)

@@ -197,3 +197,28 @@ def profile_learner_step(learner, n_batches: int = 8, lr: float = 1e-3) -> dict:
         "device_samples_per_s": dev,
         "host_fraction": max(0.0, 1.0 - e2e / dev) if dev > 0 else 0.0,
     }
+
+
+def learner_step_mfu(learner, batch=None, lr: float = 1e-3,
+                     iters: int = 10, peak_flops: Optional[float] = None) -> dict:
+    """MFU of a Learner's REAL train step (fwd+bwd+optimizer under one jit),
+    on one batch from its train loader.
+
+    Rebuilds the step body un-donated so the same params can feed repeated
+    timed calls, jits it once for XLA's cost analysis (model FLOPs of the
+    optimized HLO — remat recompute counts) and times it with the
+    :func:`sync` barrier.  Returns :func:`mfu`'s dict.
+    """
+    if batch is None:
+        batch = next(iter(learner.data.train_dl))
+    from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+    body = learner._with_precision(
+        learner._train_body(learner._trainable(), learner.bn_frozen))
+    lr_g, wd_g, mom, b1, b2, clip = learner._hyper_row(lr, batch.n_valid)
+    xs, y, mask = pmesh.shard_batch((batch.xs, batch.y, batch.mask),
+                                    learner.mesh)
+    rng = jax.random.fold_in(learner.rng, 12345)
+    return mfu(body, learner.params, learner.state, learner.opt_state,
+               learner._ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng,
+               iters=iters, peak_flops=peak_flops)

@@ -257,3 +257,57 @@ def install_pretrained(learner, params: Mapping, stats: Optional[Mapping] = None
         new_state["batch_stats"] = bs
         learner.state = pmesh.replicate_tree(new_state, learner.mesh)
     learner.opt_state = learner._committed_opt_state()
+
+
+def load_torch_resnext(state_dict, layers=(3, 4, 23, 3)):
+    """Lua-converted ResNeXt-101 feature-graph state_dict → (params,
+    batch_stats) for ``nn.resnet.ResNet`` (grouped Bottleneck).
+
+    The reference's ``resnext_features/resnext101_{32,64}x4d_features.py``
+    graphs are anonymous nested Sequentials (positional keys like
+    ``4.0.0.0.0.weight``), so this converter maps by DECLARATION ORDER:
+    the graph registers conv/bn pairs stem-first, then per block branch-A
+    (1x1 → grouped 3x3 → 1x1) followed by the branch-B downsample — exactly
+    the b1/b2/b3/down order of our Bottleneck.  Grouped conv weights
+    transpose like regular ones ((O, I/g, kh, kw) → (kh, kw, I/g, O); both
+    frameworks order group output channels contiguously).
+    """
+    pairs = []  # (conv_w, bn_w, bn_b, bn_rm, bn_rv) in declaration order
+    flat = [(k, v) for k, v in state_dict.items()
+            if not k.endswith("num_batches_tracked")]
+    i = 0
+    while i < len(flat):
+        k, v = flat[i]
+        w = _np(v)
+        if w.ndim != 4:
+            raise ValueError(f"expected a conv weight at {k!r}, got "
+                             f"shape {w.shape}")
+        bn = [_np(flat[i + j][1]) for j in range(1, 5)]
+        pairs.append((w, *bn))
+        i += 5
+
+    def take():
+        w, bw, bb, rm, rv = pairs.pop(0)
+        return ({"conv": {"kernel": w.transpose(2, 3, 1, 0)},
+                 "bn": {"scale": bw, "bias": bb}},
+                {"bn": {"mean": rm, "var": rv}})
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = take()
+    in_ch, planes = 64, 64
+    for stage, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            s = (1 if stage == 0 else 2) if bi == 0 else 1
+            name = f"layer{stage + 1}_{bi}"
+            bp, bs_ = {}, {}
+            for sub in ("b1", "b2", "b3"):
+                bp[sub], bs_[sub] = take()
+            if s != 1 or in_ch != planes * 4:
+                bp["down"], bs_["down"] = take()
+            params[name], stats[name] = bp, bs_
+            in_ch = planes * 4
+        planes *= 2
+    if pairs:
+        raise ValueError(f"{len(pairs)} unconsumed conv/bn pairs — graph "
+                         "and layers spec disagree")
+    return params, stats

@@ -672,8 +672,8 @@ def test_batched_tta_bbox_matches_val_bs1(tmp_path_factory):
 
 def test_detection_device_cache_trains(tiny_detection_data):
     """enable_device_cache: index batches, on-device flip/photometric, loss
-    decreases; predict keeps the host path; flipped targets mirror about the
-    canvas width."""
+    decreases; flipped targets mirror about the canvas width; predict goes
+    device-resident (r4) and still returns per-image lists."""
     from neuralnetworklibrary_tpu.applications.detection import (
         BBoxDataObj,
         CachedBBoxLoader,
@@ -727,3 +727,121 @@ def test_detection_device_cache_trains(tiny_detection_data):
     assert np.isfinite(val_loss[0] if isinstance(val_loss, list) else val_loss)
     pb, pc, cs = learner.predict("val", thresh=0.01, max_boxes=5)
     assert len(pb) == len(data.val_ds)
+
+
+@pytest.fixture(scope="module")
+def uniform_detection_data(tmp_path_factory):
+    """8 images of IDENTICAL size: the host val loader's padded batch shape
+    then equals the global device-cache canvas, making the cached and host
+    inference paths comparable pixel-for-pixel."""
+    import cv2
+    import json
+
+    root = tmp_path_factory.mktemp("det_uniform")
+    (root / "train").mkdir()
+    rng = np.random.default_rng(7)
+    images, annotations = [], []
+    ann_id = 0
+    for i in range(8):
+        h, w = 64, 96
+        img = rng.integers(0, 60, (h, w, 3)).astype(np.uint8)
+        for _ in range(int(rng.integers(1, 3))):
+            x, y = int(rng.integers(0, w - 24)), int(rng.integers(0, h - 24))
+            bw, bh = int(rng.integers(10, 20)), int(rng.integers(10, 20))
+            img[y:y + bh, x:x + bw] = rng.integers(150, 256, 3)
+            annotations.append({"id": ann_id, "image_id": i,
+                                "bbox": [x, y, bw, bh],
+                                "category_id": int(rng.integers(1, 3))})
+            ann_id += 1
+        cv2.imwrite(str(root / "train" / f"im{i}.png"), img)
+        images.append({"id": i, "file_name": f"im{i}.png",
+                       "width": w, "height": h})
+    j = {"images": images, "annotations": annotations,
+         "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}
+    with open(root / "train.json", "w") as f:
+        json.dump(j, f)
+    return root
+
+
+def _uniform_learner(root):
+    from neuralnetworklibrary_tpu.applications.detection import (
+        BBoxDataObj,
+        ObjectDetectionLearner,
+        ObjectDetectionNet,
+        get_transforms_bbox,
+    )
+
+    tfms = get_transforms_bbox("SideOn", jitter=0, scale_range=(1, 1))
+    data = BBoxDataObj.from_json_bbox(
+        str(root), tfms, bs=2, val_frac=0.5, get_ARS=(64, 128),
+        granularity=32, seed=0)
+    model = ObjectDetectionNet(num_classes=2, backbone="resnet18",
+                               feature_size=32)
+    learner = ObjectDetectionLearner(str(root), data, model, "Adam2")
+    return learner, data
+
+
+def test_cached_predict_matches_host(uniform_detection_data):
+    """Device-resident predict (HBM canvas, fused gather→forward→NMS jit)
+    equals the host-pixel path exactly when the framing matches — same
+    boxes, classes, and scores for every val image."""
+    learner, data = _uniform_learner(uniform_detection_data)
+    pb_h, pc_h, cs_h = learner.predict("val", thresh=0.01, max_boxes=5)
+
+    learner.enable_device_cache(include_val=True)
+    pb_c, pc_c, cs_c = learner.predict("val", thresh=0.01, max_boxes=5)
+
+    assert len(pb_c) == len(pb_h) == len(data.val_ds)
+    for i in range(len(pb_h)):
+        assert pc_c[i] == pc_h[i]
+        np.testing.assert_allclose(cs_c[i], cs_h[i], rtol=1e-5, atol=1e-6)
+        for bh, bc in zip(pb_h[i], pb_c[i]):
+            np.testing.assert_allclose(bc, bh, rtol=1e-4, atol=1e-3)
+
+    # compute_mAP rides the cached predict automatically
+    m = learner.compute_mAP(thresholds=[0.5], thresh=0.01, max_boxes=5)
+    assert 0.0 <= m <= 1.0
+
+
+def test_cached_tta_flip_undo_exact(uniform_detection_data):
+    """TTA flip-undo exactness in cached mode: a flip=1 pass through the
+    fused jit, un-flipped about the canvas width, equals running the
+    MIRRORED canvas through the same jit and un-flipping by hand — the
+    on-device flip IS a whole-canvas mirror and the undo math is exact."""
+    learner, data = _uniform_learner(uniform_detection_data)
+    learner.enable_device_cache(include_val=True)
+    dl = data.val_dl
+    L = len(dl.ds.images)
+    flips = np.ones(L, np.int32)
+
+    per_flip = learner._cached_predict_pass(dl, 0.01, 0.5, 100, 5,
+                                            flips=flips, photo=False)
+
+    orig = learner._det_cache
+    learner._det_cache = orig[:, :, ::-1, :]
+    learner._cinfer_jits = {}
+    per_manual = learner._cached_predict_pass(dl, 0.01, 0.5, 100, 5)
+    learner._det_cache = orig
+    learner._cinfer_jits = {}
+
+    Wc = float(learner._det_canvas_hw[1])
+    for (b1, c1, s1), (b2, c2, s2) in zip(per_flip, per_manual):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+        b2u = np.stack([Wc - b2[:, 2], b2[:, 1], Wc - b2[:, 0], b2[:, 3]],
+                       axis=1)
+        np.testing.assert_allclose(b1, b2u, rtol=1e-5, atol=1e-4)
+
+
+def test_cached_tta_bbox_runs(uniform_detection_data):
+    """Cached TTA_bbox end-to-end: eval + flip/photometric passes, merge,
+    final NMS — per-image lists in original image coordinates."""
+    learner, data = _uniform_learner(uniform_detection_data)
+    learner.enable_device_cache(include_val=True)
+    preds = learner.TTA_bbox("val", num_augs=2, thresh=0.01, max_boxes=5)
+    assert len(preds) == len(data.val_ds)
+    for boxes, classes, scores in preds:
+        assert len(boxes) == len(classes) == len(scores) <= 5
+        if len(scores) > 1:
+            assert all(scores[i] >= scores[i + 1]
+                       for i in range(len(scores) - 1))

@@ -643,3 +643,174 @@ def test_gpt_oss_logits_and_generation_parity():
     got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
                                 k=1))
     np.testing.assert_array_equal(got_g, want_g)
+
+
+# ------------------------------------------------- rope scaling (r4)
+
+
+def _rs_tuple(rs, hd, base=THETA, max_len=M, orig=0):
+    from neuralnetworklibrary_tpu.nn.transformer import rope_scaling_tuple
+
+    return rope_scaling_tuple(rs, hd, base, max_len, original_max=orig)
+
+
+def test_yarn_rope_scaling_parity():
+    """Llama + YaRN rope_scaling (truncate default): logits parity at short
+    AND beyond-original-window positions, and greedy generation."""
+    rs = {"rope_type": "yarn", "factor": 4.0,
+          "original_max_position_embeddings": 16}
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, rope_scaling=dict(rs))
+    torch.manual_seed(51)
+    hf = transformers.LlamaForCausalLM(cfg)
+    hf.eval()
+    model, params = load_llama(
+        hf.state_dict(), n_layers=L, n_heads=H, n_kv_heads=HKV, d_model=D,
+        d_ff=F, vocab_size=V, max_len=M, rope_base=THETA, norm_eps=1e-5,
+        rope_scaling=_rs_tuple(rs, D // H))
+    assert model.rope_scaling[0] == "yarn" and model.rope_scaling[6] is True
+    rng = np.random.default_rng(31)
+    for T in (12, 40):  # below and beyond the original 16-token window
+        x = rng.integers(0, V, (2, T)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    x = rng.integers(0, V, (1, 12)).astype(np.int32)
+    n = 8  # crosses position 16 mid-generation
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x, dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    got_g = np.asarray(generate(model, params, jnp.asarray(x), n=n, k=1))
+    np.testing.assert_array_equal(got_g, hf_out.numpy()[:, x.shape[1]:])
+
+
+def test_llama3_rope_scaling_parity():
+    """Llama-3.1's llama3 rope_scaling (banded wavelength rescale)."""
+    rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+          "high_freq_factor": 4.0, "original_max_position_embeddings": 32}
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, rope_scaling=dict(rs))
+    torch.manual_seed(53)
+    hf = transformers.LlamaForCausalLM(cfg)
+    hf.eval()
+    model, params = load_llama(
+        hf.state_dict(), n_layers=L, n_heads=H, n_kv_heads=HKV, d_model=D,
+        d_ff=F, vocab_size=V, max_len=M, rope_base=THETA, norm_eps=1e-5,
+        rope_scaling=_rs_tuple(rs, D // H))
+    rng = np.random.default_rng(37)
+    for T in (12, 48):
+        x = rng.integers(0, V, (1, T)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gpt_oss_yarn_parity():
+    """The released GPT-OSS rope_scaling shape: YaRN with truncate=False —
+    the exact config load_gpt_oss used to reject."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_gpt_oss
+
+    HD, W, E, K = 24, 8, 4, 4
+    rs = {"rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+          "beta_slow": 1.0, "original_max_position_embeddings": 16,
+          "truncate": False}
+    cfg = transformers.GptOssConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=HD, max_position_embeddings=M,
+        rms_norm_eps=1e-5, rope_theta=THETA, rope_scaling=dict(rs),
+        tie_word_embeddings=False, attention_dropout=0.0,
+        num_local_experts=E, num_experts_per_tok=K, sliding_window=W,
+        pad_token_id=0)
+    torch.manual_seed(57)
+    hf = transformers.GptOssForCausalLM(cfg)
+    hf.eval()
+    model, params = load_gpt_oss(
+        hf.state_dict(), n_layers=L, n_heads=H, n_kv_heads=HKV, d_model=D,
+        d_ff=F, vocab_size=V, head_dim=HD, max_len=M, rope_base=THETA,
+        norm_eps=1e-5, n_experts=E, moe_top_k=K, sliding_window=W,
+        layer_types=cfg.layer_types, rope_scaling=_rs_tuple(rs, HD))
+    assert model.rope_scaling[6] is False  # truncate threads through
+    rng = np.random.default_rng(41)
+    for T in (13, 24):
+        x = rng.integers(0, V, (1, T)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_phi3_longrope_dir_parity(tmp_path):
+    """Phi-3 128k-style longrope through the FULL load_llama_dir wiring
+    (config.json normalization → rope_scaling_tuple → TransformerLM):
+    short-context logits use short_factor, beyond-original logits switch
+    to long_factor (HF's dynamic frequency update), greedy generation
+    crosses the boundary mid-decode."""
+    import json
+
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        save_safetensors)
+
+    ORIG = 32
+    hd2 = (D // H) // 2
+    trng = np.random.default_rng(43)
+    short = [1.0 + float(v) for v in trng.uniform(0, 0.5, hd2)]
+    long = [2.0 + float(v) for v in trng.uniform(0, 2.0, hd2)]
+    rs = {"type": "longrope", "short_factor": short, "long_factor": long}
+    cfg = transformers.Phi3Config(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=HKV, max_position_embeddings=M,
+        original_max_position_embeddings=ORIG,
+        rms_norm_eps=1e-5, rope_theta=THETA, tie_word_embeddings=False,
+        attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        sliding_window=None, rope_scaling=dict(rs),
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    torch.manual_seed(59)
+    hf = transformers.Phi3ForCausalLM(cfg)
+    hf.eval()
+
+    dir_cfg = dict(model_type="phi3", num_hidden_layers=L,
+                   num_attention_heads=H, num_key_value_heads=HKV,
+                   hidden_size=D, intermediate_size=F, vocab_size=V,
+                   max_position_embeddings=M,
+                   original_max_position_embeddings=ORIG,
+                   rope_theta=THETA, rms_norm_eps=1e-5,
+                   rope_scaling=rs)
+    (tmp_path / "config.json").write_text(json.dumps(dir_cfg))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_safetensors(sd, str(tmp_path / "model.safetensors"))
+    model, params = load_llama_dir(str(tmp_path))
+    assert model.rope_scaling[0] == "longrope"
+    assert model.rope_scaling[1] == ORIG
+
+    rng = np.random.default_rng(47)
+    for T in (20, 48):  # short_factor regime / long_factor regime
+        x = rng.integers(0, V, (1, T)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    x = rng.integers(0, V, (1, 28)).astype(np.int32)
+    n = 10  # decode crosses position 32 → the per-call select flips
+    hf.generation_config.eos_token_id = None  # never stop early (greedy
+    # argmax may legitimately emit token id 2; our generate has no eos)
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x, dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    got_g = np.asarray(generate(model, params, jnp.asarray(x), n=n, k=1))
+    np.testing.assert_array_equal(got_g, hf_out.numpy()[:, x.shape[1]:])

@@ -305,3 +305,46 @@ def test_nms_prune_modes_match_reference(rel, inc, dup):
         np.testing.assert_allclose(np.stack(ob) if ob else np.zeros((0, 4)),
                                    np.stack(rb) if rb else np.zeros((0, 4)),
                                    rtol=1e-5, err_msg=f"trial {trial}")
+
+
+# ----------------------------------------------------------------- ResNeXt
+
+
+def _resnext_parity(filename, graph_name, our_fn, layers=(3, 4, 23, 3)):
+    """Activation parity of our grouped-Bottleneck ResNet vs the
+    reference's lua-converted feature graph (resnext_features/*), random
+    init, weights mapped by declaration order (load_torch_resnext)."""
+    from neuralnetworklibrary_tpu.utils.torch_convert import (
+        load_torch_resnext,
+    )
+
+    mod = load_ref_module(os.path.join("resnext_features", filename),
+                          "ref_" + graph_name)
+    torch.manual_seed(11)
+    ref = getattr(mod, graph_name)
+    ref.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        feats_t = ref(x)
+
+    params, stats = load_torch_resnext(ref.state_dict(), layers)
+    model = our_fn()  # num_classes=None → feature body
+    feats = model.apply({"params": params, "batch_stats": stats},
+                        to_nhwc(x), train=False)
+    compare(feats, from_nchw(feats_t), graph_name)
+
+
+@pytest.mark.slow
+def test_resnext101_32x4d_matches_reference():
+    from neuralnetworklibrary_tpu.nn.resnet import resnext101_32x4d
+
+    _resnext_parity("resnext101_32x4d_features.py",
+                    "resnext101_32x4d_features", resnext101_32x4d)
+
+
+@pytest.mark.slow
+def test_resnext101_64x4d_matches_reference():
+    from neuralnetworklibrary_tpu.nn.resnet import resnext101_64x4d
+
+    _resnext_parity("resnext101_64x4d_features.py",
+                    "resnext101_64x4d_features", resnext101_64x4d)
