@@ -253,6 +253,25 @@ def _lora_delta(mod: nn.Module, base: str, x, features: int,
     return ((x @ a) @ b) * (alpha / rank)
 
 
+def _auto_paged_kernel(paged_blocks: int, hd: int, block: int) -> bool:
+    """Default-on heuristic for the pallas paged-attention decode kernel:
+    enable exactly in the v5e-measured win region (PERF.md "Paged
+    attention" table) — hd<=64 wins 1.4-1.9x at block 32-64, hd>=128 wins
+    ~2x at block<=32 but LOSES (0.9x) at block 64; in between unmeasured.
+    CPU never wins (the kernel runs in interpret mode there), so auto only
+    engages on an accelerator backend.  NNL_PAGED_ATTENTION=1/0 and an
+    explicit ``paged_attention=`` override this."""
+    if paged_blocks <= 0:
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    return ((hd <= 64 and 32 <= block <= 64)
+            or (hd >= 128 and block <= 32))
+
+
 def _kv_quantize(t):
     """int8-quantize a K/V tensor over its head dim: (..., Hkv, hd) →
     int8 codes + one f32 scale per (..., Hkv) written vector (amax/127;
@@ -1197,14 +1216,21 @@ class TransformerLM(nn.Module):
                                     # (B, max_len) caches fit.  Pool row 0
                                     # is the trash block.
     paged_kv_block: int = 32        # tokens per pool block
-    paged_attention: bool = False   # or env NNL_PAGED_ATTENTION=1 — pallas
-                                    # pool-reading decode attention
-                                    # (ops/paged_attention.py): K/V blocks
-                                    # stream from the pool per block-table
-                                    # entry instead of materializing each
-                                    # slot's gathered (MB·bs, Hkv, hd) strip
-                                    # every step; composes with kv_quant
-                                    # (in-kernel dequant) and window
+    paged_attention: Optional[bool] = None  # pallas pool-reading decode
+                                    # attention (ops/paged_attention.py):
+                                    # K/V blocks stream from the pool per
+                                    # block-table entry instead of
+                                    # materializing each slot's gathered
+                                    # (MB·bs, Hkv, hd) strip every step;
+                                    # composes with kv_quant (in-kernel
+                                    # dequant) and window.  None = AUTO:
+                                    # on-chip, enable in the measured win
+                                    # region (_auto_paged_kernel — PERF.md
+                                    # v5e A/B: 1.4-1.9x at hd<=64 block
+                                    # 32-64, ~1.9-2.2x at hd>=128 block 32,
+                                    # 0.9x LOSS at hd128 block 64).  Env
+                                    # NNL_PAGED_ATTENTION=1/0 force-
+                                    # overrides everything (kill switch).
     reset_at: Optional[int] = None  # sequence-packing separator token id:
                                     # attention and positions RESET after
                                     # every occurrence of this token, so one
@@ -1306,8 +1332,16 @@ class TransformerLM(nn.Module):
 
         flash = self.flash_attention or bool(
             int(os.environ.get("NNL_FLASH_ATTENTION", "0") or 0))
-        paged_kernel = self.paged_attention or bool(
-            int(os.environ.get("NNL_PAGED_ATTENTION", "0") or 0))
+        env = os.environ.get("NNL_PAGED_ATTENTION", "")
+        if env != "":
+            paged_kernel = env not in ("0", "false", "False")
+        elif self.paged_attention is not None:
+            paged_kernel = self.paged_attention
+        else:
+            paged_kernel = _auto_paged_kernel(
+                self.paged_kv_blocks,
+                self.head_dim or self.d_model // self.n_heads,
+                self.paged_kv_block)
         cp_axis = None
         if self.cp:
             if self.mesh is None or self.cp_axis not in self.mesh.axis_names:

