@@ -156,12 +156,13 @@ class DecoderBlock(nn.Module):
     mlp_act: Optional[str] = None
     gated_mlp: bool = False
     exact_gelu: bool = False
+    flash: bool = False
 
     def setup(self):
         self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
         self.self_attn = CausalSelfAttention(
             self.d_model, self.n_heads, self.drop, max_len=self.max_len,
-            kv_quant=self.kv_quant, name="self_attn")
+            kv_quant=self.kv_quant, flash=self.flash, name="self_attn")
         self.ln2 = _make_norm(self.norm, self.norm_eps, "ln2")
         self.cross = CrossAttention(self.d_model, self.n_heads, self.drop,
                                     name="cross")
@@ -204,6 +205,13 @@ class TransformerSeq2Seq(nn.Module):
     max_len: int = 512             # target/decode length bound (cache size)
     drop: float = 0.1
     kv_quant: bool = False         # int8 decoder self-attn KV cache
+    flash_attention: bool = False  # decoder self-attention takes the
+                                   # pallas flash kernel when it applies
+                                   # (full-sequence causal scoring at
+                                   # T%128==0; T5 relative biases ride the
+                                   # kernel's batch-shared bias operand —
+                                   # r4).  Encoder/cross stay einsum
+                                   # (bidirectional / kv-masked).
     pos_embedding: str = "learned"  # 'learned' (BART) or 'relative' (T5):
                                     # no absolute positions — bucketed
                                     # relative biases on the attention
@@ -291,6 +299,7 @@ class TransformerSeq2Seq(nn.Module):
         self.dec_blocks = [DecoderBlock(D, self.n_heads, ff, self.drop,
                                         max_len=self.max_len,
                                         kv_quant=self.kv_quant,
+                                        flash=self.flash_attention,
                                         name=f"dec_block_{i}", **blk_kw)
                            for i in range(self.dec_layers)]
         self.dec_ln = _make_norm(self.norm, self.norm_eps, "dec_ln")

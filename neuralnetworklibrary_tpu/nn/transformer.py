@@ -500,18 +500,27 @@ class CausalSelfAttention(nn.Module):
             return proj_out(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop
-        # keeps the einsum path (output numerics would differ otherwise)
+        # keeps the einsum path (output numerics would differ otherwise).
+        # r4: batch-SHARED att_bias (T5 relative positions, leading dim 1,
+        # square T×T) and attention sinks (GPT-OSS) now ride the kernel —
+        # exactly the long-context models used to be locked out; a
+        # per-batch bias still falls back (its gradient would materialize
+        # the (B, H, T, T) tensor flash avoids).
+        flash_bias_ok = (att_bias is None
+                         or (att_bias.shape[0] == 1
+                             and att_bias.shape[-2:] == (T, T)))
         if (self.flash and self.causal and not decode and T % 128 == 0
                 and segment_ids is None and kv_mask is None
-                and att_bias is None and self.softcap == 0.0
-                and not self.sinks
+                and flash_bias_ok and self.softcap == 0.0
                 and not (train and self.drop > 0.0)):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
                 flash_attention,
             )
 
             out = flash_attention(q, expand_kv(k), expand_kv(v),
-                                  window=self.window).reshape(B, T, DH)
+                                  window=self.window,
+                                  bias=att_bias, sink=sink
+                                  ).reshape(B, T, DH)
             return proj_out(out)
         if decode:
             if not self.causal:

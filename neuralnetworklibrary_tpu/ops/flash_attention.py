@@ -19,6 +19,23 @@ block, and the backward pass is the standard two-kernel flash backward
 (dk/dv with a q-loop, dq with a k-loop) off the saved (o, logsumexp)
 residuals — no (T, T) tensor in either direction.
 
+r4 additions (VERDICT item 6 — the models that most need long context were
+locked out of this kernel):
+
+- ``bias``: a BATCH-SHARED (H, T, T) additive logit bias — T5's bucketed
+  relative-position biases.  Tiles stream through VMEM per block; the saved
+  logsumexp absorbs it, so dq/dk/dv need only the recompute-side add, and a
+  third backward kernel accumulates dbias = Σ_b P∘(dP−Δ) across the batch
+  grid axis (sequential TPU grid, block zeroed at b==0) — the bias
+  GRADIENT exists, T5 trains these embeddings.  Per-batch biases stay on
+  the einsum path (their gradient would materialize (B, H, T, T)).
+- ``sink``: GPT-OSS per-head attention sinks — one learned logit joins
+  every softmax row and its mass is discarded.  In flash form the sink
+  only enters the final normalizer: l += exp(sink − m) (max-folded), so
+  p = exp(s − lse) stays correct everywhere in the backward, and
+  dsink = −Σ_rows exp(sink − lse)·Δ falls out of the saved residuals with
+  no kernel change at all.
+
 Exactness: forward/backward match the einsum reference to float32
 round-off (differential-tested in tests/test_flash_attention.py, interpret
 mode on CPU).  Opt-in from the transformer via
@@ -48,8 +65,16 @@ def _cdiv(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_q,
-                block_k, seq_len, window):
+def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
+                has_bias, has_sink):
+    if has_bias and has_sink:
+        q_ref, k_ref, v_ref, bias_ref, sink_ref, o_ref, lse_ref = refs
+    elif has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
+    elif has_sink:
+        q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     i = pl.program_id(1)
     bq, d = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0] * sm_scale                                   # (bq, d)
@@ -63,6 +88,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_q,
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         keep = q_pos >= k_pos                                 # causal
@@ -88,22 +115,46 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_q,
                else jnp.maximum(0, i * block_q - window + 1) // block_k)
     acc, m, l = jax.lax.fori_loop(first_j, n_blocks, body, (acc0, m0, l0))
 
+    if has_sink:
+        # GPT-OSS sinks: one per-head logit joins every row's softmax; its
+        # mass is discarded from the numerator, so only l (and through it
+        # the saved lse) changes — max-folded for stability
+        sk = sink_ref[0, 0]
+        m_tot = jnp.maximum(m, sk)
+        scale = jnp.exp(m - m_tot)
+        l = l * scale + jnp.exp(sk - m_tot)
+        acc = acc * scale
+        m = m_tot
+
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
 
 
-def _flash_fwd(q, k, v, sm_scale, block_q, block_k, window):
+def _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window):
     BH, T, d = q.shape
+    H = None if bias is None and sink is None else (
+        bias.shape[0] if bias is not None else sink.shape[0])
     grid = (BH, _cdiv(T, block_q))
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, T),
+                                     lambda b, i: (b % H, i, 0)))
+        args.append(bias)
+    if sink is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b % H, 0)))
+        args.append(sink.reshape(H, 1).astype(jnp.float32))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
-                          block_k=block_k, seq_len=T, window=window),
+                          block_k=block_k, seq_len=T, window=window,
+                          has_bias=bias is not None,
+                          has_sink=sink is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
@@ -113,7 +164,7 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, window):
             jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v)
+    )(*args)
     return o, lse
 
 
@@ -121,16 +172,23 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, window):
 # backward
 # ---------------------------------------------------------------------------
 #
-# With P = softmax(QKᵀ·scale) (row-wise, causal), O = PV and the saved
-# row logsumexp L:  p_ij = exp(s_ij - L_i);
+# With P = softmax(QKᵀ·scale [+ bias] [⊕ sink]) (row-wise, causal), O = PV
+# and the saved row logsumexp L:  p_ij = exp(s_ij - L_i);
 #   dV = Pᵀ dO
 #   dP = dO Vᵀ ;  delta_i = Σ_j p_ij dp_ij = Σ_j do_ij o_ij
 #   dS = P ∘ (dP - delta)
 #   dQ = dS K · scale ;  dK = dSᵀ Q · scale
+#   dBias = Σ_batch dS ;  dSink = -Σ_rows exp(sink - L)·delta
+# (the sink column's v is 0, so delta and dV/dQ/dK formulas are unchanged —
+# it participates only through L)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, sm_scale, block_q, block_k, window):
+def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, window, has_bias):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dq_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
     i = pl.program_id(1)
     bq, d = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0]
@@ -145,6 +203,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         keep = q_pos >= k_pos
@@ -166,9 +226,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, sm_scale, block_q, block_k, seq_len,
-                    window):
+def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
+                    has_bias):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
     j = pl.program_id(1)
     bk, d = k_ref.shape[1], k_ref.shape[2]
     k = k_ref[0]
@@ -184,6 +249,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         delta = delta_ref[0, pl.ds(ii * block_q, block_q), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
+        if has_bias:
+            s = s + bias_ref[0, pl.ds(ii * block_q, block_q), :]
         q_pos = ii * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         keep = q_pos >= k_pos
@@ -215,16 +282,76 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(sm_scale, block_q, block_k, window, res, g):
-    q, k, v, o, lse = res
+def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      bias_ref, dbias_ref, *, sm_scale, block_q, block_k,
+                      seq_len, window):
+    """dbias row-block for head h, query block i, accumulated across the
+    batch grid axis (sequential on TPU; the output block maps to (h, i, 0)
+    for every b, zeroed at b == 0)."""
+    i = pl.program_id(1)
+    b = pl.program_id(2)
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    q_pos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    @pl.when(b == 0)
+    def _zero():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    n_blocks = (i * block_q + block_q - 1) // block_k + 1
+    first_j = (0 if window <= 0
+               else jnp.maximum(0, i * block_q - window + 1) // block_k)
+
+    def body(j, _):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        keep = q_pos >= k_pos
+        if window > 0:
+            keep &= q_pos - k_pos < window
+        p = jnp.where(keep, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                                  # (bq, bk)
+        cur = dbias_ref[0, :, pl.ds(j * block_k, block_k)]
+        dbias_ref[0, :, pl.ds(j * block_k, block_k)] = (
+            cur + ds.astype(dbias_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(first_j, n_blocks, body, 0)
+
+
+def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
+               g):
+    q, k, v, bias, sink, o, lse = res
     do, _ = g
     BH, T, d = q.shape
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)                   # (BH, T, 1)
+    H = None
+    if bias is not None:
+        H = bias.shape[0]
+    elif sink is not None:
+        H = sink.shape[0]
 
+    def bias_args(shape_maps):
+        """(in_specs tail, args tail) for the optional bias operand."""
+        if bias is None:
+            return [], []
+        return [pl.BlockSpec(*shape_maps)], [bias]
+
+    specs, extra = bias_args(((1, block_q, T), lambda b, i: (b % H, i, 0)))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
-                          block_q=block_q, block_k=block_k, window=window),
+                          block_q=block_q, block_k=block_k, window=window,
+                          has_bias=has_bias),
         grid=(BH, _cdiv(T, block_q)),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -233,16 +360,17 @@ def _flash_bwd(sm_scale, block_q, block_k, window, res, g):
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-        ],
+        ] + specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, T, d), q.dtype),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, *extra)
 
+    specs, extra = bias_args(((1, T, block_k), lambda b, j: (b % H, 0, j)))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
                           block_q=block_q, block_k=block_k, seq_len=T,
-                          window=window),
+                          window=window, has_bias=has_bias),
         grid=(BH, _cdiv(T, block_k)),
         in_specs=[
             pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
@@ -251,7 +379,7 @@ def _flash_bwd(sm_scale, block_q, block_k, window, res, g):
             pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0)),
-        ],
+        ] + specs,
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
@@ -261,8 +389,47 @@ def _flash_bwd(sm_scale, block_q, block_k, window, res, g):
             jax.ShapeDtypeStruct((BH, T, d), q.dtype),
         ],
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
-    return dq, dk, dv
+    )(q, k, v, do, lse, delta, *extra)
+
+    dbias = None
+    if bias is not None:
+        B = BH // H
+        dbias = pl.pallas_call(
+            functools.partial(_bwd_dbias_kernel, sm_scale=sm_scale,
+                              block_q=block_q, block_k=block_k, seq_len=T,
+                              window=window),
+            grid=(H, _cdiv(T, block_q), B),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d),
+                             lambda h, i, b: (b * H + h, i, 0)),
+                pl.BlockSpec((1, T, d), lambda h, i, b: (b * H + h, 0, 0)),
+                pl.BlockSpec((1, T, d), lambda h, i, b: (b * H + h, 0, 0)),
+                pl.BlockSpec((1, block_q, d),
+                             lambda h, i, b: (b * H + h, i, 0)),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda h, i, b: (b * H + h, i, 0)),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda h, i, b: (b * H + h, i, 0)),
+                pl.BlockSpec((1, block_q, T), lambda h, i, b: (h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, T),
+                                   lambda h, i, b: (h, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((H, T, T), jnp.float32),
+            interpret=_interpret(),
+        )(q, k, v, do, lse, delta, bias)
+        dbias = dbias.astype(bias.dtype)
+
+    dsink = None
+    if sink is not None:
+        # dsink_h = -Σ_{b, rows} exp(sink_h - lse) · delta — pure jnp off
+        # the saved residuals, no kernel involvement
+        B = BH // H
+        lse_b = lse.reshape(B, H, T)
+        delta_b = delta.reshape(B, H, T)
+        dsink = (-jnp.exp(sink.astype(jnp.float32)[None, :, None] - lse_b)
+                 * delta_b).sum(axis=(0, 2)).astype(sink.dtype)
+
+    return dq, dk, dv, dbias, dsink
 
 
 # ---------------------------------------------------------------------------
@@ -274,26 +441,32 @@ def _interpret():
     return jax.devices()[0].platform == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_core(q, k, v, sm_scale, block_q, block_k, window):
-    o, _ = _flash_fwd(q, k, v, sm_scale, block_q, block_k, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, bias, sink, sm_scale, block_q, block_k, window,
+                has_bias, has_sink):
+    o, _ = _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k,
+                      window)
     return o
 
 
-def _flash_core_fwd(q, k, v, sm_scale, block_q, block_k, window):
-    o, lse = _flash_fwd(q, k, v, sm_scale, block_q, block_k, window)
-    return o, (q, k, v, o, lse)
+def _flash_core_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window,
+                    has_bias, has_sink):
+    o, lse = _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k,
+                        window)
+    return o, (q, k, v, bias, sink, o, lse)
 
 
-def _flash_core_bwd(sm_scale, block_q, block_k, window, res, g):
-    return _flash_bwd(sm_scale, block_q, block_k, window, res, (g, None))
+def _flash_core_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink,
+                    res, g):
+    return _flash_bwd(sm_scale, block_q, block_k, window, has_bias,
+                      has_sink, res, (g, None))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
-                    window: int = 0):
+                    window: int = 0, bias=None, sink=None):
     """Causal flash attention.  q/k/v: (B, T, H, hd) → (B, T, H, hd).
 
     T must be a multiple of the block sizes (the transformer pads/validates);
@@ -303,6 +476,14 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     compute drops from O(T²/2) to O(T·window) — the long-context local-
     attention fast path.
 
+    ``bias``: (H, T, T) or (1, H, T, T) BATCH-SHARED additive logit bias
+    (T5 relative positions), applied after the sm_scale — differentiable
+    (dbias accumulates over the batch inside a third backward kernel).
+    Per-batch biases are rejected: their gradient would materialize the
+    (B, H, T, T) tensor flash exists to avoid.
+    ``sink``: (H,) per-head sink logits (GPT-OSS) — each joins its row's
+    softmax and the mass is discarded; differentiable.
+
     Default blocks are 512: measured on v5e (bf16, fwd+bwd), 128-blocks
     UNDER-utilize the MXU and lose to XLA's einsum (0.8x), while 512-blocks
     win 1.8-2.0x at T=2048-4096 (see PERF.md "Flash attention").
@@ -310,6 +491,22 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     B, T, H, hd = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
+    if bias is not None:
+        if bias.ndim == 4:
+            if bias.shape[0] != 1:
+                raise ValueError(
+                    "flash_attention bias must be batch-shared: got leading "
+                    f"dim {bias.shape[0]} (use the einsum path for "
+                    "per-batch biases)")
+            bias = bias[0]
+        if bias.shape != (H, T, T):
+            raise ValueError(f"bias must be (H, T, T) = ({H}, {T}, {T}), "
+                             f"got {bias.shape}")
+        bias = bias.astype(jnp.float32)
+    if sink is not None:
+        if sink.shape != (H,):
+            raise ValueError(f"sink must be ({H},), got {sink.shape}")
+
     def fit(block):
         # the requested block if it divides T, else the largest 128-multiple
         # divisor of T below it (sub-128 blocks must divide T exactly)
@@ -331,18 +528,28 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     def to_bh(x):  # (B, T, H, hd) -> (B*H, T, hd)
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, hd)
 
-    o = _flash_core(to_bh(q), to_bh(k), to_bh(v), sm_scale, block_q, block_k,
-                    int(window))
+    o = _flash_core(to_bh(q), to_bh(k), to_bh(v), bias,
+                    (None if sink is None else sink.reshape(H)),
+                    sm_scale, block_q, block_k, int(window),
+                    bias is not None, sink is not None)
     return o.reshape(B, H, T, hd).transpose(0, 2, 1, 3)
 
 
-def reference_attention(q, k, v, sm_scale=None):
+def reference_attention(q, k, v, sm_scale=None, bias=None, sink=None):
     """The einsum path (materializes (B, H, T, T)) — differential oracle."""
     B, T, H, hd = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * sm_scale
+    if bias is not None:
+        b = bias if bias.ndim == 4 else bias[None]
+        s = s + b
     mask = jnp.tril(jnp.ones((T, T), bool))
     s = jnp.where(mask, s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    if sink is not None:
+        sc = jnp.broadcast_to(sink[None, :, None, None].astype(s.dtype),
+                              (B, H, T, 1))
+        p = jax.nn.softmax(jnp.concatenate([s, sc], -1), axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)

@@ -37,6 +37,7 @@ while differing from single-request streams.
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 from typing import Optional, Sequence
 
@@ -285,6 +286,7 @@ class ServingEngine:
         self._prefill_jits: dict = {}
         self._suffix_jits: dict = {}
         self._decode = jax.jit(self._decode_chunk)
+        self._decode_njits: dict = {}
         self._prefix: Optional[tuple] = None   # (tokens, batch-1 cache)
         self.stats = {"decode_steps": 0, "prefills": 0,
                       "prefix_hits": 0, "prefill_tokens": 0,
@@ -509,9 +511,10 @@ class ServingEngine:
         return mut["cache"], seen, nxt
 
     def _decode_chunk(self, params, cache, toks, lengths, active, seen,
-                      kv, tv, pv, rv, av, key, table=None):
-        """``chunk`` decode steps in one device program — per-step offsets
-        advance on device, the host sees (chunk, S) tokens at the end."""
+                      kv, tv, pv, rv, av, key, table=None, *, n_steps=None):
+        """``n_steps`` (default ``chunk``) decode steps in one device
+        program — per-step offsets advance on device, the host sees
+        (n_steps, S) tokens at the end."""
         def step(carry, k1):
             cache, toks, lens, seen = carry
             cache, seen, nxt = self._decode_step(
@@ -521,8 +524,28 @@ class ServingEngine:
 
         (cache, _, _, seen), seq = jax.lax.scan(
             step, (cache, toks, lengths, seen),
-            jax.random.split(key, self.chunk))
-        return cache, seen, seq                                 # (chunk, S)
+            jax.random.split(key, self.chunk if n_steps is None
+                             else n_steps))
+        return cache, seen, seq                                # (n_steps, S)
+
+    def _decode_for(self, n_steps: int):
+        """The jitted decode program for an ``n_steps``-long chunk.
+
+        The run loop shortens a chunk to the nearest power of two at or
+        under the smallest KNOWN remaining budget among active slots
+        (max_new / max_len), so a slot retiring at its budget does it AT a
+        chunk boundary instead of wasting the tail of a full chunk on
+        trimmed tokens — the single biggest occupancy leak at chunk>1
+        (r3 recorded 0.759).  At most log2(chunk) extra compiled variants;
+        eos/stop-sequence retirements still trim (they are data-dependent).
+        """
+        if n_steps >= self.chunk:
+            return self._decode
+        fn = self._decode_njits.get(n_steps)
+        if fn is None:
+            fn = self._decode_njits[n_steps] = jax.jit(
+                functools.partial(self._decode_chunk, n_steps=n_steps))
+        return fn
 
     # ------------------------------------------------- paged-engine hooks
 
@@ -694,7 +717,18 @@ class ServingEngine:
             if not active.any():
                 continue
             self._key, k1 = jax.random.split(self._key)
-            self.cache, self._seen, seq = self._decode(
+            # shorten the chunk to the nearest power of two at or under the
+            # smallest KNOWN remaining budget among active slots, so
+            # budget-bound retirements land at chunk boundaries (trimmed
+            # steps were the main occupancy leak — see _decode_for)
+            rem = min(
+                min(slot_req[s].max_new - len(slot_req[s].tokens),
+                    self.model.max_len - 1 - int(lengths[s]))
+                for s in range(self.slots) if active[s])
+            n_chunk = 1
+            while n_chunk * 2 <= min(self.chunk, rem):
+                n_chunk *= 2
+            self.cache, self._seen, seq = self._decode_for(n_chunk)(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.asarray(lengths), jnp.asarray(active), self._seen,
                 jnp.asarray(self._k_arr), jnp.asarray(self._t_arr),

@@ -30,12 +30,17 @@ padded to γ+1; pad writes land beyond the slot's live length and are
 overwritten before they are ever attendable) whose last valid logit row
 doubles as the first proposal — catch-up costs no extra pass.
 
-Greedy-only by design (every request must resolve to k=1,
-repetition_penalty=1): the target's sampling chain (penalty → temperature
-→ top-k → nucleus, with per-token seen counts) has no sound
-rejection-sampling factorization mid-window.  Use the plain engine for
-sampled serving, or :func:`nn.speculative.speculative_generate`
-(temperature-only Leviathan rule) for batch-1 sampling.
+Sampling (r4): each slot is either GREEDY (k=1 — longest argmax-agreeing
+prefix, token-for-token identical to the plain engine) or TEMPERATURE-
+sampled (temperature>0 with k >= vocab and top_p=1 — the modified
+rejection rule of Leviathan et al.: draft token d_i sampled from
+q = softmax(draft/T) is accepted with prob min(1, p(d_i)/q(d_i)), the
+first rejection resamples from normalize(max(p-q, 0)), a fully accepted
+window earns a bonus sample — the output DISTRIBUTION equals ancestral
+target sampling exactly; per-slot inv-temperatures ride one jitted round,
+so greedy and sampled requests mix freely).  Truncated sampling (top-k <
+vocab, nucleus, repetition penalties) has no sound rejection factorization
+mid-window and is rejected at admission — use the plain engine for those.
 
 Reference: beyond parity — the reference has no serving stack.
 """
@@ -88,10 +93,8 @@ class SpeculativeServingEngine(ServingEngine):
                                  f"{bad}=")
             kw.pop(bad, None)
         super().__init__(model, params, **kw)
-        if self.k != 1 or self.repetition_penalty != 1.0:
-            raise ValueError(
-                "speculative serving is greedy-only: engine defaults must "
-                "be k=1, repetition_penalty=1")
+        self._check_spec_sampling(self.k, self.temperature, self.top_p,
+                                  self.repetition_penalty, "engine defaults")
         from neuralnetworklibrary_tpu.utils.quantize import _is_qtensor
 
         self.gamma = int(gamma)
@@ -114,6 +117,24 @@ class SpeculativeServingEngine(ServingEngine):
         self._decode = self._spec_decode
         self.stats.update(spec_rounds=0, drafted=0, accepted=0)
 
+    def _check_spec_sampling(self, k, t, p, r, who: str):
+        """greedy (k=1) or pure-temperature (k >= vocab, top_p=1) only —
+        truncated/penalized sampling has no sound rejection factorization."""
+        if r != 1.0:
+            raise ValueError(
+                f"speculative serving: {who} must keep "
+                "repetition_penalty=1 (no rejection rule reproduces the "
+                "penalized chain mid-window)")
+        if int(k) == 1:
+            return
+        if int(k) >= self.model.vocab_size and float(p) >= 1.0 \
+                and float(t) > 0.0:
+            return
+        raise ValueError(
+            f"speculative serving: {who} must be greedy (k=1) or pure "
+            "temperature sampling (k >= vocab_size, top_p=1, "
+            f"temperature>0); got k={k}, temperature={t}, top_p={p}")
+
     # ------------------------------------------------------------ admission
 
     def _admit(self, req: Request, slot: int, lengths, toks):
@@ -124,10 +145,9 @@ class SpeculativeServingEngine(ServingEngine):
                 f"gamma+1 draft overshoot ({self.gamma + 1}) exceed "
                 f"max_len {self.model.max_len}")
         super()._admit(req, slot, lengths, toks)
-        if self._k_arr[slot] != 1 or self._r_arr[slot] != 1.0:
-            raise ValueError(
-                "speculative serving is greedy-only: requests must keep "
-                "k=1 and repetition_penalty=1")
+        self._check_spec_sampling(self._k_arr[slot], self._t_arr[slot],
+                                  self._p_arr[slot], self._r_arr[slot],
+                                  "request")
         p = np.asarray(req.prompt, np.int32)
         tb = self._bucket_for(len(p))
         padded = np.full((1, tb), self.pad_token, np.int32)
@@ -167,20 +187,34 @@ class SpeculativeServingEngine(ServingEngine):
         return jax.tree_util.tree_map(ins, dcache, mut["cache"])
 
     def _spec_round(self, params, dparams, cache, dcache, toks, lengths,
-                    pend, n_pend, active):
+                    pend, n_pend, active, inv_t, key):
         """One speculative round for every slot, fully jitted.
 
         toks (S,): last emitted token per slot (its K/V not yet written);
         lengths (S,): its position; pend (S, γ) / n_pend (S,): earlier
-        tokens from last round the draft must catch up on.  Returns
-        (cache, dcache, candidates (S, γ+1), n_emit (S,)) — candidates are
-        ALL target argmax tokens, rows valid up to n_emit.
+        tokens from last round the draft must catch up on; inv_t (S,):
+        per-slot inverse temperature — 0 marks a GREEDY slot (argmax
+        proposals + longest argmax-agreeing prefix), > 0 a temperature-
+        sampled slot (Leviathan accept/resample, exact target
+        distribution).  Returns (cache, dcache, candidates (S, γ+1),
+        n_emit (S,)) — rows valid up to n_emit.
         """
         if self._quantized:
             params = self._dequantize(params)
         if self._draft_quantized:
             dparams = self._dequantize(dparams)
         S, g = self.slots, self.gamma
+        greedy = inv_t <= 0.0                                  # (S,)
+        kd, ka, kr, kb = jax.random.split(key, 4)
+
+        def propose(logits, k1):
+            """Per-slot proposal from (S, V) draft logits: argmax for
+            greedy slots, temperature sample otherwise."""
+            arg = jnp.argmax(logits, -1).astype(jnp.int32)
+            smp = jax.random.categorical(
+                k1, logits * jnp.maximum(inv_t, 1e-6)[:, None]
+            ).astype(jnp.int32)
+            return jnp.where(greedy, arg, smp)
 
         # -- draft catch-up + first proposal (one T=γ+1 forward) ----------
         t_idx = jnp.arange(g + 1)[None, :]
@@ -192,7 +226,7 @@ class SpeculativeServingEngine(ServingEngine):
         dcache = dmut["cache"]
         dlog0 = jnp.take_along_axis(
             dout[0], n_pend[:, None, None], axis=1)[:, 0]      # (S, V)
-        d1 = jnp.argmax(dlog0, -1).astype(jnp.int32)
+        d1 = propose(dlog0, jax.random.fold_in(kd, 0))
 
         # -- draft proposals d_2..d_γ (γ−1 cached one-token steps) --------
         def dstep(carry, j):
@@ -200,12 +234,15 @@ class SpeculativeServingEngine(ServingEngine):
             out, mut = self.draft_model.apply(
                 {"params": dparams, "cache": dc}, tok[:, None], decode=True,
                 offsets=lengths + j, mutable=["cache"])
-            nxt = jnp.argmax(out[0][:, -1], -1).astype(jnp.int32)
-            return (mut["cache"], nxt), nxt
+            dlog = out[0][:, -1]                               # (S, V)
+            nxt = propose(dlog, jax.random.fold_in(kd, j))
+            return (mut["cache"], nxt), (nxt, dlog)
 
-        (dcache, _), rest = jax.lax.scan(dstep, (dcache, d1),
-                                         jnp.arange(1, g))
+        (dcache, _), (rest, rest_logs) = jax.lax.scan(
+            dstep, (dcache, d1), jnp.arange(1, g))
         dtoks = jnp.concatenate([d1[None], rest], 0).T         # (S, γ)
+        dlogs = jnp.concatenate([dlog0[None], rest_logs], 0)   # (γ, S, V)
+        dlogs = jnp.moveaxis(dlogs, 0, 1)                      # (S, γ, V)
 
         # -- target verifies every slot's window in ONE forward -----------
         ver_in = jnp.concatenate([toks[:, None], dtoks], 1)    # (S, γ+1)
@@ -213,24 +250,58 @@ class SpeculativeServingEngine(ServingEngine):
             {"params": params, "cache": cache}, ver_in, decode=True,
             offsets=lengths, mutable=["cache"])
         cache = mut["cache"]
-        g_toks = jnp.argmax(out[0], -1).astype(jnp.int32)      # (S, γ+1)
+        L = out[0]                                             # (S, γ+1, V)
+        g_toks = jnp.argmax(L, -1).astype(jnp.int32)           # (S, γ+1)
 
-        # longest agreeing prefix + the bonus/correction token
-        acc = (dtoks == g_toks[:, :g]).astype(jnp.int32)
-        k_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)      # (S,)
+        # -- acceptance: longest valid prefix per slot --------------------
+        it = jnp.maximum(inv_t, 1e-6)[:, None, None]
+        p = jax.nn.softmax(L[:, :g] * it, -1)                  # (S, γ, V)
+        q = jax.nn.softmax(dlogs * it, -1)
+        rows = jnp.arange(g)[None, :]
+        pd = jnp.take_along_axis(p, dtoks[:, :, None], -1)[..., 0]
+        qd = jnp.take_along_axis(q, dtoks[:, :, None], -1)[..., 0]
+        u = jax.random.uniform(ka, (S, g))
+        acc_samp = u * qd < pd          # u < min(1, p/q); q > 0 at a sample
+        acc_greedy = dtoks == g_toks[:, :g]
+        acc = jnp.where(greedy[:, None], acc_greedy, acc_samp)
+        k_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+        # -- the token at position k_acc: correction / resample / bonus ---
+        resid = jnp.maximum(p - q, 0.0)
+        resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True),
+                                    1e-30)
+        rtoks = jax.random.categorical(
+            kr, jnp.log(resid + 1e-30).reshape(S * g, -1)
+        ).reshape(S, g).astype(jnp.int32)                      # (S, γ)
+        bonus = jnp.where(
+            greedy, g_toks[:, g],
+            jax.random.categorical(kb, L[:, g] * it[..., 0]).astype(
+                jnp.int32))
+        corr_g = jnp.take_along_axis(g_toks, k_acc[:, None], 1)[:, 0]
+        corr_s = jnp.take_along_axis(
+            rtoks, jnp.minimum(k_acc, g - 1)[:, None], 1)[:, 0]
+        fix = jnp.where(k_acc < g,
+                        jnp.where(greedy, corr_g, corr_s), bonus)
+        v = jnp.where(greedy[:, None], g_toks,
+                      jnp.concatenate([dtoks, bonus[:, None]], 1))
+        v = jnp.where(jnp.arange(g + 1)[None] == k_acc[:, None],
+                      fix[:, None], v)
         n_emit = jnp.where(active, k_acc + 1, 0)
-        return cache, dcache, g_toks, n_emit
+        return cache, dcache, v, n_emit
 
     def _spec_decode(self, params, cache, toks, lengths, active, seen,
                      kv, tv, pv, rv, av, key, *extra):
         """Drop-in for the base ``_decode``: runs one speculative round and
         reports per-slot emission counts through ``_last_emit``.  ``seen``
-        passes through untouched (greedy-only — the repetition machinery
-        never reads it)."""
+        passes through untouched (repetition penalties are rejected at
+        admission — the machinery never reads it).  Greedy slots carry
+        inv_t = 0, sampled slots 1/temperature."""
+        inv_t = jnp.where(jnp.asarray(kv) == 1, 0.0,
+                          1.0 / jnp.maximum(jnp.asarray(tv), 1e-6))
         cache, dcache, v, n_emit = self._round(
             params, self.draft_params, cache, self.draft_cache, toks,
             lengths, jnp.asarray(self._pend), jnp.asarray(self._n_pend),
-            jnp.asarray(active))
+            jnp.asarray(active), inv_t, key)
         self.draft_cache = dcache
         v = np.asarray(v)                                      # (S, γ+1)
         n_emit = np.asarray(n_emit)

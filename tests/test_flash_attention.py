@@ -191,3 +191,104 @@ def test_windowed_flash_model_path():
     np.testing.assert_allclose(np.asarray(mf.apply(variables, x)[0]),
                                np.asarray(me.apply(variables, x)[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------ bias + sinks (r4)
+
+
+def test_flash_bias_matches_reference_fwd_bwd():
+    """Batch-shared (H, T, T) additive bias (T5 relative positions):
+    forward AND dq/dk/dv/dbias match the einsum oracle."""
+    B, T, H, hd = 2, 256, 3, 32
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(H, T, T)), jnp.float32) * 0.5
+
+    of = flash_attention(q, k, v, block_q=128, block_k=128, bias=bias)
+    orf = reference_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
+                               rtol=2e-5, atol=2e-5)
+
+    def lf(a, b, c, bb):
+        return jnp.sum(jnp.square(flash_attention(
+            a, b, c, block_q=128, block_k=128, bias=bb)))
+
+    def lr(a, b, c, bb):
+        return jnp.sum(jnp.square(reference_attention(a, b, c, bias=bb)))
+
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for got, want, nm in zip(gf, gr, "qkvb"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"d{nm}")
+
+
+def test_flash_sink_matches_reference_fwd_bwd():
+    """GPT-OSS attention sinks: the discarded-mass softmax and the dsink
+    gradient (computed OUTSIDE the kernel from lse/delta) both match."""
+    B, T, H, hd = 2, 256, 2, 32
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+               for _ in range(3))
+    sink = jnp.asarray(rng.normal(size=(H,)), jnp.float32)
+
+    of = flash_attention(q, k, v, block_q=128, block_k=128, sink=sink)
+    orf = reference_attention(q, k, v, sink=sink)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
+                               rtol=2e-5, atol=2e-5)
+
+    def lf(a, b, c, s):
+        return jnp.sum(jnp.square(flash_attention(
+            a, b, c, block_q=128, block_k=128, sink=s)))
+
+    def lr(a, b, c, s):
+        return jnp.sum(jnp.square(reference_attention(a, b, c, sink=s)))
+
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    for got, want, nm in zip(gf, gr, "qkvs"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"d{nm}")
+
+
+@pytest.mark.slow
+def test_flash_bias_long_context():
+    """flash == einsum with bias at T=2048 (VERDICT item 6's 'Done' bar) —
+    the T5-shaped long-context case, 512-blocks."""
+    B, T, H, hd = 1, 2048, 1, 16
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(H, T, T)), jnp.float32) * 0.3
+    of = flash_attention(q, k, v, bias=bias)  # default 512 blocks
+    orf = reference_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_flash_per_batch_bias_rejected():
+    B, T, H, hd = 2, 256, 2, 16
+    q = k = v = jnp.zeros((B, T, H, hd))
+    bad = jnp.zeros((B, H, T, T))
+    with pytest.raises(ValueError, match="batch-shared"):
+        flash_attention(q, k, v, block_q=128, block_k=128, bias=bad)
+
+
+def test_sinks_model_flash_matches_einsum():
+    """TransformerLM(sinks=True, flash_attention=True) — the GPT-OSS
+    configuration — now takes the kernel and equals the einsum path."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    V = 50
+    kw = dict(vocab_size=V, pad_token=1, d_model=32, n_heads=4, n_layers=2,
+              max_len=128, drop=0.0, sinks=True, pos_embedding="rope")
+    me = TransformerLM(**kw)
+    mf = TransformerLM(**kw, flash_attention=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, V, (2, 128)), jnp.int32)
+    variables = me.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mf.apply(variables, x)[0]),
+                               np.asarray(me.apply(variables, x)[0]),
+                               rtol=2e-4, atol=2e-4)

@@ -208,3 +208,25 @@ def test_beam_search():
     np.testing.assert_array_equal(np.asarray(b1), greedy)
     _, s4 = seq2seq_beam_search(model, params, src, 5, bos=BOS, beam=4)
     assert (np.asarray(s4) >= np.asarray(s1) - 1e-5).all()
+
+
+def test_t5_decoder_flash_matches_einsum():
+    """TransformerSeq2Seq(pos_embedding='relative', flash_attention=True):
+    the decoder's causal self-attention rides the flash kernel WITH the
+    batch-shared relative bias (r4) and equals the einsum path."""
+    from neuralnetworklibrary_tpu.nn.seq2seq import TransformerSeq2Seq
+
+    V, T = 40, 128
+    kw = dict(vocab_size=V, pad_token=0, d_model=32, n_heads=4,
+              enc_layers=1, dec_layers=2, max_src_len=16, max_len=T,
+              drop=0.0, pos_embedding="relative", norm="rmsnorm")
+    me = TransformerSeq2Seq(**kw)
+    mf = TransformerSeq2Seq(**kw, flash_attention=True)
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.integers(1, V, (2, 12)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, V, (2, T)), jnp.int32)
+    variables = me.init(jax.random.PRNGKey(0), src, tgt)
+    le = me.apply(variables, src, tgt)[0]
+    lf = mf.apply(variables, src, tgt)[0]
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                               rtol=3e-4, atol=3e-4)

@@ -145,7 +145,10 @@ def test_engine_chunked_decode_identical():
     base, steps1 = run(1)
     chunked, steps8 = run(8)
     assert chunked == base
-    assert steps8 % 8 == 0 and steps8 >= steps1  # trimmed, not truncated
+    # r4 dynamic chunking: chunks shrink (powers of two) to the smallest
+    # known remaining budget, so steps are close to the chunk=1 count
+    # instead of full-chunk multiples
+    assert steps1 <= steps8 <= steps1 + 8 * len(spec)
 
 
 def test_engine_serves_quantized_weights():
@@ -321,3 +324,19 @@ def test_moe_serving_matches_generate():
     for req in reqs:
         assert req.tokens == _oracle(model, params, req.prompt,
                                      req.max_new)
+
+
+def test_engine_dynamic_chunk_occupancy():
+    """Dynamic chunk shortening (r4): on a mixed max_new workload with no
+    EOS, budget-bound retirements land at chunk boundaries, so occupancy
+    clears 0.9 (r3's fixed chunks recorded 0.76 on the bench analogue)."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(11)
+    reqs = [Request(rng.integers(0, V, int(rng.integers(4, 12))).tolist(),
+                    int(rng.integers(10, 40)))
+            for _ in range(16)]
+    eng = ServingEngine(model, params, slots=4, chunk=8,
+                        prompt_buckets=(8, 16))
+    eng.run(reqs)
+    assert all(len(r.tokens) == r.max_new for r in reqs)
+    assert eng.occupancy > 0.9, eng.occupancy

@@ -191,3 +191,70 @@ def test_streaming_and_reuse():
     want = generate(model, params, jnp.asarray([more[0].prompt], jnp.int32),
                     6, k=1)
     assert more[0].tokens == [int(t) for t in np.asarray(want)[0]]
+
+
+# --------------------------------------------------- sampled mode (r4)
+
+
+def test_spec_sampled_matches_target_distribution():
+    """Temperature-sampled speculative serving draws from the TARGET's
+    ancestral distribution exactly (Leviathan et al. guarantee): over many
+    runs of the same request, the emitted-token histogram matches the plain
+    engine's (which IS ancestral temperature sampling) within Monte-Carlo
+    noise — despite a draft with completely different weights."""
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    prompt = list(np.random.default_rng(3).integers(0, V, 6))
+    T, N_RUNS, N_NEW = 1.0, 300, 4
+
+    spec_eng = SpeculativeServingEngine(
+        model, params, draft, dparams, gamma=3, slots=2,
+        prompt_buckets=(8,), k=V, max_k=V, temperature=T, seed=0)
+    plain_eng = ServingEngine(model, params, slots=2, prompt_buckets=(8,),
+                              k=V, max_k=V, temperature=T, seed=1)
+
+    def histogram(eng):
+        h = np.zeros(V)
+        for _ in range(N_RUNS):
+            r = Request(list(prompt), N_NEW)
+            eng.run([r])
+            for t in r.tokens:
+                h[t] += 1
+        return h / h.sum()
+
+    hs = histogram(spec_eng)
+    hp = histogram(plain_eng)
+    tv = 0.5 * np.abs(hs - hp).sum()
+    assert tv < 0.08, f"total-variation {tv:.3f} between spec and ancestral"
+    # and the draft actually participated (sampled proposals accepted)
+    assert spec_eng.stats["accepted"] > 0
+
+
+def test_spec_mixed_greedy_and_sampled_batch():
+    """A greedy request stays token-exact vs generate even while a
+    temperature-sampled request shares the speculative batch (per-slot
+    inv-temperatures inside one jitted round)."""
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    rng = np.random.default_rng(5)
+    gp = rng.integers(0, V, 9).tolist()
+    reqs = [Request(gp, 10, k=1),
+            Request(rng.integers(0, V, 5).tolist(), 8, k=V,
+                    temperature=0.9)]
+    eng = SpeculativeServingEngine(model, params, draft, dparams, gamma=3,
+                                   slots=2, prompt_buckets=(16,), max_k=V)
+    eng.run(reqs)
+    want = generate(model, params, jnp.asarray([gp], jnp.int32), 10, k=1)
+    assert reqs[0].tokens == list(np.asarray(want)[0])
+    assert len(reqs[1].tokens) == 8
+
+
+def test_spec_rejects_truncated_sampling():
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    eng = SpeculativeServingEngine(model, params, draft, dparams, gamma=2,
+                                   slots=2, prompt_buckets=(8,), max_k=V)
+    with pytest.raises(ValueError, match="speculative serving"):
+        eng.run([Request([1, 2, 3], 4, k=5, temperature=0.8)])
+    with pytest.raises(ValueError, match="speculative serving"):
+        eng.run([Request([1, 2, 3], 4, repetition_penalty=1.3)])
