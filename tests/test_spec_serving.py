@@ -202,19 +202,25 @@ def test_spec_sampled_matches_target_distribution():
     runs of the same request, the emitted-token histogram matches the plain
     engine's (which IS ancestral temperature sampling) within Monte-Carlo
     noise — despite a draft with completely different weights."""
-    model, params = _model(0)
-    draft, dparams = _model(7, layers=1)
-    prompt = list(np.random.default_rng(3).integers(0, V, 6))
-    T, N_RUNS, N_NEW = 1.0, 300, 4
+    VS = 12  # small vocab: the TV noise floor scales like sqrt(V/n)
+    cfg = dict(vocab_size=VS, d_model=32, n_heads=4, max_len=96, drop=0.0)
+    model = TransformerLM(n_layers=2, **cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    draft = TransformerLM(n_layers=1, **cfg)
+    dparams = draft.init(jax.random.PRNGKey(7),
+                         jnp.zeros((1, 4), jnp.int32))["params"]
+    prompt = list(np.random.default_rng(3).integers(0, VS, 6))
+    T, N_RUNS, N_NEW = 1.0, 400, 6
 
     spec_eng = SpeculativeServingEngine(
         model, params, draft, dparams, gamma=3, slots=2,
-        prompt_buckets=(8,), k=V, max_k=V, temperature=T, seed=0)
+        prompt_buckets=(8,), k=VS, max_k=VS, temperature=T, seed=0)
     plain_eng = ServingEngine(model, params, slots=2, prompt_buckets=(8,),
-                              k=V, max_k=V, temperature=T, seed=1)
+                              k=VS, max_k=VS, temperature=T, seed=1)
 
     def histogram(eng):
-        h = np.zeros(V)
+        h = np.zeros(VS)
         for _ in range(N_RUNS):
             r = Request(list(prompt), N_NEW)
             eng.run([r])
@@ -225,6 +231,8 @@ def test_spec_sampled_matches_target_distribution():
     hs = histogram(spec_eng)
     hp = histogram(plain_eng)
     tv = 0.5 * np.abs(hs - hp).sum()
+    # ~2400 samples over 12 categories: identical distributions land
+    # around TV 0.03-0.05; a systematic sampling bug lands far above
     assert tv < 0.08, f"total-variation {tv:.3f} between spec and ancestral"
     # and the draft actually participated (sampled proposals accepted)
     assert spec_eng.stats["accepted"] > 0
