@@ -286,20 +286,23 @@ def bench_transformer(epochs=3):
 def bench_gpt2_mfu():
     """MFU of a GPT-2-124M-scale TransformerLM train step at T=1024:
     d768/H12/L12 ff3072 vocab 50257, bf16 compute, flash attention (block
-    512) + per-block remat + vocab-chunked fused CE — the configuration the
-    framework recommends for real LM training.  Model FLOPs come from XLA's
-    cost analysis of the optimized HLO (remat recompute counts); peak =
-    PEAK_FLOPS for the current chip.  Also returns tokens/s for the step."""
+    512), NO remat, MATERIALIZED CE — the measured-best configuration at
+    this scale (v5e A/B, PERF.md "GPT-2-124M MFU": remat's recompute costs
+    16% step time the 16 GB HBM doesn't need back at 124M/T1024, and the
+    vocab-chunked fused CE costs ~5% over materialized logits that fit
+    fine; both knobs exist for models where they don't).  Model FLOPs come
+    from XLA's cost analysis of the optimized HLO; peak = PEAK_FLOPS for
+    the current chip.  Also returns tokens/s for the step."""
     import types
 
     import jax
 
+    from neuralnetworklibrary_tpu.applications.text import (
+        SeqCrossEntropyLoss,
+    )
     from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
     from neuralnetworklibrary_tpu.learner import Learner
-    from neuralnetworklibrary_tpu.nn.transformer import (
-        FusedSeqCrossEntropyLoss,
-        TransformerLM,
-    )
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
     from neuralnetworklibrary_tpu.utils.profiling import learner_step_mfu
 
     if SMOKE:
@@ -316,9 +319,9 @@ def bench_gpt2_mfu():
         val_dl=DataLoader(ds, BT, prefetch=0), train_ds=ds, val_ds=ds)
     model = TransformerLM(vocab_size=V, pad_token=0, d_model=D, n_heads=HH,
                           n_layers=L, d_ff=4 * D, max_len=TT, drop=0.0,
-                          flash_attention=True, remat=True, fused_ce=True)
+                          flash_attention=True, remat=False)
     learner = Learner("/tmp/nnl_bench_gpt2/", data, model, optimizer="Adam2",
-                      loss_func=FusedSeqCrossEntropyLoss(),
+                      loss_func=SeqCrossEntropyLoss(),
                       compute_dtype="bfloat16")
     learner.init_optimizer(wd=1e-6)
     batch = next(iter(data.train_dl))

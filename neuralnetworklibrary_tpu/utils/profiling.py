@@ -101,6 +101,7 @@ class Throughput:
 # own ``peak_flops`` for other parts.
 PEAK_FLOPS = {
     "tpu v5e": 197e12,      # bf16
+    "tpu v5 lite": 197e12,  # v5e's device_kind string on some runtimes
     "tpu v4": 275e12,       # bf16
     "tpu v3": 123e12,       # bf16
     "p6000": 12.6e12,       # f32 (the reference's GPU)
