@@ -119,7 +119,7 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
         # GPT-OSS sinks: one per-head logit joins every row's softmax; its
         # mass is discarded from the numerator, so only l (and through it
         # the saved lse) changes — max-folded for stability
-        sk = sink_ref[0, 0]
+        sk = sink_ref[pl.program_id(0) % sink_ref.shape[0], 0]
         m_tot = jnp.maximum(m, sk)
         scale = jnp.exp(m - m_tot)
         l = l * scale + jnp.exp(sk - m_tot)
@@ -146,7 +146,11 @@ def _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window):
                                      lambda b, i: (b % H, i, 0)))
         args.append(bias)
     if sink is not None:
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b % H, 0)))
+        # full-array block (Mosaic: last-two block dims must be
+        # (8,128)-divisible or EQUAL the array dims — (1,1) of (H,1) is
+        # neither); the kernel indexes its head with program_id(0) % H
+        in_specs.append(pl.BlockSpec((sink.shape[0], 1),
+                                     lambda b, i: (0, 0)))
         args.append(sink.reshape(H, 1).astype(jnp.float32))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
@@ -503,6 +507,13 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
             raise ValueError(f"bias must be (H, T, T) = ({H}, {T}, {T}), "
                              f"got {bias.shape}")
         bias = bias.astype(jnp.float32)
+        # bias tiles are (block, T) f32 — double-buffered by the Mosaic
+        # pipeline (plus the dbias kernel's same-size output tile), so cap
+        # the tile at 2 MB: 512-blocks at T=2048 exceed VMEM and crash the
+        # compiler (v5e, measured); 256 compiles and runs
+        cap = max(128, (1 << 19) // T)
+        block_q = min(block_q, cap)
+        block_k = min(block_k, cap)
     if sink is not None:
         if sink.shape != (H,):
             raise ValueError(f"sink must be ({H},), got {sink.shape}")
