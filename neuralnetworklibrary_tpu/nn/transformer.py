@@ -588,10 +588,11 @@ class CausalSelfAttention(nn.Module):
                     psv.value = psv.value.at[rows, off % bs_].set(
                         sv_new[:, 0])
                 if (self.paged_kernel and self.softcap == 0.0
-                        and not self.sinks
                         and not self.is_initializing()):
                     # pallas pool-reading attention: blocks stream through
-                    # VMEM once per (slot, kv head); no gathered strip
+                    # VMEM once per (slot, kv head); no gathered strip.
+                    # GPT-OSS sinks ride the kernel (r4): the per-head sink
+                    # logit joins only the final normalizer
                     from neuralnetworklibrary_tpu.ops.paged_attention import (
                         paged_attention,
                     )
@@ -600,7 +601,8 @@ class CausalSelfAttention(nn.Module):
                         q[:, 0], pk.value, pv.value, table, off,
                         window=self.window,
                         pool_k_scale=psk.value if self.kv_quant else None,
-                        pool_v_scale=psv.value if self.kv_quant else None)
+                        pool_v_scale=psv.value if self.kv_quant else None,
+                        sink=sink)
                     return proj_out(out.reshape(B, T, DH))
                 if self.kv_quant:
                     kf = (pk.value[table].reshape(B, Mp, Hkv, hd)

@@ -65,8 +65,9 @@ def _interpret():
     return jax.devices()[0].platform == "cpu"
 
 
-def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, block, G, sm_scale, window, quant):
+def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+            sink_ref, o_ref, acc_ref, m_ref, l_ref, *, block, G, sm_scale,
+            window, quant, has_sink):
     """One (slot b, logical block i) step of the online softmax.
 
     q_ref (1, H, hd); k/v_ref (1, block, Hkv, hd) — the pool row the
@@ -127,13 +128,23 @@ def _kernel(tbl_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
     @pl.when(i == nb - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...]
-                    / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        acc = acc_ref[...]
+        m = m_ref[...]
+        l = l_ref[...]
+        if has_sink:
+            # GPT-OSS sinks: the per-head sink logit joins the normalizer
+            # only (its mass is discarded from the numerator) — max-folded
+            sk = sink_ref[...]                               # (H, 1)
+            m_tot = jnp.maximum(m, sk)
+            sc = jnp.exp(m - m_tot)
+            l = l * sc + jnp.exp(sk - m_tot)
+            acc = acc * sc
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
                     sm_scale=None, window: int = 0,
-                    pool_k_scale=None, pool_v_scale=None):
+                    pool_k_scale=None, pool_v_scale=None, sink=None):
     """Single-step decode attention over a paged KV pool.
 
     q: (B, H, hd) — this step's queries (one token per slot).
@@ -198,6 +209,13 @@ def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
             pl.BlockSpec((1, 1, 1), lambda b, i, t, o: (0, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda b, i, t, o: (0, 0, 0))]
         args += [zero, zero]
+    if sink is not None:
+        # full-array (H, 1) block (Mosaic's (8,128)-or-full rule)
+        in_specs.append(pl.BlockSpec((H, 1), lambda b, i, t, o: (0, 0)))
+        args.append(jnp.asarray(sink, jnp.float32).reshape(H, 1))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i, t, o: (0, 0)))
+        args.append(jnp.zeros((1, 1), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -212,7 +230,8 @@ def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
     )
     return pl.pallas_call(
         functools.partial(_kernel, block=bs, G=G, sm_scale=sm_scale,
-                          window=int(window), quant=quant),
+                          window=int(window), quant=quant,
+                          has_sink=sink is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
         interpret=_interpret(),
@@ -221,7 +240,8 @@ def paged_attention(q, pool_k, pool_v, block_table, offsets, *,
 
 def reference_paged_attention(q, pool_k, pool_v, block_table, offsets, *,
                               sm_scale=None, window: int = 0,
-                              pool_k_scale=None, pool_v_scale=None):
+                              pool_k_scale=None, pool_v_scale=None,
+                              sink=None):
     """The gather-then-einsum formulation (materializes every slot's strip)
     — differential oracle, mirroring nn/transformer.py's paged branch."""
     B, H, hd = q.shape
@@ -251,5 +271,11 @@ def reference_paged_attention(q, pool_k, pool_v, block_table, offsets, *,
     if window > 0:
         mask &= jnp.arange(Mp)[None, None, :] > (off[:, None, None] - window)
     att = jnp.where(mask, att, _NEG_INF)
-    att = jax.nn.softmax(att, axis=-1)
+    if sink is not None:
+        sc = jnp.broadcast_to(
+            jnp.asarray(sink, att.dtype)[None, :, None], (B, H, 1))
+        att = jax.nn.softmax(jnp.concatenate([att, sc], -1),
+                             axis=-1)[..., :-1]
+    else:
+        att = jax.nn.softmax(att, axis=-1)
     return jnp.einsum("bhk,bkhd->bhd", att, vf).astype(q.dtype)

@@ -214,3 +214,55 @@ def test_paged_attention_env_kill_switch(monkeypatch):
     out, _ = model.apply(variables, x, decode=True, mutable=["cache"],
                          block_table=table, offsets=jnp.zeros(1, jnp.int32))
     assert np.asarray(out[0]).shape == (1, 1, 32)
+
+
+def test_paged_kernel_sinks_match_gather():
+    """GPT-OSS sinks in the paged decode kernel (r4): the per-head sink
+    logit joins the final normalizer only — kernel == gather oracle with
+    the discarded-mass softmax, float32-exact in interpret mode."""
+    from neuralnetworklibrary_tpu.ops.paged_attention import (
+        paged_attention,
+        reference_paged_attention,
+    )
+
+    B, H, Hkv, hd, bs, MB = 3, 4, 2, 32, 8, 4
+    N = B * MB + 1
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(B, H, hd)), jnp.float32)
+    pk = jnp.asarray(rng.normal(size=(N, bs, Hkv, hd)), jnp.float32)
+    pv = jnp.asarray(rng.normal(size=(N, bs, Hkv, hd)), jnp.float32)
+    table = jnp.asarray(
+        rng.permutation(np.arange(1, N))[:B * MB].reshape(B, MB), jnp.int32)
+    off = jnp.asarray(rng.integers(bs, MB * bs, B), jnp.int32)
+    sink = jnp.asarray(rng.normal(size=(H,)), jnp.float32)
+
+    got = paged_attention(q, pk, pv, table, off, sink=sink)
+    want = reference_paged_attention(q, pk, pv, table, off, sink=sink)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # and sinks actually change the output (mass is discarded)
+    base = paged_attention(q, pk, pv, table, off)
+    assert float(jnp.max(jnp.abs(got - base))) > 1e-4
+
+
+def test_paged_kernel_sinks_model_decode():
+    """TransformerLM(sinks=True, paged_attention=True) paged decode ==
+    the gather path at the model level."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    V = 40
+    kw = dict(vocab_size=V, d_model=32, n_heads=4, n_kv_heads=2,
+              n_layers=2, max_len=64, drop=0.0, pos_embedding="rope",
+              sinks=True, paged_kv_blocks=16, paged_kv_block=8)
+    mk = TransformerLM(**kw, paged_attention=True)
+    mg = TransformerLM(**kw, paged_attention=False)
+    x = jnp.zeros((2, 1), jnp.int32)
+    variables = mg.init(jax.random.PRNGKey(0), x)
+    table = jnp.arange(1, 17, dtype=jnp.int32).reshape(2, 8)
+    offs = jnp.asarray([3, 5], jnp.int32)
+    ok, _ = mk.apply(variables, x, decode=True, mutable=["cache"],
+                     block_table=table, offsets=offs)
+    og, _ = mg.apply(variables, x, decode=True, mutable=["cache"],
+                     block_table=table, offsets=offs)
+    np.testing.assert_allclose(np.asarray(ok[0]), np.asarray(og[0]),
+                               rtol=2e-5, atol=2e-5)
