@@ -214,6 +214,19 @@ def learner_step_mfu(learner, batch=None, lr: float = 1e-3,
         batch = next(iter(learner.data.train_dl))
     from neuralnetworklibrary_tpu.parallel import mesh as pmesh
 
+    # Time through the learner's OWN donated step (train1minibatch): a
+    # separate non-donated jit would hold a second full params+opt_state
+    # residency and OOM models that train fine (measured: GPT-2-355M fits
+    # the donated step but not the probe copy).  FLOPs come from a
+    # compile-only lowering of the same body — no buffers are allocated.
+    loss = learner.train1minibatch(batch, lr)   # ensure compiled
+    sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = learner.train1minibatch(batch, lr)
+    sync(loss)
+    secs = (time.perf_counter() - t0) / iters
+
     body = learner._with_precision(
         learner._train_body(learner._trainable(), learner.bn_frozen))
     lr_g, wd_g, mom, b1, b2, clip = learner._hyper_row(lr, batch.n_valid)
@@ -222,4 +235,4 @@ def learner_step_mfu(learner, batch=None, lr: float = 1e-3,
     rng = jax.random.fold_in(learner.rng, 12345)
     return mfu(body, learner.params, learner.state, learner.opt_state,
                learner._ema, xs, y, mask, lr_g, wd_g, mom, b1, b2, clip, rng,
-               iters=iters, peak_flops=peak_flops)
+               seconds_per_call=secs, peak_flops=peak_flops)
