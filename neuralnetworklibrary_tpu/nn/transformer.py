@@ -209,8 +209,17 @@ def rope(x, positions, base: float = 10000.0, scaling=None):
     inv_np, att, orig = _rope_freqs(hd, base, scaling)
     if orig is not None:  # longrope: dynamic short/long select
         short, long = (jnp.asarray(s, jnp.float32) for s in inv_np)
-        use_long = jnp.max(positions) + 1 > orig
-        inv_freq = jnp.where(use_long, long, short)
+        if positions.ndim == 2:
+            # (B, T) per-row positions (continuous-batching decode): each
+            # ROW picks its own regime — HF's seq_len is per sequence, and
+            # one long slot must not flip a short slot's frequencies
+            use_long = (jnp.max(positions, axis=-1) + 1 > orig)[:, None,
+                                                                None]
+            inv_freq = jnp.where(use_long, long[None, None],
+                                 short[None, None])     # (B, 1, hd/2)
+        else:
+            use_long = jnp.max(positions) + 1 > orig
+            inv_freq = jnp.where(use_long, long, short)
     else:
         inv_freq = jnp.asarray(inv_np, jnp.float32)
     ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, hd/2)

@@ -814,3 +814,36 @@ def test_phi3_longrope_dir_parity(tmp_path):
                              pad_token_id=0)
     got_g = np.asarray(generate(model, params, jnp.asarray(x), n=n, k=1))
     np.testing.assert_array_equal(got_g, hf_out.numpy()[:, x.shape[1]:])
+
+
+def test_longrope_per_row_select_in_batched_decode():
+    """Continuous-batching decode: each ROW picks its own short/long
+    longrope regime (HF's seq_len is per sequence) — a slot past the
+    original window must not flip a short slot's frequencies.  Pinned by
+    comparing the mixed batch against each row decoded alone."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    ORIG, MAXLEN = 16, 64
+    hd2 = (D // H) // 2
+    trng = np.random.default_rng(61)
+    rs = ("longrope", ORIG,
+          tuple(1.0 + trng.uniform(0, 0.5, hd2)),
+          tuple(2.0 + trng.uniform(0, 2.0, hd2)), 1.1)
+    model = TransformerLM(vocab_size=V, d_model=D, n_heads=H,
+                          n_kv_heads=HKV, n_layers=L, max_len=MAXLEN,
+                          drop=0.0, pos_embedding="rope", rope_scaling=rs)
+    x1 = jnp.zeros((1, 1), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x1)
+    rng = np.random.default_rng(67)
+    toks = jnp.asarray(rng.integers(0, V, (2, 1)), jnp.int32)
+    offs = jnp.asarray([4, 40], jnp.int32)   # short regime / long regime
+
+    batched, _ = model.apply(variables, toks, decode=True,
+                             offsets=offs, mutable=["cache"])
+    for i in range(2):
+        solo, _ = model.apply(variables, toks[i:i + 1], decode=True,
+                              offsets=offs[i:i + 1], mutable=["cache"])
+        np.testing.assert_allclose(np.asarray(batched[0][i]),
+                                   np.asarray(solo[0][0]),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"row {i} regime leaked")
