@@ -452,7 +452,7 @@ def bench_engine():
     dt = time.perf_counter() - t0
     toks = sum(len(r.tokens) for r in reqs)
     gc.collect()
-    return toks / dt, engine.occupancy
+    return toks / dt, engine.occupancy, engine.occupancy_saturated
 
 
 def bench_structured(epochs=3):
@@ -676,10 +676,10 @@ def main():
         print(f"# bench_serving failed: {e!r}", flush=True)
         serving = {1: None, 16: None}
     try:
-        engine_rate, engine_occ = bench_engine()
+        engine_rate, engine_occ, engine_occ_sat = bench_engine()
     except Exception as e:
         print(f"# bench_engine failed: {e!r}", flush=True)
-        engine_rate = engine_occ = None
+        engine_rate = engine_occ = engine_occ_sat = None
 
     senet_e2e = float(np.median(senet_rates))
     senet_host = float(np.median(senet_host_rates))
@@ -735,6 +735,8 @@ def main():
             None if engine_rate is None else round(engine_rate, 1)),
         "engine_occupancy": (
             None if engine_occ is None else round(engine_occ, 3)),
+        "engine_occupancy_saturated": (
+            None if engine_occ_sat is None else round(engine_occ_sat, 3)),
         "structured_rows_per_sec": round(float(np.median(struct_rates)), 0),
         "structured_baseline": 27000.0,
         "structured_vs_baseline": round(

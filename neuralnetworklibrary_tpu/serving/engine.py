@@ -291,6 +291,7 @@ class ServingEngine:
         self.stats = {"decode_steps": 0, "prefills": 0,
                       "prefix_hits": 0, "prefill_tokens": 0,
                       "slot_steps_active": 0, "slot_steps_total": 0,
+                      "sat_slot_steps_active": 0, "sat_slot_steps_total": 0,
                       "prefill_slices": 0}
 
     # -------------------------------------------------------- prefix caching
@@ -736,8 +737,11 @@ class ServingEngine:
                 jnp.asarray(self._ad_arr), k1, *self._extra_decode_args())
             seq = np.asarray(seq)                        # (chunk, S)
             n_steps = seq.shape[0]
+            saturated = bool(queue)  # work was WAITING while this chunk ran
             self.stats["decode_steps"] += n_steps
             self.stats["slot_steps_total"] += self.slots * n_steps
+            if saturated:
+                self.stats["sat_slot_steps_total"] += self.slots * n_steps
             emit = self._last_emit
             for s in range(self.slots):
                 if slot_req[s] is None or s in self._pending_prefill:
@@ -750,6 +754,8 @@ class ServingEngine:
                     if on_token is not None:
                         on_token(req, int(seq[t, s]))
                     self.stats["slot_steps_active"] += 1
+                    if saturated:
+                        self.stats["sat_slot_steps_active"] += 1
                     if self._finished(req, int(lengths[s])):
                         retire(s)      # surplus chunk tokens are trimmed
                         break
@@ -761,3 +767,13 @@ class ServingEngine:
         number continuous batching exists to push toward 1.0."""
         tot = self.stats["slot_steps_total"]
         return self.stats["slot_steps_active"] / tot if tot else 0.0
+
+    @property
+    def occupancy_saturated(self) -> float:
+        """Occupancy over only the chunks dispatched while requests were
+        WAITING in the queue — the scheduler-quality number a finite
+        benchmark's drain tail (empty slots with an empty queue, which no
+        scheduler can fill) cannot depress.  A production endpoint under
+        load lives in this regime."""
+        tot = self.stats["sat_slot_steps_total"]
+        return self.stats["sat_slot_steps_active"] / tot if tot else 0.0

@@ -547,6 +547,12 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
 
     with open(os.path.join(path, "config.json")) as f:
         cfg = json.load(f)
+    if float(cfg.get("partial_rotary_factor", 1.0)) != 1.0:
+        # our rope rotates the FULL head dim; Phi-2/GPT-NeoX-style partial
+        # rotation would load without error and silently lose parity
+        raise ValueError(
+            "partial_rotary_factor != 1 is not supported "
+            f"(got {cfg['partial_rotary_factor']})")
     sd = load_safetensors_auto(path)
     common = dict(
         n_layers=cfg["num_hidden_layers"],

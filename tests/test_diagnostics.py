@@ -134,3 +134,42 @@ def test_inference_export(learner):
     compiled = compile_inference(learner, batch.xs, postprocess=None)
     y2 = compiled(*(jnp.asarray(x) for x in batch.xs))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5)
+
+
+def test_learner_step_mfu_times_donated_step():
+    """learner_step_mfu must NOT allocate a second params+opt_state
+    residency (its first version OOM'd 355M models that train fine): the
+    learner's own step advances — global_step moves — and the dict carries
+    flops + timing."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.data.loader import ArrayDataset, DataLoader
+    from neuralnetworklibrary_tpu.learner import Learner
+    from neuralnetworklibrary_tpu.utils.profiling import learner_step_mfu
+
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(32, 8)).astype(np.float32)
+    ys = (xs.sum(1) > 0).astype(np.int64)
+    ds = ArrayDataset(xs, ys)
+    data = types.SimpleNamespace(target_type="cat", bs=8,
+                                 train_dl=DataLoader(ds, 8, prefetch=0),
+                                 val_dl=DataLoader(ds, 8, prefetch=0),
+                                 train_ds=ds, val_ds=ds)
+
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(2)(nn.relu(nn.Dense(16)(x)))
+
+    learner = Learner("/tmp/test_mfu_helper", data, Tiny(), "Adam2")
+    learner.init_optimizer()
+    step0 = learner._global_step
+    r = learner_step_mfu(learner, iters=3)
+    assert learner._global_step > step0      # the DONATED step was used
+    assert r["flops"] and r["flops"] > 0
+    assert r["seconds_per_call"] > 0

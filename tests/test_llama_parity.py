@@ -847,3 +847,20 @@ def test_longrope_per_row_select_in_batched_decode():
                                    np.asarray(solo[0][0]),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"row {i} regime leaked")
+
+
+def test_load_llama_dir_rejects_partial_rotary(tmp_path):
+    """partial_rotary_factor != 1 (Phi-2 / GPT-NeoX style) would silently
+    lose parity — the dir loader refuses it."""
+    import json
+
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+
+    cfg = dict(model_type="llama", num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=HKV,
+               hidden_size=D, intermediate_size=F, vocab_size=V,
+               max_position_embeddings=M, rope_theta=THETA,
+               rms_norm_eps=1e-5, partial_rotary_factor=0.5)
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="partial_rotary_factor"):
+        load_llama_dir(str(tmp_path))

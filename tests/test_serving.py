@@ -340,3 +340,17 @@ def test_engine_dynamic_chunk_occupancy():
     eng.run(reqs)
     assert all(len(r.tokens) == r.max_new for r in reqs)
     assert eng.occupancy > 0.9, eng.occupancy
+
+
+def test_occupancy_saturated_excludes_drain_tail():
+    """occupancy_saturated counts only chunks dispatched while requests
+    were waiting — the drain tail of a finite workload (empty slots, empty
+    queue) cannot depress it, so it reads >= plain occupancy."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(13)
+    reqs = [Request(rng.integers(0, V, 6).tolist(),
+                    int(rng.integers(8, 30))) for _ in range(9)]
+    eng = ServingEngine(model, params, slots=4, chunk=8, prompt_buckets=(8,))
+    eng.run(reqs)
+    assert eng.stats["sat_slot_steps_total"] <= eng.stats["slot_steps_total"]
+    assert eng.occupancy_saturated >= eng.occupancy > 0
