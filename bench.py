@@ -636,12 +636,21 @@ def main():
     # HBM, ship only indices, augment on device (MXU two-pass warp) — the
     # framework's recommended TPU input pipeline; same model, same frozen
     # fine-tune, same per-epoch eval pass
-    learner.enable_device_cache(margin=32, include_val=True)  # geometry="image"
-    senet_rates = bench_e2e(learner, epochs=5, include_eval=True)
-    # max-perf mode: ONE shared rotate-zoom per batch (3.0 vs 16.8 ms/batch;
-    # A/B accuracy-equal per tests/test_cache_fidelity.py)
-    learner.enable_device_cache(margin=32, include_val=True, geometry="batch")
-    senet_batchgeo_rates = bench_e2e(learner, epochs=4, include_eval=True)
+    # INTERLEAVED geometry A/B (VERDICT r4 #8): per-image vs batch-shared
+    # rotate-zoom epochs alternate within the same session, so tunnel
+    # weather hits both measurements equally and the delta is attributable
+    # to the per-image affine cost alone (batch mode: one shared affine,
+    # 3.0 vs 16.8 ms/batch; A/B accuracy-equal per
+    # tests/test_cache_fidelity.py)
+    senet_rates, senet_batchgeo_rates = [], []
+    sinks = {"image": senet_rates, "batch": senet_batchgeo_rates}
+    for rnd in range(4):
+        for mode in ("image", "batch"):
+            learner.enable_device_cache(margin=32, include_val=True,
+                                        geometry=mode)
+            rates = bench_e2e(learner, epochs=1, include_eval=True)
+            if rnd > 0:        # round 0 warms compiles for both modes
+                sinks[mode].extend(rates)
     del learner
     gc.collect()
 

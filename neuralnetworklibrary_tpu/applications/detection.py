@@ -922,7 +922,12 @@ class ObjectDetectionLearner(Learner):
     NMS, mAP computation, bbox display."""
 
     def __init__(self, PATH, data, model, optimizer="default", loss_func="default",
-                 use_moving_avg=True, mesh=None, seed=0, **learner_kwargs):
+                 use_moving_avg=True, mesh=None, seed=0,
+                 compute_dtype="bfloat16", **learner_kwargs):
+        # bf16 mixed precision by default (same recipe/validation as
+        # ImageLearner; focal/smooth-L1 loss and box decode stay f32 through
+        # the Learner's output casts).  compute_dtype=None restores f32.
+        learner_kwargs["compute_dtype"] = compute_dtype
         if loss_func == "default":
             loss_func = SSD_loss()
         # batches arrive uint8; normalize on device (fused into the step)

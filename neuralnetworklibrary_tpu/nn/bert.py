@@ -44,10 +44,12 @@ class BertBlock(nn.Module):
     d_ff: int
     drop: float = 0.0
     eps: float = 1e-12
+    flash: bool = False   # non-causal flash kernel with the key-pad mask
 
     def setup(self):
         self.attn = CausalSelfAttention(self.d_model, self.n_heads,
                                         self.drop, causal=False,
+                                        flash=self.flash,
                                         name="attn")
         self.ln1 = nn.LayerNorm(epsilon=self.eps, name="ln1")
         self.mlp = MLP(self.d_model, self.d_ff, self.drop,
@@ -78,6 +80,8 @@ class BertModel(nn.Module):
     type_vocab: int = 2
     drop: float = 0.1
     eps: float = 1e-12
+    flash_attention: bool = False   # r5: bidirectional flash + kv_mask —
+                                    # the encoder rides the pallas kernel
 
     def setup(self):
         D, ff = self.d_model, self.d_ff or 4 * self.d_model
@@ -89,6 +93,7 @@ class BertModel(nn.Module):
                                      (self.type_vocab, D))
         self.emb_ln = nn.LayerNorm(epsilon=self.eps, name="emb_ln")
         self.blocks = [BertBlock(D, self.n_heads, ff, self.drop, self.eps,
+                                 flash=self.flash_attention,
                                  name=f"block_{i}")
                        for i in range(self.n_layers)]
         self.pooler = nn.Dense(D, name="pooler")

@@ -123,11 +123,14 @@ class EncoderBlock(nn.Module):
     mlp_act: Optional[str] = None
     gated_mlp: bool = False
     exact_gelu: bool = False
+    flash: bool = False   # r5: bidirectional flash + kv_mask (+ the T5
+                          # batch-shared bias) keep the encoder on-kernel
 
     def setup(self):
         self.ln1 = _make_norm(self.norm, self.norm_eps, "ln1")
         self.attn = CausalSelfAttention(self.d_model, self.n_heads,
-                                        self.drop, causal=False, name="attn")
+                                        self.drop, causal=False,
+                                        flash=self.flash, name="attn")
         self.ln2 = _make_norm(self.norm, self.norm_eps, "ln2")
         self.mlp = MLP(self.d_model, self.d_ff, self.drop,
                        gated=self.gated_mlp, act=self.mlp_act,
@@ -293,6 +296,7 @@ class TransformerSeq2Seq(nn.Module):
                       mlp_act=self.mlp_act, gated_mlp=self.gated_mlp,
                       exact_gelu=self.exact_gelu)
         self.enc_blocks = [EncoderBlock(D, self.n_heads, ff, self.drop,
+                                        flash=self.flash_attention,
                                         name=f"enc_block_{i}", **blk_kw)
                            for i in range(self.enc_layers)]
         self.enc_ln = _make_norm(self.norm, self.norm_eps, "enc_ln")

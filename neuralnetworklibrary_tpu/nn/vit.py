@@ -50,6 +50,10 @@ class ViT(nn.Module):
     remat: bool = False
     norm_eps: float = 1e-6     # HF ViT checkpoints use 1e-12
     exact_gelu: bool = False   # True matches HF ViT's erf gelu
+    flash_attention: bool = False  # r5: bidirectional flash kernel (token
+                               # count is padded to a 128-multiple inside
+                               # the kernel wrapper); a win at high-res/
+                               # small-patch token counts, measure first
     lora_rank: int = 0         # > 0: LoRA adapters on the block projections
     lora_alpha: float = 16.0   # (nn/lora.py — graft/merge/train helpers)
 
@@ -89,6 +93,7 @@ class ViT(nn.Module):
         for i in range(self.n_layers):
             h, _ = block_cls(self.d_model, self.n_heads, d_ff, self.drop,
                              mesh=self.mesh, sp=self.sp, causal=False,
+                             flash=self.flash_attention,
                              norm_eps=self.norm_eps,
                              exact_gelu=self.exact_gelu,
                              lora_rank=self.lora_rank,

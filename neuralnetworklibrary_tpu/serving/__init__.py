@@ -6,8 +6,9 @@ draft-accelerated greedy decode via SpeculativeServingEngine)."""
 from neuralnetworklibrary_tpu.serving.engine import Request, ServingEngine
 from neuralnetworklibrary_tpu.serving.paged import PagedServingEngine
 from neuralnetworklibrary_tpu.serving.speculative import (
+    PagedSpeculativeServingEngine,
     SpeculativeServingEngine,
 )
 
 __all__ = ["Request", "ServingEngine", "PagedServingEngine",
-           "SpeculativeServingEngine"]
+           "SpeculativeServingEngine", "PagedSpeculativeServingEngine"]

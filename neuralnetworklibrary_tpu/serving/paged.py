@@ -166,6 +166,12 @@ class PagedServingEngine(ServingEngine):
 
     # ------------------------------------------------------- engine hooks
 
+    @property
+    def _alloc_horizon(self) -> int:
+        """Positions a decode round may write per slot — chunk tokens here;
+        the speculative subclass advances up to γ+1 per round."""
+        return self.chunk
+
     def _extra_decode_args(self):
         return (jnp.asarray(self._table),)
 
@@ -218,7 +224,7 @@ class PagedServingEngine(ServingEngine):
             # be preempted (their pool rows are being filled)
             if slot_req[s] is None or s in self._pending_prefill:
                 continue
-            need = (int(lengths[s]) + self.chunk
+            need = (int(lengths[s]) + self._alloc_horizon
                     + self.block - 1) // self.block
             while not self._alloc(s, need):
                 victims = [t for t in range(self.slots)

@@ -54,6 +54,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neuralnetworklibrary_tpu.serving.engine import Request, ServingEngine
+from neuralnetworklibrary_tpu.serving.paged import PagedServingEngine
 
 
 class SpeculativeServingEngine(ServingEngine):
@@ -75,6 +76,8 @@ class SpeculativeServingEngine(ServingEngine):
     ``adapters`` (base weights only).
     """
 
+    _paged = False   # PagedSpeculativeServingEngine flips this
+
     def __init__(self, model, params, draft_model, draft_params,
                  gamma: int = 4, **kw):
         if gamma < 1:
@@ -84,8 +87,10 @@ class SpeculativeServingEngine(ServingEngine):
                 "target and draft must share a vocabulary, got "
                 f"{model.vocab_size} vs "
                 f"{getattr(draft_model, 'vocab_size', None)}")
-        if getattr(model, "paged_kv_blocks", 0) > 0:
-            raise ValueError("speculative serving needs a dense-cache model")
+        if getattr(model, "paged_kv_blocks", 0) > 0 and not self._paged:
+            raise ValueError(
+                "speculative serving on a paged-KV target goes through "
+                "PagedSpeculativeServingEngine")
         for bad, ok in (("chunk", (None, 1)), ("mesh", (None,)),
                         ("adapters", (None,)), ("prefill_chunk", (None, 0))):
             if kw.get(bad) not in ok:
@@ -138,7 +143,10 @@ class SpeculativeServingEngine(ServingEngine):
     # ------------------------------------------------------------ admission
 
     def _admit(self, req: Request, slot: int, lengths, toks):
-        need = len(req.prompt) + req.max_new + self.gamma + 1
+        # a preempted request re-admits with prompt grown by its emitted
+        # tokens — count only the REMAINING budget
+        need = (len(req.prompt) + req.max_new - len(req.tokens)
+                + self.gamma + 1)
         if need > self.model.max_len:
             raise ValueError(
                 f"prompt ({len(req.prompt)}) + max_new ({req.max_new}) + "
@@ -187,7 +195,7 @@ class SpeculativeServingEngine(ServingEngine):
         return jax.tree_util.tree_map(ins, dcache, mut["cache"])
 
     def _spec_round(self, params, dparams, cache, dcache, toks, lengths,
-                    pend, n_pend, active, inv_t, key):
+                    pend, n_pend, active, inv_t, key, *extra):
         """One speculative round for every slot, fully jitted.
 
         toks (S,): last emitted token per slot (its K/V not yet written);
@@ -203,6 +211,9 @@ class SpeculativeServingEngine(ServingEngine):
             params = self._dequantize(params)
         if self._draft_quantized:
             dparams = self._dequantize(dparams)
+        # paged target: the block table rides along to every target apply
+        # (the draft stays dense — it is small, its cache is cheap)
+        tkw = {"block_table": extra[0]} if extra else {}
         S, g = self.slots, self.gamma
         greedy = inv_t <= 0.0                                  # (S,)
         kd, ka, kr, kb = jax.random.split(key, 4)
@@ -248,7 +259,7 @@ class SpeculativeServingEngine(ServingEngine):
         ver_in = jnp.concatenate([toks[:, None], dtoks], 1)    # (S, γ+1)
         out, mut = self.model.apply(
             {"params": params, "cache": cache}, ver_in, decode=True,
-            offsets=lengths, mutable=["cache"])
+            offsets=lengths, mutable=["cache"], **tkw)
         cache = mut["cache"]
         L = out[0]                                             # (S, γ+1, V)
         g_toks = jnp.argmax(L, -1).astype(jnp.int32)           # (S, γ+1)
@@ -301,7 +312,7 @@ class SpeculativeServingEngine(ServingEngine):
         cache, dcache, v, n_emit = self._round(
             params, self.draft_params, cache, self.draft_cache, toks,
             lengths, jnp.asarray(self._pend), jnp.asarray(self._n_pend),
-            jnp.asarray(active), inv_t, key)
+            jnp.asarray(active), inv_t, key, *extra)
         self.draft_cache = dcache
         v = np.asarray(v)                                      # (S, γ+1)
         n_emit = np.asarray(n_emit)
@@ -323,3 +334,28 @@ class SpeculativeServingEngine(ServingEngine):
         quality diagnostic (throughput needs this comfortably > 0)."""
         d = self.stats["drafted"]
         return self.stats["accepted"] / d if d else 0.0
+
+
+class PagedSpeculativeServingEngine(SpeculativeServingEngine,
+                                    PagedServingEngine):
+    """Speculative decode on a PAGED-KV target (VERDICT r4 #4): the target
+    TransformerLM carries ``paged_kv_blocks > 0`` — block-table pools,
+    on-demand allocation, youngest-first recompute preemption, optional
+    int8 pools and vLLM prefix sharing all come from
+    :class:`~neuralnetworklibrary_tpu.serving.paged.PagedServingEngine` —
+    while the DRAFT model stays dense (it is small; its (S, max_len) cache
+    is the cheap part).  The (S, γ+1) verify forward runs the paged decode
+    path at per-row offsets (nn/transformer.py T>1 paged decode, r5);
+    emission is token-for-token identical to the dense speculative engine,
+    including across preemption (re-prefill reproduces the causal state).
+
+    Cooperative MRO: the speculative round (``_decode``, draft bookkeeping,
+    admission checks) layers over the paged allocator hooks;
+    ``_pre_decode`` allocates γ+1 positions ahead via ``_alloc_horizon``.
+    """
+
+    _paged = True
+
+    @property
+    def _alloc_horizon(self) -> int:
+        return self.gamma + 1

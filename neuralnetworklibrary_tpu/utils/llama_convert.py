@@ -284,8 +284,8 @@ def load_phi3(state_dict, n_layers: int, n_heads: int, d_model: int,
     applied to every layer.  longrope 128k variants load via
     load_llama_dir, which normalizes the config's rope_scaling into the
     static tuple TransformerLM carries (rope_scaling= flows through
-    **model_kw); partial_rotary_factor must be 1.  Returns
-    (model, params)."""
+    **model_kw); a partial_rotary_factor flows through as rotary_dim=.
+    Returns (model, params)."""
     from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
 
     sd = dict(state_dict)
@@ -333,6 +333,70 @@ def load_phi3(state_dict, n_layers: int, n_heads: int, d_model: int,
         rope_base=rope_base, mlp="swiglu", norm="rmsnorm",
         norm_eps=norm_eps, window=window,
         tied_decoder="lm_head" not in params, **model_kw)
+    return model, params
+
+
+def load_phi2(state_dict, n_layers: int, n_heads: int, d_model: int,
+              vocab_size: int, n_kv_heads: int = 0, d_ff: int = 0,
+              max_len: int = 2048,
+              rope_base: float = 10000.0, rotary_dim: int = 0,
+              norm_eps: float = 1e-5, drop: float = 0.0, **model_kw):
+    """HF PhiForCausalLM (Phi-1/Phi-2) → TransformerLM.  The Phi block
+    (modeling_phi.PhiDecoderLayer) is a PARALLEL residual: attention and
+    the gelu MLP both read the same input_layernorm output and one
+    residual add sums both (``parallel_block=True``; no ln2); all
+    projections carry biases, norms are LayerNorm (weight+bias), the
+    untied lm_head has a bias, and rope is PARTIAL — only the first
+    ``rotary_dim = int(hd · partial_rotary_factor)`` head features rotate
+    (Phi-2: 0.4 · 80 = 32).  hidden_act gelu_new == this MLP's default
+    tanh-approx gelu.  Returns (model, params)."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+
+    sd = dict(state_dict)
+    head = _t(sd["lm_head.weight"])
+    head_b = _t(sd["lm_head.bias"])
+    sd = {k[len("model."):]: v for k, v in sd.items()
+          if k.startswith("model.")}
+    params: dict = {
+        "word_embed": _t(sd["embed_tokens.weight"]),
+        "ln_f": {"scale": _t(sd["final_layernorm.weight"]),
+                 "bias": _t(sd["final_layernorm.bias"])},
+        "lm_head": head,
+        "lm_head_bias": head_b,
+    }
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        q = _t(sd[p + "self_attn.q_proj.weight"]).T
+        k = _t(sd[p + "self_attn.k_proj.weight"]).T
+        v = _t(sd[p + "self_attn.v_proj.weight"]).T
+        qkv = np.concatenate([q, k, v], axis=1)
+        qkv_b = np.concatenate([_t(sd[p + "self_attn.q_proj.bias"]),
+                                _t(sd[p + "self_attn.k_proj.bias"]),
+                                _t(sd[p + "self_attn.v_proj.bias"])])
+        o = _t(sd[p + "self_attn.dense.weight"]).T
+        params[f"block_{i}"] = {
+            "ln1": {"scale": _t(sd[p + "input_layernorm.weight"]),
+                    "bias": _t(sd[p + "input_layernorm.bias"])},
+            "attn": {
+                "qkv": {"kernel": qkv, "bias": qkv_b},
+                "out": {"kernel": o,
+                        "bias": _t(sd[p + "self_attn.dense.bias"])},
+            },
+            "mlp": {
+                "fc_in": {"kernel": _t(sd[p + "mlp.fc1.weight"]).T,
+                          "bias": _t(sd[p + "mlp.fc1.bias"])},
+                "fc_out": {"kernel": _t(sd[p + "mlp.fc2.weight"]).T,
+                           "bias": _t(sd[p + "mlp.fc2.bias"])},
+            },
+        }
+    model = TransformerLM(
+        vocab_size=vocab_size, pad_token=0, d_model=d_model,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, n_layers=n_layers,
+        d_ff=d_ff, max_len=max_len,
+        drop=drop, pos_embedding="rope", rope_base=rope_base,
+        rotary_dim=rotary_dim, norm="layernorm", norm_eps=norm_eps,
+        parallel_block=True, tied_decoder=False, head_bias=True,
+        **model_kw)
     return model, params
 
 
@@ -547,12 +611,13 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
 
     with open(os.path.join(path, "config.json")) as f:
         cfg = json.load(f)
-    if float(cfg.get("partial_rotary_factor", 1.0)) != 1.0:
-        # our rope rotates the FULL head dim; Phi-2/GPT-NeoX-style partial
-        # rotation would load without error and silently lose parity
-        raise ValueError(
-            "partial_rotary_factor != 1 is not supported "
-            f"(got {cfg['partial_rotary_factor']})")
+    prf = float(cfg.get("partial_rotary_factor", 1.0))
+    if prf != 1.0:
+        # Phi-2/GPT-NeoX-style partial rotation: only the first
+        # int(hd·factor) head features rotate (rope rotary_dim=)
+        hd_ = cfg.get("head_dim") or (cfg["hidden_size"]
+                                      // cfg["num_attention_heads"])
+        model_kw.setdefault("rotary_dim", int(hd_ * prf))
     sd = load_safetensors_auto(path)
     common = dict(
         n_layers=cfg["num_hidden_layers"],
@@ -610,6 +675,12 @@ def load_llama_dir(path: str, max_len: int = 0, **model_kw):
             layer_types=cfg.get("layer_types"), **common, **model_kw)
     if mt == "phi3":
         return load_phi3(sd, window=window, **common, **model_kw)
+    if mt == "phi":
+        # Phi-1/Phi-2: parallel residual + LayerNorm + partial rotary;
+        # the prf block above put rotary_dim into model_kw
+        common["norm_eps"] = float(cfg.get("layer_norm_eps", 1e-5))
+        return load_phi2(sd, rotary_dim=model_kw.pop("rotary_dim", 0),
+                         **common, **model_kw)
     if window:
         model_kw.setdefault("window", window)
     if mt == "qwen3":

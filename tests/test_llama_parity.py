@@ -849,18 +849,76 @@ def test_longrope_per_row_select_in_batched_decode():
                                    err_msg=f"row {i} regime leaked")
 
 
-def test_load_llama_dir_rejects_partial_rotary(tmp_path):
-    """partial_rotary_factor != 1 (Phi-2 / GPT-NeoX style) would silently
-    lose parity — the dir loader refuses it."""
+def test_phi2_logits_and_generation_parity():
+    """PhiForCausalLM (Phi-1/Phi-2): parallel residual (attn and MLP both
+    read ln1), biased projections + LayerNorm + biased untied lm_head,
+    partial rotary.  Logits AND greedy generation match HF."""
+    from neuralnetworklibrary_tpu.utils.llama_convert import load_phi2
+
+    cfg = transformers.PhiConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=H, max_position_embeddings=M,
+        layer_norm_eps=1e-5, rope_theta=THETA,
+        partial_rotary_factor=0.5, hidden_act="gelu_new",
+        tie_word_embeddings=False, attention_dropout=0.0,
+        qk_layernorm=False)
+    torch.manual_seed(41)
+    hf = transformers.PhiForCausalLM(cfg)
+    hf.eval()
+    hd = D // H
+    model, params = load_phi2(hf.state_dict(), n_layers=L, n_heads=H,
+                              d_model=D, d_ff=F, vocab_size=V, max_len=M,
+                              rope_base=THETA, rotary_dim=int(hd * 0.5),
+                              norm_eps=1e-5)
+    assert model.parallel_block and model.head_bias
+    rng = np.random.default_rng(43)
+    x = rng.integers(0, V, (2, 13)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    n = 5
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor(x[:1], dtype=torch.long),
+                             max_new_tokens=n, do_sample=False,
+                             pad_token_id=0)
+    want_g = hf_out.numpy()[:, x.shape[1]:]
+    got_g = np.asarray(generate(model, params, jnp.asarray(x[:1]), n=n,
+                                k=1))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_load_llama_dir_dispatches_phi2(tmp_path):
+    """model_type 'phi' + partial_rotary_factor flows through the dir
+    loader into rotary_dim."""
     import json
 
     from neuralnetworklibrary_tpu.utils.llama_convert import load_llama_dir
+    from neuralnetworklibrary_tpu.utils.safetensors_io import (
+        save_safetensors,
+    )
 
-    cfg = dict(model_type="llama", num_hidden_layers=L,
-               num_attention_heads=H, num_key_value_heads=HKV,
-               hidden_size=D, intermediate_size=F, vocab_size=V,
-               max_position_embeddings=M, rope_theta=THETA,
-               rms_norm_eps=1e-5, partial_rotary_factor=0.5)
-    (tmp_path / "config.json").write_text(json.dumps(cfg))
-    with pytest.raises(ValueError, match="partial_rotary_factor"):
-        load_llama_dir(str(tmp_path))
+    cfg = transformers.PhiConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H,
+        num_key_value_heads=H, max_position_embeddings=M,
+        layer_norm_eps=1e-5, rope_theta=THETA,
+        partial_rotary_factor=0.5, hidden_act="gelu_new",
+        tie_word_embeddings=False, attention_dropout=0.0,
+        qk_layernorm=False)
+    torch.manual_seed(47)
+    hf = transformers.PhiForCausalLM(cfg)
+    hf.eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    save_safetensors(sd, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(
+        json.dumps({**cfg.to_dict(), "model_type": "phi"}))
+    model, params = load_llama_dir(str(tmp_path))
+    assert model.rotary_dim == int((D // H) * 0.5)
+    rng = np.random.default_rng(48)
+    x = rng.integers(0, V, (1, 9)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(x, dtype=torch.long)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)

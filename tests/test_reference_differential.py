@@ -50,8 +50,19 @@ def ref():
     torch.Tensor.cuda = lambda self, *a, **k: self
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    # torchvision is absent in this image; Vision.py only binds the module
+    # name at import (zoo constructors are reached lazily)
+    _stub("torchvision")
+    _stub("torchvision.models")
+    # the vendored pycocotools' mask.py imports the REAL pycocotools'
+    # compiled _mask (absent here); these loss tests never touch masks
+    _stub("pycocotools")
+    _stub("pycocotools._mask", iou=None, merge=None, frPyObjects=None,
+          encode=None, decode=None, area=None, toBbox=None)
     import Applications.CollabFiltering as RC
     import Applications.StructuredData as RS
+    import Applications.Vision as RV
+    import General.Layers as RLy
     import General.Learner as RL
 
     # neutralize the notebook progress bars + display clears (they spam
@@ -61,7 +72,7 @@ def ref():
         m.PBar = m.PBarPredict = m.PBarTrain = ident
         m.PBarEvalTrain = m.PBarEvalVal = m.PBarTTA = ident
         m.clear_output = lambda *a, **k: None
-    return types.SimpleNamespace(RL=RL, RC=RC, RS=RS)
+    return types.SimpleNamespace(RL=RL, RC=RC, RS=RS, RV=RV, RLy=RLy)
 
 
 # ------------------------------------------------------------------ collab
@@ -352,3 +363,279 @@ def test_awd_lstm_learner_vs_reference(ref, tmp_path):
     assert np.isfinite(ref_val) and np.isfinite(our_val)
     assert ref_val < np.log(V) + 1 and our_val < np.log(V) + 1
     np.testing.assert_allclose(our_val, ref_val, rtol=0.02)
+
+
+# ------------------------------------------------------------------- vision
+
+
+def _blob_pngs(root, n_per_class=16, sz=32, seed=0):
+    """Exact-size PNGs (no crop/resize ambiguity: both pipelines see
+    pixel-identical uint8)."""
+    import os
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    images = []
+    for ci, (cls, color) in enumerate((("reds", (205, 40, 40)),
+                                       ("blues", (40, 40, 205)))):
+        os.makedirs(f"{root}/train/{cls}", exist_ok=True)
+        for i in range(n_per_class):
+            img = np.full((sz, sz, 3), color, np.uint8) \
+                + rng.integers(0, 40, (sz, sz, 3), dtype=np.uint8)
+            cv2.imwrite(f"{root}/train/{cls}/{cls}_{i}.png", img[:, :, ::-1])
+            images.append({"img": f"{cls}/{cls}_{i}.png", "target": ci})
+    rng.shuffle(images)
+    # 2/3 split: 32 train / 16 val at n_per_class=24 — both divide bs=8
+    cut = 2 * len(images) // 3
+    return images[:cut], images[cut:]
+
+
+def test_vision_learner_vs_reference(ref, tmp_path):
+    """Small conv net through the reference's torch ImageLearner pipeline vs
+    this rebuild's ImageLearner: identical 32x32 images (no resize/crop/
+    augmentation → pixel-identical inputs), identical torch-initialized
+    weights, identical unshuffled batch order, identical Adam schedule —
+    final val (loss, accuracy) match within 2%.  Then freeze() + bn_freeze
+    and fit again: the frozen-body phase must ALSO track (BN running-stat
+    and trainability semantics end-to-end).  Closes VERDICT r4 #3a."""
+    import torch.nn as tnn
+
+    from neuralnetworklibrary_tpu.applications.vision import (
+        ImageClassificationNet,
+        ImageDataObj,
+        ImageLearner,
+        Transform,
+        imagenet_stats,
+    )
+    from neuralnetworklibrary_tpu.data.loader import DataLoader
+    from neuralnetworklibrary_tpu.nn.layers import ConvBlock
+
+    # 24 train / 8 val images at bs=8: BOTH splits divide the batch size
+    # (the reference scales lr on short batches, this rebuild masks them —
+    # identical only when no short batch exists, like the collab test)
+    sz, bs, lr = 32, 8, 2e-3
+    root = str(tmp_path / "imgs")
+    train_images, val_images = _blob_pngs(root, n_per_class=24, sz=sz)
+    categories = {0: "reds", 1: "blues"}
+
+    # no-augmentation transforms both sides: center crop of an exact-size
+    # square + same-size resize are identities, so the only pixel op left
+    # is normalization (host float for the reference, on-device for ours)
+    r_tfm = ref.RV.Transform("Basic", "center", None, sz, None, None,
+                             None, None, stats=ref.RV.imagenet_stats)
+    o_tfm = Transform("Basic", "center", None, sz, None, None, None, None,
+                      stats=imagenet_stats)
+
+    # ---- reference side
+    rdata = ref.RV.ImageDataObj(root + "/", "single_label", categories, bs,
+                                [r_tfm, r_tfm], train_images, val_images,
+                                None, "train", "train", None)
+    rdata.train_dl = torch.utils.data.DataLoader(
+        rdata.train_ds, batch_size=bs, shuffle=False, num_workers=0)
+    torch.manual_seed(0)
+    rbody = tnn.Sequential(ref.RLy.Conv2d(3, 8, ks=3, stride=2, pad=1),
+                           ref.RLy.Conv2d(8, 16, ks=3, stride=2, pad=1))
+    rmodel = ref.RV.ImageClassificationNet(
+        rdata, rbody, head=[[8], [0.0, 0.0]], cutpoint=None, splits=None)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in rmodel.state_dict().items()}
+    rlearner = ref.RL.Learner(str(tmp_path / "ref"), rdata, rmodel, "Adam")
+    rlearner.fit(lr, 3)
+    rlearner.freeze()
+    rlearner.bn_freeze("non_head")
+    rlearner.fit(lr, 2)
+    ref_loss, ref_acc = rlearner.evaluate("val")[:2]
+
+    # ---- rebuild side (weights copied leaf-for-leaf from the torch init)
+    class OurBody(__import__("flax.linen", fromlist=["nn"]).Module):
+        @__import__("flax.linen", fromlist=["nn"]).compact
+        def __call__(self, x, train=False, bn_train=None):
+            x = ConvBlock(8, ks=3, stride=2, pad=1, name="conv_0")(
+                x, train=train, bn_train=bn_train)
+            return ConvBlock(16, ks=3, stride=2, pad=1, name="conv_1")(
+                x, train=train, bn_train=bn_train)
+
+    data = ImageDataObj(root + "/", "single_label", categories, bs,
+                        [o_tfm, o_tfm], train_images, val_images,
+                        None, "train", "train", None)
+    data.train_dl = DataLoader(data.train_ds, bs, shuffle=False)
+    model = ImageClassificationNet(body=OurBody(),
+                                   head_layer_sizes=(32, 8, 2),
+                                   head_drops=(0.0, 0.0), body_split=None)
+    learner = ImageLearner(str(tmp_path / "ours"), data, model,
+                           optimizer="Adam", compute_dtype=None)
+
+    def conv(w):  # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+        return w.transpose(2, 3, 1, 0)
+
+    def bn(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    def bn_stats(prefix):
+        return {"mean": sd[prefix + ".running_mean"],
+                "var": sd[prefix + ".running_var"]}
+
+    learner.set_params({
+        "body": {
+            "conv_0": {"conv": {"kernel": conv(sd["body.0.conv.weight"]),
+                                "bias": sd["body.0.conv.bias"]},
+                       "bn": bn("body.0.bn")},
+            "conv_1": {"conv": {"kernel": conv(sd["body.1.conv.weight"]),
+                                "bias": sd["body.1.conv.bias"]},
+                       "bn": bn("body.1.bn")},
+        },
+        "head": {
+            "pre_bn": bn("head.2.pre_bn"),
+            "lins_0": {"lin": {"kernel": sd["head.2.lins.0.lin.weight"].T,
+                               "bias": sd["head.2.lins.0.lin.bias"]},
+                       "bn": bn("head.2.lins.0.bn")},
+            "final_lin": {"kernel": sd["head.2.final_lin.weight"].T,
+                          "bias": sd["head.2.final_lin.bias"]},
+        },
+    })
+    learner.state = {"batch_stats": {
+        "body": {"conv_0": {"bn": bn_stats("body.0.bn")},
+                 "conv_1": {"bn": bn_stats("body.1.bn")}},
+        "head": {"pre_bn": bn_stats("head.2.pre_bn"),
+                 "lins_0": {"bn": bn_stats("head.2.lins.0.bn")}},
+    }}
+    learner.fit(lr, 3)
+    learner.freeze()
+    learner.bn_freeze("non_head")
+    learner.fit(lr, 2)
+    out = learner.evaluate("val")
+    our_loss, our_acc = float(out[0]), float(np.ravel(out[1])[0])
+
+    assert np.isfinite(ref_loss) and np.isfinite(our_loss)
+    assert ref_acc > 0.8 and our_acc > 0.8    # both actually learned
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.07)   # ≤1 image
+    # 5% on the final val loss: torch(oneDNN) and XLA convolve with
+    # different reduction orders, and Adam amplifies per-step round-off
+    # over the 25 steps — the collab/structured/LSTM loops are smoother
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=0.05, atol=1e-3)
+
+
+# ---------------------------------------------------------------- detection
+
+
+def test_detection_ssd_loss_vs_reference(ref):
+    """The reference's per-image-loop SSD loss (match_anchors_objects +
+    focal + smooth-L1, Vision.py:1607-1644) vs this rebuild's batched
+    masked SSD_loss: value parity across random scenarios (varying object
+    counts, empty images, pad rows) AND a matching Adam training
+    trajectory of a tiny reg/clas head under each.  Closes VERDICT r4 #3b."""
+    import jax.numpy as jnp
+
+    from neuralnetworklibrary_tpu.applications.detection import SSD_loss
+
+    rng = np.random.default_rng(0)
+    # a plausible anchor field: 4x4 grid of two scales in a 64x64 image,
+    # min-max form (both implementations' convention)
+    cells = []
+    for r in range(4):
+        for c in range(4):
+            cy, cx = 8 + 16 * r, 8 + 16 * c
+            for s in (8, 14):
+                cells.append([cx - s, cy - s, cx + s, cy + s])
+    anchors_np = np.asarray(cells, np.float32)          # (32, 4)
+    N, C, M, bs = len(anchors_np), 3, 4, 3
+
+    def scenario(seed, n_objs):
+        r2 = np.random.default_rng(seed)
+        BB = np.full((bs, M, 4), -1.0, np.float32)
+        CC = np.full((bs, M), -1.0, np.float32)
+        for b in range(bs):
+            for j in range(n_objs[b]):
+                a = anchors_np[r2.integers(0, N)]
+                jit = r2.uniform(-4, 4, 4)
+                box = [min(a[0] + jit[0], a[2] + jit[2] - 2),
+                       max(a[0] + jit[0], a[2] + jit[2]) ]
+                boy = [min(a[1] + jit[1], a[3] + jit[3] - 2),
+                       max(a[1] + jit[1], a[3] + jit[3]) ]
+                # coords clipped non-negative: the reference's pad rows are
+                # -1 and it selects valid boxes with `BBoxes >= 0`
+                BB[b, j] = np.clip([box[0], boy[0], box[1], boy[1]],
+                                   0.0, 64.0)
+                CC[b, j] = r2.integers(0, C)
+        reg = r2.normal(0, 0.5, (bs, N, 4)).astype(np.float32)
+        clas = r2.normal(0, 1.0, (bs, N, C)).astype(np.float32)
+        return BB, CC, reg, clas
+
+    rloss = ref.RV.SSD_loss(beta=0.5)
+    oloss = SSD_loss(beta=0.5)
+
+    for seed, n_objs in [(1, [4, 2, 1]), (2, [1, 0, 3]), (3, [0, 0, 0]),
+                         (4, [4, 4, 4])]:
+        BB, CC, reg, clas = scenario(seed, n_objs)
+        # the reference indexes with Cats -> torch wants an integer tensor
+        want = float(rloss([torch.tensor(anchors_np), torch.tensor(reg),
+                            torch.tensor(clas)],
+                           [torch.tensor(BB),
+                            torch.tensor(CC, dtype=torch.long)]))
+        got = float(oloss((jnp.asarray(anchors_np), jnp.asarray(reg),
+                           jnp.asarray(clas)),
+                          (jnp.asarray(BB), jnp.asarray(CC))))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"scenario {seed}")
+        # components too (the SSD_RegLoss/SSD_ClasLoss metric surface)
+        np.testing.assert_allclose(
+            float(oloss.components((jnp.asarray(anchors_np),
+                                    jnp.asarray(reg), jnp.asarray(clas)),
+                                   (jnp.asarray(BB), jnp.asarray(CC)))[0]),
+            float(rloss.reg_loss), rtol=2e-5, atol=2e-6)
+
+    # ---- training trajectory: identical tiny head under each loss -------
+    import torch.nn as tnn
+
+    D = 16
+    feats = rng.normal(0, 1, (bs, D)).astype(np.float32)
+    BB, CC, _, _ = scenario(7, [3, 1, 2])
+
+    torch.manual_seed(0)
+    t_reg = tnn.Linear(D, N * 4)
+    t_cls = tnn.Linear(D, N * C)
+    w = {"rw": t_reg.weight.detach().numpy().copy().T,
+         "rb": t_reg.bias.detach().numpy().copy(),
+         "cw": t_cls.weight.detach().numpy().copy().T,
+         "cb": t_cls.bias.detach().numpy().copy()}
+
+    opt = torch.optim.Adam(list(t_reg.parameters())
+                           + list(t_cls.parameters()), lr=1e-2)
+    tx = torch.tensor(feats)
+    ta, tb, tc = (torch.tensor(anchors_np), torch.tensor(BB),
+                  torch.tensor(CC, dtype=torch.long))
+    ref_traj = []
+    for _ in range(25):
+        opt.zero_grad()
+        loss = rloss([ta, t_reg(tx).view(bs, N, 4),
+                      t_cls(tx).view(bs, N, C)], [tb, tc])
+        loss.backward()
+        opt.step()
+        ref_traj.append(float(loss))
+
+    import optax
+
+    params = {k: jnp.asarray(v) for k, v in w.items()}
+    ja, jb, jc = (jnp.asarray(anchors_np), jnp.asarray(BB),
+                  jnp.asarray(CC))
+    jx = jnp.asarray(feats)
+
+    def jloss(p):
+        reg = (jx @ p["rw"] + p["rb"]).reshape(bs, N, 4)
+        cls = (jx @ p["cw"] + p["cb"]).reshape(bs, N, C)
+        return oloss((ja, reg, cls), (jb, jc))
+
+    jopt = optax.adam(1e-2)
+    st = jopt.init(params)
+    our_traj = []
+    step = jax.jit(lambda p, st: (jax.value_and_grad(jloss)(p)[0],)
+                   + (lambda g: (optax.apply_updates(
+                       p, jopt.update(g, st, p)[0]),
+                       jopt.update(g, st, p)[1]))(jax.grad(jloss)(p)))
+    for _ in range(25):
+        l, params, st = step(params, st)
+        our_traj.append(float(l))
+
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=2e-3, atol=1e-5)
+    assert our_traj[-1] < 0.7 * our_traj[0]  # the loop actually optimizes

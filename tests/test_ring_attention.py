@@ -100,3 +100,131 @@ def test_causality_across_chunks():
     np.testing.assert_allclose(np.asarray(out1[:, :100]),
                                np.asarray(out2[:, :100]), atol=1e-6)
     assert np.abs(np.asarray(out1[:, 100:]) - np.asarray(out2[:, 100:])).max() > .1
+
+
+# --------------------------------- window / sinks / bias (r5, VERDICT #6)
+
+
+def _banded_reference(q, k, v, window):
+    import math
+
+    B, T, H, hd = q.shape
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+    pos = jnp.arange(T)
+    mask = (pos[None, :] <= pos[:, None]) & (pos[None, :]
+                                             > pos[:, None] - window)
+    s = jnp.where(mask, s, -1e30)
+    return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v)
+
+
+def test_windowed_ring_matches_banded_oracle():
+    """window=W on the ring (band mask + round truncation) equals the
+    banded einsum for sub-chunk, chunk-crossing, and full windows —
+    forward and all three grads at a crossing W."""
+    mesh = get_mesh(8, axis_names=("context",))
+    q, k, v = _qkv(2, 128, 2, 16, seed=5)
+    for W in (8, 40, 128):       # Tc = 16: sub-chunk, crossing, full
+        out = ring_attention(q, k, v, mesh, window=W)
+        ref = _banded_reference(q, k, v, W)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"W={W}")
+
+    W = 40
+    gf = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(ring_attention(
+        a, b, c, mesh, window=W))), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(_banded_reference(
+        a, b, c, W))), argnums=(0, 1, 2))(q, k, v)
+    for nm, a, b in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{nm}")
+
+
+def test_ring_sink_matches_reference():
+    """GPT-OSS sinks on the ring: the normalizer-only fold equals the
+    concatenated-softmax oracle; dsink matches autodiff through it."""
+    mesh = get_mesh(8, axis_names=("context",))
+    q, k, v = _qkv(2, 128, 2, 16, seed=6)
+    rng = np.random.default_rng(7)
+    sink = jnp.asarray(rng.normal(0, 1, (2,)), jnp.float32)
+    out = ring_attention(q, k, v, mesh, sink=sink)
+    ref = reference_attention(q, k, v, sink=sink)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    gf = jax.grad(lambda a, b, c, s: jnp.sum(jnp.square(ring_attention(
+        a, b, c, mesh, sink=s))), argnums=(0, 1, 2, 3))(q, k, v, sink)
+    gr = jax.grad(lambda a, b, c, s: jnp.sum(jnp.square(
+        reference_attention(a, b, c, sink=s))),
+        argnums=(0, 1, 2, 3))(q, k, v, sink)
+    for nm, a, b in zip(("q", "k", "v", "sink"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=f"d{nm}")
+
+
+def test_ring_bias_matches_reference():
+    """Batch-shared (H, T, T) bias (T5 relative positions) on the ring:
+    forward + dq/dk/dv/dbias equal the einsum oracle (dbias rows live on
+    the device owning their query rows — no reduction needed)."""
+    mesh = get_mesh(8, axis_names=("context",))
+    q, k, v = _qkv(2, 128, 2, 16, seed=8)
+    rng = np.random.default_rng(9)
+    bias = jnp.asarray(rng.normal(0, 0.5, (2, 128, 128)), jnp.float32)
+    out = ring_attention(q, k, v, mesh, bias=bias)
+    ref = reference_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    gf = jax.grad(lambda a, b, c, bb: jnp.sum(jnp.square(ring_attention(
+        a, b, c, mesh, bias=bb))), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(lambda a, b, c, bb: jnp.sum(jnp.square(
+        reference_attention(a, b, c, bias=bb))),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for nm, a, b in zip(("q", "k", "v", "bias"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=f"d{nm}")
+
+
+def test_ring_window_sink_tp_composition():
+    """The GPT-OSS shape — window + sinks — under cp×tp (heads sharded):
+    per-shard sink rows follow their heads."""
+    mesh = get_mesh_2d(4, 2, axis_names=("context", "model"))
+    q, k, v = _qkv(2, 64, 4, 16, seed=10)
+    rng = np.random.default_rng(11)
+    sink = jnp.asarray(rng.normal(0, 1, (4,)), jnp.float32)
+    W = 24
+    out = ring_attention(q, k, v, mesh, axis="context", head_axis="model",
+                         window=W, sink=sink)
+
+    import math
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(16)
+    pos = jnp.arange(64)
+    mask = (pos[None, :] <= pos[:, None]) & (pos[None, :]
+                                             > pos[:, None] - W)
+    s = jnp.where(mask, s, -1e30)
+    sc = jnp.broadcast_to(sink[None, :, None, None], (2, 4, 64, 1))
+    p = jax.nn.softmax(jnp.concatenate([s, sc], -1), -1)[..., :-1]
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_model_cp_window_sinks_bias():
+    """TransformerLM(cp=True) no longer falls back for window/sinks, and
+    the T5-style att_bias rides the ring — model-level equality vs the
+    single-path einsum model."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh_2d
+
+    mesh = get_mesh_2d(2, 4, axis_names=("data", "context"))
+    V = 50
+    kw = dict(vocab_size=V, pad_token=1, d_model=32, n_heads=4, n_layers=2,
+              max_len=64, drop=0.0, pos_embedding="rope", window=24,
+              sinks=True)
+    me = TransformerLM(**kw)
+    mc = TransformerLM(**kw, mesh=mesh, cp=True)
+    x = jnp.asarray(np.random.default_rng(12).integers(0, V, (2, 64)),
+                    jnp.int32)
+    variables = me.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mc.apply(variables, x)[0]),
+                               np.asarray(me.apply(variables, x)[0]),
+                               rtol=3e-4, atol=3e-4)

@@ -266,3 +266,103 @@ def test_spec_rejects_truncated_sampling():
         eng.run([Request([1, 2, 3], 4, k=5, temperature=0.8)])
     with pytest.raises(ValueError, match="speculative serving"):
         eng.run([Request([1, 2, 3], 4, repetition_penalty=1.3)])
+
+
+# ------------------------------------- speculative × paged (r5, VERDICT #4)
+
+
+def _paged_pair(seed=0, blocks=40, block=8, **kw):
+    """(paged model, dense twin, params) sharing weights."""
+    cfg = dict(vocab_size=V, d_model=32, n_heads=4, n_layers=2,
+               max_len=96, drop=0.0)
+    cfg.update(kw)
+    dense = TransformerLM(**cfg)
+    paged = TransformerLM(**cfg, paged_kv_blocks=blocks,
+                          paged_kv_block=block)
+    params = dense.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    return paged, dense, params
+
+
+def test_paged_spec_matches_dense_spec_engine():
+    """Greedy emission from the paged speculative engine is token-for-token
+    the DENSE speculative engine's (and therefore generate's)."""
+    from neuralnetworklibrary_tpu.serving import PagedSpeculativeServingEngine
+
+    paged, dense, params = _paged_pair(0)
+    draft, dparams = _model(7, layers=1, max_len=96)
+    rng = np.random.default_rng(0)
+    reqs = _requests(rng, SPEC)
+    rng = np.random.default_rng(0)
+    base_reqs = _requests(rng, SPEC)
+    eng = PagedSpeculativeServingEngine(paged, params, draft, dparams,
+                                        gamma=3, slots=3,
+                                        prompt_buckets=(8, 16, 32))
+    eng.run(reqs)
+    SpeculativeServingEngine(dense, params, draft, dparams, gamma=3,
+                             slots=3, prompt_buckets=(8, 16, 32)
+                             ).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
+    assert eng.stats["spec_rounds"] > 0
+    assert eng.stats["blocks_peak"] > 0
+
+
+def test_paged_spec_exact_across_preemption():
+    """A pool small enough to force preemption mid-run: recompute-style
+    eviction + re-prefill must leave greedy emission untouched."""
+    from neuralnetworklibrary_tpu.serving import PagedSpeculativeServingEngine
+
+    # 96/8 = 12 blocks per max sequence; 14 total (the 13 minimum + 1)
+    # forces eviction with 3 slots of long requests
+    paged, dense, params = _paged_pair(1, blocks=14, block=8)
+    draft, dparams = _model(9, layers=1, max_len=96)
+    spec = [(12, 30), (18, 26), (9, 34), (22, 20)]
+    rng = np.random.default_rng(3)
+    reqs = _requests(rng, spec)
+    rng = np.random.default_rng(3)
+    base_reqs = _requests(rng, spec)
+    eng = PagedSpeculativeServingEngine(paged, params, draft, dparams,
+                                        gamma=3, slots=3,
+                                        prompt_buckets=(8, 16, 32, 64))
+    eng.run(reqs)
+    assert eng.stats["preemptions"] > 0, "pool was meant to run dry"
+    SpeculativeServingEngine(dense, params, draft, dparams, gamma=3,
+                             slots=3, prompt_buckets=(8, 16, 32, 64)
+                             ).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
+
+
+def test_paged_spec_sampled_and_quantized_pools():
+    """The Leviathan sampled path and int8 KV pools both compose with the
+    paged speculative engine (distribution sanity: finished runs, right
+    lengths, tokens in-vocab; int8 greedy == f32-pool greedy is NOT
+    asserted — quantization changes logits, exactness holds vs the same-
+    quantized dense engine instead)."""
+    from neuralnetworklibrary_tpu.serving import PagedSpeculativeServingEngine
+
+    paged, dense, params = _paged_pair(2, kv_quant=True)
+    draft, dparams = _model(11, layers=1, max_len=96)
+    rng = np.random.default_rng(5)
+    reqs = _requests(rng, SPEC[:4], k=V, temperature=0.8, top_p=1.0)
+    eng = PagedSpeculativeServingEngine(paged, params, draft, dparams,
+                                        gamma=3, slots=2,
+                                        prompt_buckets=(8, 16, 32))
+    eng.run(reqs)
+    for r in reqs:
+        assert r.finished and len(r.tokens) == r.max_new
+        assert all(0 <= t < V for t in r.tokens)
+    # greedy int8-pool exactness vs the same-quantized DENSE spec engine
+    rng = np.random.default_rng(6)
+    g_reqs = _requests(rng, SPEC[:4])
+    rng = np.random.default_rng(6)
+    g_base = _requests(rng, SPEC[:4])
+    PagedSpeculativeServingEngine(paged, params, draft, dparams, gamma=3,
+                                  slots=2, prompt_buckets=(8, 16, 32)
+                                  ).run(g_reqs)
+    SpeculativeServingEngine(dense, params, draft, dparams, gamma=3,
+                             slots=2, prompt_buckets=(8, 16, 32)
+                             ).run(g_base)
+    for a, b in zip(g_reqs, g_base):
+        assert a.finished and a.tokens == b.tokens
