@@ -503,10 +503,11 @@ class CausalSelfAttention(nn.Module):
             return jnp.repeat(t, rep, axis=2)
         # context-parallel path: exact ring attention over the sequence
         # shards (parallel/ring_attention.py).  r5: sliding windows (with
-        # ring-round truncation), attention sinks, and batch-shared
-        # att_bias (T5) all ride the ring now (VERDICT r4 #6) — the
-        # remaining fallbacks are kv_mask/segment_ids/softcap, active
-        # attention dropout, and decode (KV cache is never ring-run).
+        # ring-round truncation), attention sinks, batch-shared att_bias
+        # (T5), and attention-prob dropout (the flash kernel's
+        # position-hashed mask stream) all ride the ring now (VERDICT r4
+        # #6, #5) — the remaining fallbacks are kv_mask/segment_ids/
+        # softcap and decode (KV cache is never ring-run).
         ring_bias_ok = (att_bias is None
                         or (att_bias.shape[0] == 1
                             and att_bias.shape[-2:] == (T, T)))
@@ -514,11 +515,17 @@ class CausalSelfAttention(nn.Module):
                 and self.causal and segment_ids is None
                 and kv_mask is None and ring_bias_ok
                 and self.softcap == 0.0
-                and not decode and not (train and self.drop > 0.0)):
+                and not decode):
             from neuralnetworklibrary_tpu.parallel.ring_attention import (
                 ring_attention,
             )
 
+            rdrop, rseed = 0.0, None
+            if train and self.drop > 0.0:
+                rdrop = self.drop
+                rseed = jax.random.bits(
+                    self.make_rng("dropout"),
+                    dtype=jnp.uint32).astype(jnp.int32)
             names = self.mesh.axis_names
             head_axis = ("model" if "model" in names
                          and self.mesh.shape["model"] > 1
@@ -527,7 +534,8 @@ class CausalSelfAttention(nn.Module):
                 q, expand_kv(k), expand_kv(v), self.mesh, axis=self.cp_axis,
                 batch_axis="data" if "data" in names else None,
                 head_axis=head_axis, window=self.window,
-                bias=att_bias, sink=sink).reshape(B, T, DH)
+                bias=att_bias, sink=sink,
+                dropout=rdrop, dropout_seed=rseed).reshape(B, T, DH)
             return proj_out(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop

@@ -52,17 +52,32 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from neuralnetworklibrary_tpu.ops.flash_attention import _drop_keep
+
 _NEG_INF = -1e30
 
 
-def _ring_local(q, k, v, bias, sink, *, axis_name: str, n_chunks: int,
-                n_rounds: int, sm_scale: float, window: int, vary_axes=()):
+def _ring_local(q, k, v, bias, sink, seed, *, axis_name: str,
+                n_chunks: int, n_rounds: int, sm_scale: float, window: int,
+                drop: float, batch_axis=None, head_axis=None,
+                n_heads_total: int = 0, vary_axes=()):
     """Per-device body (runs under shard_map).  q/k/v: (B, Tc, H, hd);
     bias: (H, Tc, T) query-row shard or None; sink: (H,) head shard or
-    None."""
+    None; seed: () int32 dropout seed or None."""
     B, Tc, H, hd = q.shape
     idx = jax.lax.axis_index(axis_name)
     q_pos = idx * Tc + jnp.arange(Tc)                        # global positions
+    bh = None
+    if drop > 0.0:
+        # the SAME position-hashed mask stream as the flash kernel
+        # (ops/flash_attention._drop_keep), with GLOBAL batch·head indices
+        # so batch/head sharding does not correlate masks across shards
+        b_off = (jax.lax.axis_index(batch_axis) * B
+                 if batch_axis is not None else 0)
+        h_off = (jax.lax.axis_index(head_axis) * H
+                 if head_axis is not None else 0)
+        bh = ((b_off + jnp.arange(B))[:, None] * n_heads_total
+              + (h_off + jnp.arange(H))[None, :])            # (B, H)
 
     perm = [(j, (j + 1) % n_chunks) for j in range(n_chunks)]
 
@@ -84,6 +99,15 @@ def _ring_local(q, k, v, bias, sink, *, axis_name: str, n_chunks: int,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if drop > 0.0:
+            # normalizer l uses UNDROPPED probabilities (dropout acts on
+            # softmax outputs); only the value accumulation is masked —
+            # the flash kernel's exact recipe
+            keep = _drop_keep(seed, bh[:, :, None, None],
+                              q_pos[None, None, :, None].astype(jnp.int32),
+                              k_pos[None, None, None, :].astype(jnp.int32),
+                              drop)
+            p = p * (keep.astype(jnp.float32) / (1.0 - drop))
         pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v_cur.dtype), v_cur)
         acc_new = acc * alpha.transpose(0, 2, 1, 3) + pv.astype(jnp.float32)
         # rotate K/V to the next device over the ICI ring
@@ -120,7 +144,8 @@ def _ring_local(q, k, v, bias, sink, *, axis_name: str, n_chunks: int,
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
                    batch_axis=None, head_axis=None, sm_scale=None,
-                   window: int = 0, bias=None, sink=None):
+                   window: int = 0, bias=None, sink=None,
+                   dropout: float = 0.0, dropout_seed=None):
     """Causal ring attention over a context-sharded sequence.
 
     q/k/v: (B, T, H, hd) with T sharded over mesh axis ``axis`` (and the
@@ -160,6 +185,13 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
                              f"got {bias.shape}")
     if sink is not None and sink.shape != (H,):
         raise ValueError(f"sink must be ({H},), got {sink.shape}")
+    seed = None
+    if dropout > 0.0:
+        if not 0.0 < dropout < 1.0:
+            raise ValueError(f"dropout must lie in (0, 1), got {dropout}")
+        if dropout_seed is None:
+            raise ValueError("dropout > 0 needs dropout_seed=")
+        seed = jnp.asarray(dropout_seed, jnp.int32)
     spec = P(batch_axis, axis, head_axis, None)
     bias_spec = P(head_axis, axis, None)       # query rows sharded, k full
     sink_spec = P(head_axis)
@@ -168,11 +200,14 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
     f = shard_map(
         functools.partial(_ring_local, axis_name=axis, n_chunks=n,
                           n_rounds=n_rounds, sm_scale=sm_scale,
-                          window=window, vary_axes=vary_axes),
+                          window=window, drop=float(dropout),
+                          batch_axis=batch_axis, head_axis=head_axis,
+                          n_heads_total=H, vary_axes=vary_axes),
         mesh=mesh,
         in_specs=(spec, spec, spec,
                   None if bias is None else bias_spec,
-                  None if sink is None else sink_spec),
+                  None if sink is None else sink_spec,
+                  None if seed is None else P()),
         out_specs=spec,
     )
-    return f(q, k, v, bias, sink)
+    return f(q, k, v, bias, sink, seed)

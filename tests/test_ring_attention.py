@@ -228,3 +228,82 @@ def test_model_cp_window_sinks_bias():
     np.testing.assert_allclose(np.asarray(mc.apply(variables, x)[0]),
                                np.asarray(me.apply(variables, x)[0]),
                                rtol=3e-4, atol=3e-4)
+
+
+# --------------------------------------------- attention dropout (r5, #5)
+
+
+def test_ring_dropout_matches_hash_oracle():
+    """Ring dropout uses the flash kernel's position-hashed mask stream:
+    the dropped output EXACTLY equals einsum attention with the same
+    regenerated mask; drop=0 equals the plain ring; different seeds give
+    different outputs."""
+    import math
+
+    from neuralnetworklibrary_tpu.ops.flash_attention import _drop_keep
+
+    mesh = get_mesh(8, axis_names=("context",))
+    B, T, H, hd = 2, 128, 2, 16
+    q, k, v = _qkv(B, T, H, hd, seed=20)
+    r, seed = 0.25, 99
+
+    out = ring_attention(q, k, v, mesh, dropout=r, dropout_seed=seed)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+    s = jnp.where(jnp.tril(jnp.ones((T, T), bool)), s, -1e30)
+    p = jax.nn.softmax(s, -1)
+    qpos = jnp.broadcast_to(jnp.arange(T)[:, None], (T, T)).astype(jnp.int32)
+    kpos = jnp.broadcast_to(jnp.arange(T)[None, :], (T, T)).astype(jnp.int32)
+    keep = jnp.stack([
+        jnp.stack([_drop_keep(jnp.int32(seed), jnp.int32(b * H + h),
+                              qpos, kpos, r) for h in range(H)])
+        for b in range(B)])
+    pd = p * keep.astype(p.dtype) / (1.0 - r)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", pd, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    o0 = ring_attention(q, k, v, mesh)
+    o0d = ring_attention(q, k, v, mesh, dropout=1e-9, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(o0d), np.asarray(o0),
+                               rtol=1e-6, atol=1e-6)
+    o2 = ring_attention(q, k, v, mesh, dropout=r, dropout_seed=seed + 1)
+    assert np.abs(np.asarray(out) - np.asarray(o2)).max() > 1e-3
+
+    # grads finite through the dropped ring
+    g = jax.grad(lambda a, b, c: jnp.sum(jnp.square(ring_attention(
+        a, b, c, mesh, dropout=r, dropout_seed=seed))),
+        argnums=(0, 1, 2))(q, k, v)
+    for x in g:
+        assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_model_cp_dropout_trains():
+    """TransformerLM(cp=True, drop>0): the train forward stays on the ring
+    (no einsum fallback) and produces finite loss + grads."""
+    import jax.flatten_util
+
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh_2d
+
+    mesh = get_mesh_2d(2, 4, axis_names=("data", "context"))
+    V = 40
+    m = TransformerLM(vocab_size=V, pad_token=1, d_model=32, n_heads=4,
+                      n_layers=2, max_len=64, drop=0.2,
+                      pos_embedding="rope", mesh=mesh, cp=True)
+    x = jnp.asarray(np.random.default_rng(7).integers(0, V, (2, 64)),
+                    jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, key):
+        logits = m.apply({"params": p}, x, train=True,
+                         rngs={"dropout": key})[0]
+        return jnp.mean(jnp.square(logits - 1.0))
+
+    l1, g = jax.value_and_grad(loss)(variables["params"],
+                                     jax.random.PRNGKey(1))
+    l2 = loss(variables["params"], jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert abs(float(l1) - float(l2)) > 1e-8   # dropout stream is live
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert bool(jnp.all(jnp.isfinite(flat)))
