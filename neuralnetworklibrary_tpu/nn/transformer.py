@@ -548,16 +548,22 @@ class CausalSelfAttention(nn.Module):
         flash_bias_ok = (att_bias is None
                          or (att_bias.shape[0] == 1
                              and att_bias.shape[-2:] == (T, T)))
-        # r5: non-causal (encoder) attention, key-padding masks AND
-        # attention-prob dropout ride the kernel — BERT / ViT / T5 /
-        # Whisper encoders and regularized training no longer fall back to
-        # the materialized einsum (VERDICT r4 #2, #5).  Dropout inside the
-        # kernel uses a position-hashed mask regenerated in the backward
-        # (same keep rate and independence as nn.Dropout, different
-        # stream — flash-trained and einsum-trained runs are statistically
-        # interchangeable, not bit-identical).
+        # r5: non-causal (encoder) attention, key-padding masks, PACKED
+        # sequences AND attention-prob dropout ride the kernel — BERT /
+        # ViT / T5 / Whisper encoders, sequence-packed pretraining, and
+        # regularized training no longer fall back to the materialized
+        # einsum (VERDICT r4 #2, #5).  Packed rows (segment_ids from
+        # reset_at — contiguous cumsum segments with per-doc positions)
+        # enter as per-query document STARTS: same-segment ∧ causal ≡
+        # k_pos >= start_q, one extra in-kernel compare.  Dropout inside
+        # the kernel uses a position-hashed mask regenerated in the
+        # backward (same keep rate and independence as nn.Dropout,
+        # different stream — flash-trained and einsum-trained runs are
+        # statistically interchangeable, not bit-identical).
+        flash_packed_ok = (segment_ids is None
+                           or (self.causal and positions is not None))
         if (self.flash and not decode
-                and segment_ids is None
+                and flash_packed_ok
                 and (self.causal or self.window <= 0)
                 and flash_bias_ok and self.softcap == 0.0):
             from neuralnetworklibrary_tpu.ops.flash_attention import (
@@ -570,11 +576,16 @@ class CausalSelfAttention(nn.Module):
                 fseed = jax.random.bits(
                     self.make_rng("dropout"),
                     dtype=jnp.uint32).astype(jnp.int32)
+            q_start = None
+            if segment_ids is not None:
+                q_start = (jnp.arange(T)[None]
+                           - jnp.asarray(positions, jnp.int32))
             out = flash_attention(q, expand_kv(k), expand_kv(v),
                                   window=self.window,
                                   bias=att_bias, sink=sink,
                                   causal=self.causal, kv_mask=kv_mask,
-                                  dropout=fdrop, dropout_seed=fseed
+                                  dropout=fdrop, dropout_seed=fseed,
+                                  q_start=q_start
                                   ).reshape(B, T, DH)
             return proj_out(out)
         if decode:

@@ -65,17 +65,19 @@ def _cdiv(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _unpack(refs, has_bias, has_sink, has_kvmask, has_drop, n_out):
-    """(q, k, v, [bias], [sink], [kvmask], [seed], *outs) ref unpacking
-    shared by all four kernels."""
+def _unpack(refs, has_bias, has_sink, has_kvmask, has_qstart, has_drop,
+            n_out):
+    """(q, k, v, [bias], [sink], [kvmask], [qstart], [seed], *outs) ref
+    unpacking shared by all four kernels."""
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     bias_ref = next(it) if has_bias else None
     sink_ref = next(it) if has_sink else None
     kvm_ref = next(it) if has_kvmask else None
+    qs_ref = next(it) if has_qstart else None
     seed_ref = next(it) if has_drop else None
     outs = tuple(next(it) for _ in range(n_out))
-    return (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref,
+    return (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref, qs_ref,
             seed_ref) + outs
 
 
@@ -115,10 +117,10 @@ def _keep_mask(causal, window, q_pos, k_pos):
 
 
 def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window, causal,
-                has_bias, has_sink, has_kvmask, drop):
-    (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref, seed_ref, o_ref,
-     lse_ref) = _unpack(refs, has_bias, has_sink, has_kvmask, drop > 0.0,
-                        2)
+                has_bias, has_sink, has_kvmask, has_qstart, drop):
+    (q_ref, k_ref, v_ref, bias_ref, sink_ref, kvm_ref, qs_ref, seed_ref,
+     o_ref, lse_ref) = _unpack(refs, has_bias, has_sink, has_kvmask,
+                               has_qstart, drop > 0.0, 2)
     i = pl.program_id(1)
     bh = pl.program_id(0)     # hoisted: program_id inside fori_loop does
                               # not lower in interpret mode
@@ -127,6 +129,11 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window, causal,
 
     q_pos = i * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
+    # packed sequences: each query row's document START; keys before it
+    # belong to earlier documents and are masked (contiguous packing makes
+    # same-segment ∧ causal ≡ k_pos >= start_q — one extra compare)
+    qs = (qs_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+          if has_qstart else None)
 
     def body(j, carry):
         acc, m, l = carry
@@ -141,6 +148,8 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window, causal,
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         keep = _keep_mask(causal, window, q_pos, k_pos)
+        if qs is not None:
+            keep = (k_pos >= qs) if keep is None else keep & (k_pos >= qs)
         if keep is not None:
             s = jnp.where(keep, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -188,8 +197,8 @@ def _fwd_kernel(*refs, sm_scale, block_q, block_k, seq_len, window, causal,
     lse_ref[0] = m + jnp.log(l)
 
 
-def _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
-               window, causal, n_heads, drop):
+def _flash_fwd(q, k, v, bias, sink, kvm, qstart, seed, sm_scale, block_q,
+               block_k, window, causal, n_heads, drop):
     BH, T, d = q.shape
     H = None if bias is None and sink is None else (
         bias.shape[0] if bias is not None else sink.shape[0])
@@ -217,6 +226,11 @@ def _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
         in_specs.append(pl.BlockSpec((1, 1, T),
                                      lambda b, i: (b // n_heads, 0, 0)))
         args.append(kvm)
+    if qstart is not None:
+        # per-query document starts (packed sequences), (B, 1, T) int32
+        in_specs.append(pl.BlockSpec((1, 1, T),
+                                     lambda b, i: (b // n_heads, 0, 0)))
+        args.append(qstart)
     if drop > 0.0:
         in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (0, 0)))
         args.append(seed.reshape(1, 1).astype(jnp.int32))
@@ -226,7 +240,8 @@ def _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
                           causal=causal,
                           has_bias=bias is not None,
                           has_sink=sink is not None,
-                          has_kvmask=kvm is not None, drop=drop),
+                          has_kvmask=kvm is not None,
+                          has_qstart=qstart is not None, drop=drop),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -258,12 +273,13 @@ def _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
 
 
 def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
-                   causal, has_bias, has_kvmask, drop):
+                   causal, has_bias, has_kvmask, has_qstart, drop):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it)
                                                        for _ in range(6))
     bias_ref = next(it) if has_bias else None
     kvm_ref = next(it) if has_kvmask else None
+    qs_ref = next(it) if has_qstart else None
     seed_ref = next(it) if drop > 0.0 else None
     dq_ref = next(it)
     i = pl.program_id(1)
@@ -275,6 +291,8 @@ def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     delta = delta_ref[0]
     q_pos = i * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
+    qs = (qs_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+          if has_qstart else None)
 
     def body(j, dq):
         k = k_ref[0, pl.ds(j * block_k, block_k), :]
@@ -288,6 +306,8 @@ def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         keep = _keep_mask(causal, window, q_pos, k_pos)
+        if qs is not None:
+            keep = (k_pos >= qs) if keep is None else keep & (k_pos >= qs)
         p = (jnp.exp(s - lse) if keep is None
              else jnp.where(keep, jnp.exp(s - lse), 0.0))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -316,12 +336,13 @@ def _bwd_dq_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
 
 
 def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
-                    causal, has_bias, has_kvmask, drop):
+                    causal, has_bias, has_kvmask, has_qstart, drop):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it)
                                                        for _ in range(6))
     bias_ref = next(it) if has_bias else None
     kvm_ref = next(it) if has_kvmask else None
+    qs_ref = next(it) if has_qstart else None
     seed_ref = next(it) if drop > 0.0 else None
     dk_ref, dv_ref = next(it), next(it)
     j = pl.program_id(1)
@@ -354,6 +375,9 @@ def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
             keep = q_pos >= k_pos
             if window > 0:
                 keep &= q_pos - k_pos < window
+        if has_qstart:
+            qs = qs_ref[0, 0, pl.ds(ii * block_q, block_q)][:, None]
+            keep = (k_pos >= qs) if keep is None else keep & (k_pos >= qs)
         p = (jnp.exp(s - lse) if keep is None
              else jnp.where(keep, jnp.exp(s - lse), 0.0))       # (bq, bk)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -393,7 +417,7 @@ def _bwd_dkv_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
 
 
 def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
-                      causal, has_kvmask, drop, n_heads):
+                      causal, has_kvmask, has_qstart, drop, n_heads):
     """dbias row-block for head h, query block i, accumulated across the
     batch grid axis (sequential on TPU; the output block maps to (h, i, 0)
     for every b, zeroed at b == 0)."""
@@ -401,6 +425,7 @@ def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref = (
         next(it) for _ in range(7))
     kvm_ref = next(it) if has_kvmask else None
+    qs_ref = next(it) if has_qstart else None
     seed_ref = next(it) if drop > 0.0 else None
     dbias_ref = next(it)
     i = pl.program_id(1)
@@ -436,6 +461,8 @@ def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         keep = _keep_mask(causal, window, q_pos, k_pos)
+        if qs is not None:
+            keep = (k_pos >= qs) if keep is None else keep & (k_pos >= qs)
         p = (jnp.exp(s - lse) if keep is None
              else jnp.where(keep, jnp.exp(s - lse), 0.0))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -456,8 +483,8 @@ def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
 
 
 def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
-               has_sink, has_kvmask, n_heads, drop, res, g):
-    q, k, v, bias, sink, kvm, seed, o, lse = res
+               has_sink, has_kvmask, has_qstart, n_heads, drop, res, g):
+    q, k, v, bias, sink, kvm, qstart, seed, o, lse = res
     do, _ = g
     BH, T, d = q.shape
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -473,7 +500,7 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
 
     def opt_args(bias_sm, kvm_sm, grid3=False):
         """(in_specs tail, args tail) for the optional bias / kv-mask /
-        dropout-seed operands (this order everywhere)."""
+        q-start / dropout-seed operands (this order everywhere)."""
         specs, extra = [], []
         if bias is not None:
             specs.append(pl.BlockSpec(*bias_sm))
@@ -481,6 +508,11 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
         if kvm is not None:
             specs.append(pl.BlockSpec(*kvm_sm))
             extra.append(kvm)
+        if qstart is not None:
+            specs.append(pl.BlockSpec(
+                (1, 1, T), (lambda h, i, b: (b, 0, 0)) if grid3
+                else (lambda b, i: (b // n_heads, 0, 0))))
+            extra.append(qstart)
         if seed_arr is not None:
             specs.append(pl.BlockSpec(
                 (1, 1), (lambda h, i, b: (0, 0)) if grid3
@@ -494,7 +526,8 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
                           block_q=block_q, block_k=block_k, seq_len=T,
                           window=window, causal=causal, has_bias=has_bias,
-                          has_kvmask=has_kvmask, drop=drop),
+                          has_kvmask=has_kvmask, has_qstart=has_qstart,
+                          drop=drop),
         grid=(BH, _cdiv(T, block_q)),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -516,7 +549,8 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
                           block_q=block_q, block_k=block_k, seq_len=T,
                           window=window, causal=causal, has_bias=has_bias,
-                          has_kvmask=has_kvmask, drop=drop),
+                          has_kvmask=has_kvmask, has_qstart=has_qstart,
+                          drop=drop),
         grid=(BH, _cdiv(T, block_k)),
         in_specs=[
             pl.BlockSpec((1, T, d), lambda b, j: (b, 0, 0)),
@@ -543,6 +577,10 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
         kvm_specs = ([pl.BlockSpec((1, 1, T), lambda h, i, b: (b, 0, 0))]
                      if kvm is not None else [])
         kvm_extra = [kvm] if kvm is not None else []
+        if qstart is not None:
+            kvm_specs.append(pl.BlockSpec((1, 1, T),
+                                          lambda h, i, b: (b, 0, 0)))
+            kvm_extra.append(qstart)
         if seed_arr is not None:
             kvm_specs.append(pl.BlockSpec((1, 1),
                                           lambda h, i, b: (0, 0)))
@@ -551,7 +589,8 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
             functools.partial(_bwd_dbias_kernel, sm_scale=sm_scale,
                               block_q=block_q, block_k=block_k, seq_len=T,
                               window=window, causal=causal,
-                              has_kvmask=has_kvmask, drop=drop,
+                              has_kvmask=has_kvmask,
+                              has_qstart=has_qstart, drop=drop,
                               n_heads=H),
             grid=(H, _cdiv(T, block_q), B),
             in_specs=[
@@ -584,10 +623,12 @@ def _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
         dsink = (-jnp.exp(sink.astype(jnp.float32)[None, :, None] - lse_b)
                  * delta_b).sum(axis=(0, 2)).astype(sink.dtype)
 
-    # the key-padding mask and dropout seed are data, not differentiable
+    # the key-padding mask, q-starts and dropout seed are data, not
+    # differentiable inputs
     dkvm = None if kvm is None else jnp.zeros_like(kvm)
+    dqstart = None if qstart is None else jnp.zeros_like(qstart)
     dseed = None if seed is None else jnp.zeros_like(seed)
-    return dq, dk, dv, dbias, dsink, dkvm, dseed
+    return dq, dk, dv, dbias, dsink, dkvm, dqstart, dseed
 
 
 # ---------------------------------------------------------------------------
@@ -599,28 +640,30 @@ def _interpret():
     return jax.devices()[0].platform == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12,
-                                                    13, 14, 15, 16))
-def _flash_core(q, k, v, bias, sink, kvm, seed, sm_scale, block_q, block_k,
-                window, causal, has_bias, has_sink, has_kvmask, n_heads,
-                drop):
-    o, _ = _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
-                      block_k, window, causal, n_heads, drop)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13,
+                                                    14, 15, 16, 17, 18))
+def _flash_core(q, k, v, bias, sink, kvm, qstart, seed, sm_scale, block_q,
+                block_k, window, causal, has_bias, has_sink, has_kvmask,
+                has_qstart, n_heads, drop):
+    o, _ = _flash_fwd(q, k, v, bias, sink, kvm, qstart, seed, sm_scale,
+                      block_q, block_k, window, causal, n_heads, drop)
     return o
 
 
-def _flash_core_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
-                    block_k, window, causal, has_bias, has_sink,
-                    has_kvmask, n_heads, drop):
-    o, lse = _flash_fwd(q, k, v, bias, sink, kvm, seed, sm_scale, block_q,
-                        block_k, window, causal, n_heads, drop)
-    return o, (q, k, v, bias, sink, kvm, seed, o, lse)
+def _flash_core_fwd(q, k, v, bias, sink, kvm, qstart, seed, sm_scale,
+                    block_q, block_k, window, causal, has_bias, has_sink,
+                    has_kvmask, has_qstart, n_heads, drop):
+    o, lse = _flash_fwd(q, k, v, bias, sink, kvm, qstart, seed, sm_scale,
+                        block_q, block_k, window, causal, n_heads, drop)
+    return o, (q, k, v, bias, sink, kvm, qstart, seed, o, lse)
 
 
 def _flash_core_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
-                    has_sink, has_kvmask, n_heads, drop, res, g):
+                    has_sink, has_kvmask, has_qstart, n_heads, drop, res,
+                    g):
     return _flash_bwd(sm_scale, block_q, block_k, window, causal, has_bias,
-                      has_sink, has_kvmask, n_heads, drop, res, (g, None))
+                      has_sink, has_kvmask, has_qstart, n_heads, drop,
+                      res, (g, None))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -629,7 +672,8 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
                     window: int = 0, bias=None, sink=None,
                     causal: bool = True, kv_mask=None,
-                    dropout: float = 0.0, dropout_seed=None):
+                    dropout: float = 0.0, dropout_seed=None,
+                    q_start=None):
     """Flash attention (causal by default).  q/k/v: (B, T, H, hd) →
     (B, T, H, hd).
 
@@ -692,6 +736,15 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
     if kv_mask is not None and kv_mask.shape != (B, T):
         raise ValueError(f"kv_mask must be (B, T) = ({B}, {T}), "
                          f"got {kv_mask.shape}")
+    if q_start is not None:
+        # packed sequences: q_start[b, t] = the document-start position of
+        # query t (contiguous packing — same-segment ∧ causal ≡
+        # k_pos >= q_start).  Requires causal.
+        if not causal:
+            raise ValueError("q_start (packed sequences) requires causal")
+        if q_start.shape != (B, T):
+            raise ValueError(f"q_start must be (B, T) = ({B}, {T}), "
+                             f"got {q_start.shape}")
     # r5: arbitrary T — pad the sequence up to a 128-multiple (ViT's 197
     # tokens, odd encoder lengths).  Pad QUERIES produce rows we slice off;
     # pad KEYS are unattendable: causal attention can't see them from real
@@ -706,6 +759,8 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
             kv_mask = jnp.ones((B, T), bool)
         if kv_mask is not None:
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+        if q_start is not None:
+            q_start = jnp.pad(q_start, ((0, 0), (0, pad)))
         if bias is not None:
             bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
         T += pad
@@ -743,11 +798,14 @@ def flash_attention(q, k, v, sm_scale=None, block_q=512, block_k=512,
             raise ValueError("dropout > 0 needs dropout_seed= (an int32 "
                              "scalar; derive it from the 'dropout' rng)")
         seed = jnp.asarray(dropout_seed, jnp.int32)
+    qs = (None if q_start is None
+          else q_start.reshape(B, 1, T).astype(jnp.int32))
     o = _flash_core(to_bh(q), to_bh(k), to_bh(v), bias,
-                    (None if sink is None else sink.reshape(H)), kvm, seed,
+                    (None if sink is None else sink.reshape(H)), kvm, qs,
+                    seed,
                     sm_scale, block_q, block_k, int(window), bool(causal),
-                    bias is not None, sink is not None, kvm is not None, H,
-                    float(dropout))
+                    bias is not None, sink is not None, kvm is not None,
+                    qs is not None, H, float(dropout))
     o = o.reshape(B, H, T, hd).transpose(0, 2, 1, 3)
     return o[:, :T_orig] if pad else o
 

@@ -72,8 +72,11 @@ class SpeculativeServingEngine(ServingEngine):
     Every request must leave room for the draft overshoot:
     ``len(prompt) + max_new + gamma + 1 <= max_len`` (checked at
     admission, like nn.speculative).  Engine kwargs are the base engine's
-    minus ``chunk`` (a round IS the chunk), ``mesh`` (single-chip v1) and
-    ``adapters`` (base weights only).
+    minus ``chunk`` (a round IS the chunk), ``prefill_chunk`` and
+    ``adapters`` (base weights only).  TP serving composes (r5): pass
+    ``mesh=`` + ``param_rule=`` — the target shards Megatron-style with a
+    head-sharded KV cache while the (small) draft replicates; emission is
+    token-exact vs the single-chip engine.
     """
 
     _paged = False   # PagedSpeculativeServingEngine flips this
@@ -91,7 +94,7 @@ class SpeculativeServingEngine(ServingEngine):
             raise ValueError(
                 "speculative serving on a paged-KV target goes through "
                 "PagedSpeculativeServingEngine")
-        for bad, ok in (("chunk", (None, 1)), ("mesh", (None,)),
+        for bad, ok in (("chunk", (None, 1)),
                         ("adapters", (None,)), ("prefill_chunk", (None, 0))):
             if kw.get(bad) not in ok:
                 raise ValueError(f"SpeculativeServingEngine does not take "
@@ -113,6 +116,17 @@ class SpeculativeServingEngine(ServingEngine):
                 f"draft max_len {draft_model.max_len} must cover the "
                 f"target's {model.max_len}")
         self.draft_cache = self._init_cache(draft_model, self.slots)
+        if self.mesh is not None:
+            # TP serving (r5): the TARGET shards Megatron-style through the
+            # base engine (param_rule= + head-sharded cache); the DRAFT is
+            # small — replicate its params and cache so every device runs
+            # the full draft and the jitted round mixes the two freely
+            from neuralnetworklibrary_tpu.parallel import mesh as pmesh
+
+            self.draft_params = pmesh.replicate_tree(self.draft_params,
+                                                     self.mesh)
+            self.draft_cache = pmesh.replicate_tree(self.draft_cache,
+                                                    self.mesh)
         # tokens emitted last round MINUS the last one — they have target
         # K/V (accepted proposals) but the draft hasn't seen them yet
         self._pend = np.zeros((self.slots, self.gamma), np.int32)

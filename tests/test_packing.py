@@ -133,3 +133,50 @@ def test_packed_learner_trains():
     learner.fit_one_cycle(5e-3, 10)
     val = [row[1] for row in learner.values]
     assert val[-1] < 0.35 * val[0], val
+
+
+# --------------------------------------------- packed × flash kernel (r5)
+
+
+def test_packed_flash_matches_einsum():
+    """reset_at packing on the FLASH path: the kernel enforces the
+    block-diagonal-∧-causal mask via per-query document starts
+    (k_pos >= start_q) — logits and parameter gradients equal the einsum
+    packed model, and a document's logits still equal its standalone
+    forward."""
+    import jax.flatten_util
+
+    kw = dict(pos_embedding="rope")
+    m_ein, params = _model_and_params(**kw)
+    m_fla, _ = _model_and_params(flash_attention=True, **kw)
+    rng = np.random.default_rng(3)
+    d1 = rng.integers(2, V, 9).tolist()
+    d2 = rng.integers(2, V, 13).tolist()
+    row = d1 + [EOS] + d2 + [EOS]
+    row = row + [PAD] * (32 - len(row))
+    packed = jnp.asarray([row, row], jnp.int32)
+
+    le = m_ein.apply({"params": params}, packed)[0]
+    lf = m_fla.apply({"params": params}, packed)[0]
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                               rtol=3e-4, atol=3e-4)
+
+    # standalone-document equality through the kernel
+    alone = jnp.asarray([d2 + [EOS]], jnp.int32)
+    la = m_fla.apply({"params": params}, alone)[0]
+    s = len(d1) + 1
+    np.testing.assert_allclose(np.asarray(lf[0, s:s + len(d2) + 1]),
+                               np.asarray(la[0]), rtol=3e-4, atol=3e-4)
+
+    def loss(model):
+        def f(p):
+            return jnp.mean(jnp.square(
+                model.apply({"params": p}, packed)[0] - 1.0))
+        return f
+
+    ge = jax.grad(loss(m_ein))(params)
+    gf = jax.grad(loss(m_fla))(params)
+    fe, _ = jax.flatten_util.ravel_pytree(ge)
+    ff, _ = jax.flatten_util.ravel_pytree(gf)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fe),
+                               rtol=2e-3, atol=1e-5)

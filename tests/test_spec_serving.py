@@ -366,3 +366,35 @@ def test_paged_spec_sampled_and_quantized_pools():
                              ).run(g_base)
     for a, b in zip(g_reqs, g_base):
         assert a.finished and a.tokens == b.tokens
+
+
+# --------------------------------------------- TP × speculative (r5)
+
+
+def test_tp_spec_engine_matches_single_chip():
+    """Speculative serving on a dp-less TP mesh: Megatron-sharded target +
+    replicated draft emit token-for-token what the single-chip speculative
+    engine emits."""
+    from neuralnetworklibrary_tpu.nn.transformer import (
+        transformer_param_rule,
+    )
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(2, axis_names=("model",))
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    rng = np.random.default_rng(0)
+    reqs = _requests(rng, SPEC)
+    rng = np.random.default_rng(0)
+    base_reqs = _requests(rng, SPEC)
+    eng = SpeculativeServingEngine(
+        model, params, draft, dparams, gamma=3, slots=3,
+        prompt_buckets=(8, 16, 32), mesh=mesh,
+        param_rule=transformer_param_rule(mesh))
+    eng.run(reqs)
+    SpeculativeServingEngine(model, params, draft, dparams, gamma=3,
+                             slots=3, prompt_buckets=(8, 16, 32)
+                             ).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
+    assert eng.stats["spec_rounds"] > 0
