@@ -511,8 +511,12 @@ class CausalSelfAttention(nn.Module):
         ring_bias_ok = (att_bias is None
                         or (att_bias.shape[0] == 1
                             and att_bias.shape[-2:] == (T, T)))
+        # packed rows (reset_at) context-parallelize too (r5): the ring
+        # takes the same per-query document-start vector as the flash
+        # kernel, sharded over the context axis
+        ring_packed_ok = segment_ids is None or positions is not None
         if (self.cp_axis is not None and self.mesh is not None
-                and self.causal and segment_ids is None
+                and self.causal and ring_packed_ok
                 and kv_mask is None and ring_bias_ok
                 and self.softcap == 0.0
                 and not decode):
@@ -526,6 +530,10 @@ class CausalSelfAttention(nn.Module):
                 rseed = jax.random.bits(
                     self.make_rng("dropout"),
                     dtype=jnp.uint32).astype(jnp.int32)
+            r_start = None
+            if segment_ids is not None:
+                r_start = (jnp.arange(T)[None]
+                           - jnp.asarray(positions, jnp.int32))
             names = self.mesh.axis_names
             head_axis = ("model" if "model" in names
                          and self.mesh.shape["model"] > 1
@@ -535,7 +543,8 @@ class CausalSelfAttention(nn.Module):
                 batch_axis="data" if "data" in names else None,
                 head_axis=head_axis, window=self.window,
                 bias=att_bias, sink=sink,
-                dropout=rdrop, dropout_seed=rseed).reshape(B, T, DH)
+                dropout=rdrop, dropout_seed=rseed,
+                q_start=r_start).reshape(B, T, DH)
             return proj_out(out)
         # flash path: only for full-sequence (training/scoring) attention;
         # attention-prob dropout has no flash equivalent, so an active drop

@@ -437,6 +437,8 @@ def _bwd_dbias_kernel(*refs, sm_scale, block_q, block_k, seq_len, window,
     delta = delta_ref[0]
     q_pos = i * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
+    qs = (qs_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+          if has_qstart else None)
 
     @pl.when(b == 0)
     def _zero():

@@ -57,13 +57,14 @@ from neuralnetworklibrary_tpu.ops.flash_attention import _drop_keep
 _NEG_INF = -1e30
 
 
-def _ring_local(q, k, v, bias, sink, seed, *, axis_name: str,
+def _ring_local(q, k, v, bias, sink, seed, qstart, *, axis_name: str,
                 n_chunks: int, n_rounds: int, sm_scale: float, window: int,
                 drop: float, batch_axis=None, head_axis=None,
                 n_heads_total: int = 0, vary_axes=()):
     """Per-device body (runs under shard_map).  q/k/v: (B, Tc, H, hd);
     bias: (H, Tc, T) query-row shard or None; sink: (H,) head shard or
-    None; seed: () int32 dropout seed or None."""
+    None; seed: () int32 dropout seed or None; qstart: (B, Tc) local
+    query-document-start shard or None (packed sequences)."""
     B, Tc, H, hd = q.shape
     idx = jax.lax.axis_index(axis_name)
     q_pos = idx * Tc + jnp.arange(Tc)                        # global positions
@@ -94,7 +95,15 @@ def _ring_local(q, k, v, bias, sink, seed, *, axis_name: str,
         mask = q_pos[:, None] >= k_pos[None, :]              # (Tc, Tc) global
         if window > 0:
             mask &= q_pos[:, None] - k_pos[None, :] < window
-        s = jnp.where(mask[None, None], s, _NEG_INF)
+        if qstart is not None:
+            # packed rows: keys BEFORE a query's document start belong to
+            # earlier documents (contiguous packing: same-segment ∧ causal
+            # ≡ k_pos >= start_q) — per-batch, so the mask gains a B axis
+            mask = (mask[None] &
+                    (k_pos[None, None, :] >= qstart[:, :, None]))  # (B,Tc,Tck)
+            s = jnp.where(mask[:, None], s, _NEG_INF)
+        else:
+            s = jnp.where(mask[None, None], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -145,7 +154,7 @@ def _ring_local(q, k, v, bias, sink, seed, *, axis_name: str,
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
                    batch_axis=None, head_axis=None, sm_scale=None,
                    window: int = 0, bias=None, sink=None,
-                   dropout: float = 0.0, dropout_seed=None):
+                   dropout: float = 0.0, dropout_seed=None, q_start=None):
     """Causal ring attention over a context-sharded sequence.
 
     q/k/v: (B, T, H, hd) with T sharded over mesh axis ``axis`` (and the
@@ -185,6 +194,9 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
                              f"got {bias.shape}")
     if sink is not None and sink.shape != (H,):
         raise ValueError(f"sink must be ({H},), got {sink.shape}")
+    if q_start is not None and q_start.shape != (B, T):
+        raise ValueError(f"q_start must be (B, T) = ({B}, {T}), "
+                         f"got {q_start.shape}")
     seed = None
     if dropout > 0.0:
         if not 0.0 < dropout < 1.0:
@@ -207,7 +219,10 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "context",
         in_specs=(spec, spec, spec,
                   None if bias is None else bias_spec,
                   None if sink is None else sink_spec,
-                  None if seed is None else P()),
+                  None if seed is None else P(),
+                  None if q_start is None else P(batch_axis, axis)),
         out_specs=spec,
     )
-    return f(q, k, v, bias, sink, seed)
+    return f(q, k, v, bias, sink, seed,
+             None if q_start is None
+             else jnp.asarray(q_start, jnp.int32))

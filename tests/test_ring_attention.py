@@ -307,3 +307,65 @@ def test_model_cp_dropout_trains():
     assert abs(float(l1) - float(l2)) > 1e-8   # dropout stream is live
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert bool(jnp.all(jnp.isfinite(flat)))
+
+
+# -------------------------------------------------- packed sequences (r5)
+
+
+def test_ring_packed_matches_reference():
+    """q_start (packed rows) on the ring == the block-diagonal-∧-causal
+    einsum, forward and grads; the CP model path (reset_at packing under
+    cp=True) equals the single-path packed model."""
+    import math
+
+    mesh = get_mesh(8, axis_names=("context",))
+    B, T, H, hd = 2, 128, 2, 16
+    q, k, v = _qkv(B, T, H, hd, seed=30)
+    starts = np.zeros((B, T), np.int32)
+    starts[0, 50:] = 50
+    starts[1, 30:90] = 30
+    starts[1, 90:] = 90
+    qs = jnp.asarray(starts)
+
+    def packed_ref(a, b, c):
+        s = jnp.einsum("bqhd,bkhd->bhqk", a, b) / math.sqrt(hd)
+        pos = jnp.arange(T)
+        m = (pos[None, :] <= pos[:, None])[None] \
+            & (pos[None, None, :] >= qs[:, :, None])
+        s = jnp.where(m[:, None], s, -1e30)
+        return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), c)
+
+    out = ring_attention(q, k, v, mesh, q_start=qs)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(packed_ref(q, k, v)),
+                               rtol=1e-5, atol=1e-5)
+    gf = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(ring_attention(
+        a, b, c, mesh, q_start=qs))), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(packed_ref(a, b, c))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for nm, a, b in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{nm}")
+
+
+def test_model_cp_packed_matches_solo():
+    """TransformerLM(reset_at=EOS, cp=True): packed rows context-
+    parallelize — logits equal the unsharded packed model."""
+    from neuralnetworklibrary_tpu.nn.transformer import TransformerLM
+    from neuralnetworklibrary_tpu.parallel.mesh import get_mesh_2d
+
+    mesh = get_mesh_2d(2, 4, axis_names=("data", "context"))
+    V, EOS = 40, 0
+    kw = dict(vocab_size=V, pad_token=1, d_model=32, n_heads=4, n_layers=2,
+              max_len=64, drop=0.0, pos_embedding="rope", reset_at=EOS)
+    msolo = TransformerLM(**kw)
+    mc = TransformerLM(**kw, mesh=mesh, cp=True)
+    rng = np.random.default_rng(9)
+    row = rng.integers(2, V, 64)
+    row[20] = EOS
+    row[45] = EOS
+    x = jnp.asarray(np.stack([row, row]), jnp.int32)
+    vv = msolo.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mc.apply(vv, x)[0]),
+                               np.asarray(msolo.apply(vv, x)[0]),
+                               rtol=3e-4, atol=3e-4)
