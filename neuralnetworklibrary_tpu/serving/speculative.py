@@ -72,8 +72,10 @@ class SpeculativeServingEngine(ServingEngine):
     Every request must leave room for the draft overshoot:
     ``len(prompt) + max_new + gamma + 1 <= max_len`` (checked at
     admission, like nn.speculative).  Engine kwargs are the base engine's
-    minus ``chunk`` (a round IS the chunk), ``prefill_chunk`` and
-    ``adapters`` (base weights only).  TP serving composes (r5): pass
+    minus ``chunk`` (a round IS the chunk) and ``adapters`` (base weights
+    only); ``prefill_chunk=`` composes (r5) — long prompts chunk-prefill
+    the TARGET while the cheap draft prefills one-shot.  TP serving
+    composes (r5): pass
     ``mesh=`` + ``param_rule=`` — the target shards Megatron-style with a
     head-sharded KV cache while the (small) draft replicates; emission is
     token-exact vs the single-chip engine.
@@ -94,8 +96,7 @@ class SpeculativeServingEngine(ServingEngine):
             raise ValueError(
                 "speculative serving on a paged-KV target goes through "
                 "PagedSpeculativeServingEngine")
-        for bad, ok in (("chunk", (None, 1)),
-                        ("adapters", (None,)), ("prefill_chunk", (None, 0))):
+        for bad, ok in (("chunk", (None, 1)), ("adapters", (None,))):
             if kw.get(bad) not in ok:
                 raise ValueError(f"SpeculativeServingEngine does not take "
                                  f"{bad}=")
@@ -166,10 +167,15 @@ class SpeculativeServingEngine(ServingEngine):
                 f"prompt ({len(req.prompt)}) + max_new ({req.max_new}) + "
                 f"gamma+1 draft overshoot ({self.gamma + 1}) exceed "
                 f"max_len {self.model.max_len}")
-        super()._admit(req, slot, lengths, toks)
+        ret = super()._admit(req, slot, lengths, toks)
         self._check_spec_sampling(self._k_arr[slot], self._t_arr[slot],
                                   self._p_arr[slot], self._r_arr[slot],
                                   "request")
+        # the DRAFT prefill is one-shot regardless of chunked TARGET
+        # prefill (prefill_chunk=, r5): the draft is cheap, and its cache
+        # only needs to be ready by the first spec round — which cannot
+        # happen before the target's final prefill slice lands (pending
+        # slots stay inactive)
         p = np.asarray(req.prompt, np.int32)
         tb = self._bucket_for(len(p))
         padded = np.full((1, tb), self.pad_token, np.int32)
@@ -181,6 +187,7 @@ class SpeculativeServingEngine(ServingEngine):
         self.draft_cache = fn(self.draft_params, self.draft_cache,
                               jnp.asarray(padded), slot)
         self._n_pend[slot] = 0
+        return ret     # False while the target's chunked prefill is pending
 
     def _on_retire(self, slot: int):
         self._n_pend[slot] = 0

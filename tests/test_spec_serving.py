@@ -398,3 +398,55 @@ def test_tp_spec_engine_matches_single_chip():
     for a, b in zip(reqs, base_reqs):
         assert a.finished and a.tokens == b.tokens
     assert eng.stats["spec_rounds"] > 0
+
+
+# ------------------------------------- speculative × chunked prefill (r5)
+
+
+def test_spec_chunked_prefill_matches_unchunked():
+    """prefill_chunk on the speculative engine: long prompts slice the
+    TARGET prefill across scheduler iterations (draft prefills one-shot) —
+    emission is token-for-token the unchunked speculative engine's."""
+    model, params = _model(0)
+    draft, dparams = _model(7, layers=1)
+    spec = [(26, 9), (3, 6), (33, 8), (14, 10), (7, 5)]
+    rng = np.random.default_rng(4)
+    reqs = _requests(rng, spec)
+    rng = np.random.default_rng(4)
+    base_reqs = _requests(rng, spec)
+    eng = SpeculativeServingEngine(model, params, draft, dparams, gamma=3,
+                                   slots=2, prompt_buckets=(8, 16, 32, 64),
+                                   prefill_chunk=8)
+    eng.run(reqs)
+    assert eng.stats["prefill_slices"] > 0, "chunked prefill never engaged"
+    SpeculativeServingEngine(model, params, draft, dparams, gamma=3,
+                             slots=2, prompt_buckets=(8, 16, 32, 64)
+                             ).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
+
+
+def test_paged_spec_chunked_prefill():
+    """All three serving features at once: paged KV + speculative decode +
+    chunked prefill — still bit-exact vs the dense unchunked speculative
+    engine."""
+    from neuralnetworklibrary_tpu.serving import PagedSpeculativeServingEngine
+
+    paged, dense, params = _paged_pair(0)
+    draft, dparams = _model(7, layers=1, max_len=96)
+    spec = [(26, 9), (3, 6), (33, 8), (14, 10)]
+    rng = np.random.default_rng(5)
+    reqs = _requests(rng, spec)
+    rng = np.random.default_rng(5)
+    base_reqs = _requests(rng, spec)
+    eng = PagedSpeculativeServingEngine(paged, params, draft, dparams,
+                                        gamma=3, slots=2,
+                                        prompt_buckets=(8, 16, 32, 64),
+                                        prefill_chunk=8)
+    eng.run(reqs)
+    assert eng.stats["prefill_slices"] > 0
+    SpeculativeServingEngine(dense, params, draft, dparams, gamma=3,
+                             slots=2, prompt_buckets=(8, 16, 32, 64)
+                             ).run(base_reqs)
+    for a, b in zip(reqs, base_reqs):
+        assert a.finished and a.tokens == b.tokens
